@@ -1,0 +1,14 @@
+"""node_log_forwarder_spark — a PySpark-native rebuild of the
+parse → enrich → route → aggregate capabilities of
+``fluggo/node-log-forwarder`` (reference at /root/reference; empty at
+survey time, see SURVEY.md §0 — semantics pinned by BASELINE.json).
+
+Spark-first design: DataFrame/Catalyst logical plans everywhere,
+Arrow-vectorized pandas UDFs as the only Python in the hot path,
+broadcast-hash enrichment, rules-as-data router, salted skew handling,
+and a resumable partition-manifest checkpoint layer.
+"""
+
+__version__ = "0.1.0"
+
+from node_log_forwarder_spark.config import ParseRule, SinkRule  # noqa: F401

@@ -1,0 +1,50 @@
+"""Thin table-catalog abstraction: parquet in the sandbox, Iceberg in prod.
+
+The reference forwarder writes to Elasticsearch/file targets; our sinks
+are tables. All reads/writes go through these two functions so that a
+production deployment swaps ``format("parquet")`` for
+``format("iceberg")`` (with ``writeTo(...).append()`` atomic commits)
+without touching any pipeline logic. See SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG = os.environ.get("NLF_USE_ICEBERG", "") == "1"
+
+
+def read_table(spark: SparkSession, path_or_name: str) -> DataFrame:
+    if ICEBERG:
+        return spark.read.format("iceberg").load(path_or_name)
+    return spark.read.parquet(path_or_name)
+
+
+def write_table(
+    df: DataFrame,
+    path_or_name: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    if ICEBERG:
+        writer = df.writeTo(path_or_name)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path_or_name)
+
+
+def table_exists(spark: SparkSession, path_or_name: str) -> bool:
+    if ICEBERG:
+        return spark.catalog.tableExists(path_or_name)
+    # parquet dir with a _SUCCESS or part files
+    return os.path.isdir(path_or_name) and any(
+        f.startswith("part-") or f == "_SUCCESS" for f in os.listdir(path_or_name)
+    )

@@ -1,0 +1,143 @@
+"""Rules-as-data configuration: parse rules, enrichment dims, sink rules.
+
+Mirrors the reference forwarder's reloadable config object (ordered
+parser list + destination list with filter predicates — BASELINE.json:6
+"message pattern match, field capture, type coercion" / "per-destination
+filters"). Because rules are plain data, a config change is a re-read +
+re-broadcast — no code change, same hot-reload property the forwarder
+has.
+
+Patterns are written in Python ``re`` syntax with named groups
+(``(?P<name>...)``). ``java_pattern``/``group_index`` translate them for
+the JVM-native execution path so the exact same rule objects drive both
+the Arrow-UDF engine and the codegen'd ``regexp_extract`` engine.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ParseRule:
+    """One grok-style extraction rule. First match (by priority) wins."""
+
+    rule_id: str
+    priority: int
+    pattern: str  # anchored Python regex with named groups
+    field_types: dict[str, str] = field(default_factory=dict)  # name -> spark type
+
+    @property
+    def compiled(self) -> re.Pattern:
+        return re.compile(self.pattern)
+
+    @property
+    def capture_names(self) -> list[str]:
+        """Named captures in group-index order."""
+        gi = self.compiled.groupindex  # name -> 1-based index
+        return [n for n, _ in sorted(gi.items(), key=lambda kv: kv[1])]
+
+    @property
+    def java_pattern(self) -> str:
+        """Python pattern with named groups reduced to plain numbered
+        groups (Java group names reject underscores; numbering is
+        identical in both engines so index-based extraction is safe)."""
+        return re.sub(r"\(\?P<[A-Za-z_][A-Za-z0-9_]*>", "(", self.pattern)
+
+    def group_index(self, name: str) -> int:
+        return self.compiled.groupindex[name]
+
+
+@dataclass(frozen=True)
+class SinkRule:
+    """One destination: rows fan out to EVERY sink whose predicate passes."""
+
+    sink_id: str
+    predicate: str  # Spark SQL boolean expression over the enriched frame
+
+
+# --------------------------------------------------------------------------
+# Default rule set (FIXTURES.md §3). Includes:
+#  - an overlapping pair (error_line ⊃ error_any) to exercise
+#    first-match-wins,
+#  - a coercion that fails on some rows (retry='maybe' -> boolean null)
+#    to exercise the miss-tally path.
+# --------------------------------------------------------------------------
+
+DEFAULT_RULES: list[ParseRule] = [
+    ParseRule(
+        rule_id="tool_call",
+        priority=10,
+        pattern=r"^call tool=(?P<tool_name>\S+) status=(?P<status>\w+) dur_ms=(?P<dur_ms>\d+)$",
+        field_types={"dur_ms": "int"},
+    ),
+    ParseRule(
+        rule_id="error_line",
+        priority=20,
+        pattern=r"^ERROR (?P<errclass>\w+): (?P<errmsg>.*) retry=(?P<retry>\w+)$",
+        field_types={"retry": "boolean"},
+    ),
+    ParseRule(
+        # Overlaps error_line: only wins on ERROR lines WITHOUT a retry tail.
+        rule_id="error_any",
+        priority=25,
+        pattern=r"^ERROR (?P<errclass>\w+): (?P<errmsg>.*)$",
+        field_types={},
+    ),
+    ParseRule(
+        rule_id="syslog_result",
+        priority=30,
+        pattern=r"^<(?P<pri>\d+)> (?P<iso_ts>\S+) result code=(?P<code>\d+) msg=(?P<msg>.*)$",
+        field_types={"pri": "int", "code": "int", "iso_ts": "timestamp"},
+    ),
+]
+
+# Sink config per FIXTURES.md §4. `_unmatched` is the parse-failure
+# fallback path (reference: unparseable events routed to a default
+# destination and counted as misses).
+DEFAULT_SINKS: list[SinkRule] = [
+    SinkRule("errors", "rule_id = 'error_line' OR status = 'fail'"),
+    SinkRule("tool_calls", "rule_id = 'tool_call'"),
+    SinkRule("high_risk", "risk_tier >= 2 AND matched"),
+    SinkRule("archive_all", "true"),
+    SinkRule("_unmatched", "NOT matched"),
+]
+
+# Enrichment dimensions (broadcast side). BASELINE.json:6 "attaches
+# role/tool/source metadata".
+ROLE_META: list[tuple[str, str, bool]] = [
+    ("user", "human", False),
+    ("assistant", "model", True),
+    ("tool", "machine", True),
+    ("system", "control", False),
+]
+ROLE_META_SCHEMA = "role string, role_kind string, is_agent boolean"
+
+TOOL_META: list[tuple[str, str, int]] = [
+    ("search", "web", 0),
+    ("browser", "web", 1),
+    ("python", "code", 2),
+    ("bash", "code", 3),
+    ("sql", "data", 2),
+    ("http", "web", 1),
+    ("file_read", "fs", 1),
+    ("file_write", "fs", 3),
+    ("calc", "code", 0),
+    ("email", "comm", 2),
+    ("chat", "comm", 0),
+    ("vision", "media", 1),
+]
+TOOL_META_SCHEMA = "tool string, tool_family string, risk_tier int"
+
+SOURCE_META: list[tuple[str, str, list[str]]] = [
+    ("tool_call", "agents", ["hot", "billed"]),
+    ("error_line", "ops", ["alert"]),
+    ("error_any", "ops", ["alert", "legacy"]),
+    ("syslog_result", "infra", ["syslog"]),
+    ("_raw", "archive", []),
+    ("replay", "qa", ["replay"]),
+    ("synthetic", "qa", ["synthetic"]),
+    ("edge", "qa", ["edge"]),
+]
+SOURCE_META_SCHEMA = "source string, site string, tags array<string>"

@@ -1,0 +1,104 @@
+"""Windowed aggregate counters — the forwarder's stats module.
+
+BASELINE.json:6: "per-sink aggregates (routed row counts, per-field
+match/miss tallies windowed by ts, grouped by conv_id/tool) must equal
+the reference's per-sink counts exactly".
+
+Everything here is plain ``groupBy().agg`` — Spark's partial+final hash
+aggregation gives map-side combine for free, and ``date_trunc`` keys
+(rather than the struct-typed ``window()``) keep results oracle-
+comparable and joinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.config import ParseRule
+from node_log_forwarder_spark.operators.route import explode_sinks
+
+
+def sink_counts(
+    routed: DataFrame,
+    window: str = "hour",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Routed-row counts per (window, sink, *keys). Default keys follow
+    the north star: conv_id + tool."""
+    keys = keys if keys is not None else ["conv_id", "tool"]
+    return (
+        explode_sinks(routed)
+        .groupBy(
+            F.date_trunc(window, F.col("ts")).alias("window_start"),
+            F.col("sink_id"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def match_miss_tallies(
+    parsed: DataFrame,
+    rules: list[ParseRule],
+    window: str = "hour",
+) -> DataFrame:
+    """Per-field match/miss tallies windowed by ts.
+
+    For each rule field: n_match = rows the rule matched AND the raw
+    capture is non-empty; n_miss = rows the rule matched but the capture
+    was empty OR its declared type-coercion returned null (the
+    forwarder's coercion-failure tally). Built by exploding a per-row
+    array of (rule_id, field, ok) structs — one shuffle, no per-rule
+    passes over the input.
+    """
+    entries = []
+    for r in rules:
+        for name in r.capture_names:
+            raw = F.col("fields").getItem(name)
+            t = r.field_types.get(name)
+            ok = raw.isNotNull() & (raw != "")
+            if t and t != "string":
+                ok = ok & F.expr(f"try_cast(fields['{name}'] as {t})").isNotNull()
+            entries.append(
+                F.when(
+                    F.col("rule_id") == r.rule_id,
+                    F.struct(
+                        F.lit(r.rule_id).alias("rule_id"),
+                        F.lit(name).alias("field"),
+                        ok.alias("ok"),
+                    ),
+                ).otherwise(F.lit(None))
+            )
+    exploded = parsed.select(
+        F.date_trunc(window, F.col("ts")).alias("window_start"),
+        F.explode(F.array_compact(F.array(*entries))).alias("e"),
+    )
+    return exploded.groupBy(
+        "window_start", F.col("e.rule_id").alias("rule_id"), F.col("e.field").alias("field")
+    ).agg(
+        F.sum(F.col("e.ok").cast("long")).alias("n_match"),
+        F.sum((~F.col("e.ok")).cast("long")).alias("n_miss"),
+    )
+
+
+def rule_tallies(parsed: DataFrame, window: str = "hour") -> DataFrame:
+    """Received/matched/missed counts per window — the forwarder's
+    per-source stats line."""
+    return parsed.groupBy(
+        F.date_trunc(window, F.col("ts")).alias("window_start"),
+        F.coalesce(F.col("rule_id"), F.lit("_unmatched")).alias("rule_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("matched").cast("long")).alias("n_matched"),
+    )
+
+
+def observe_metrics(df: DataFrame, name: str = "stage_metrics") -> DataFrame:
+    """Lightweight inline counters via df.observe — zero extra pass;
+    metrics surface on the QueryExecution after the action runs."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("matched").cast("long")).alias("rows_matched"),
+    )

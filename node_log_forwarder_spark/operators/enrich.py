@@ -1,0 +1,37 @@
+"""Broadcast-hash lookup enrichment (reference: in-memory map lookups,
+left-outer semantics — unmatched keys pass through with nulls).
+
+BASELINE.json:6: "a broadcast-hash lookup-enrich stage attaches
+role/tool/source metadata". Dims are explicitly ``F.broadcast`` — at
+10^12-row scale we never rely on autoBroadcastJoinThreshold guessing
+right; a sort-merge join against a 12-row dim would be a catastrophe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark import config
+
+
+def dim_frames(spark: SparkSession) -> dict[str, DataFrame]:
+    return {
+        "role_meta": spark.createDataFrame(config.ROLE_META, config.ROLE_META_SCHEMA),
+        "tool_meta": spark.createDataFrame(config.TOOL_META, config.TOOL_META_SCHEMA),
+        "source_meta": spark.createDataFrame(config.SOURCE_META, config.SOURCE_META_SCHEMA),
+    }
+
+
+def enrich(df: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
+    """Left-outer broadcast joins; rows with unknown keys pass through."""
+    out = df
+    if "role_meta" in dims:
+        out = out.join(F.broadcast(dims["role_meta"]), on="role", how="left")
+    if "tool_meta" in dims:
+        out = out.join(F.broadcast(dims["tool_meta"]), on="tool", how="left")
+    if "source_meta" in dims:
+        # source = the rule family that produced the row; '_raw' for misses
+        out = out.withColumn("source", F.coalesce(F.col("rule_id"), F.lit("_raw")))
+        out = out.join(F.broadcast(dims["source_meta"]), on="source", how="left")
+    return out

@@ -1,0 +1,180 @@
+"""Grok/regex field-extraction stage — the forwarder's core operator.
+
+Semantics (BASELINE.json:6 "message pattern match, field capture, type
+coercion"): an ORDERED rule list; the first rule (by priority) whose
+anchored regex matches wins; its named captures become fields;
+non-matching rows fall through to the miss/raw path with
+``matched=false``.
+
+Two interchangeable engines producing byte-identical output (tested
+against each other and against a pure-Python oracle):
+
+* ``engine="native"`` — compiles the rule list into a whole-stage-
+  codegen'd ``rlike``/``regexp_extract`` WHEN-chain. Zero Python in the
+  row path; the fastest plan Spark can run, used by default.
+* ``engine="arrow"`` — one Arrow-vectorized ``pandas_udf`` applying the
+  precompiled patterns whole-batch via ``pd.Series.str.extract`` (the
+  north star's "vectorized pandas/Arrow UDF stage ... no per-row
+  Python"). This is the generic path for rule features Java regex can't
+  express (lookbehind differences, pattern sets loaded at runtime from
+  user config, per-rule python post-processing).
+
+Output columns added: ``rule_id string`` (null if no rule matched),
+``matched boolean``, ``fields map<string,string>`` (raw captures; empty
+map when unmatched). ``coerce_fields`` then projects each declared
+capture to a typed top-level column via ``try_cast`` (null on coercion
+failure — feeds the miss tallies, never throws).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.config import ParseRule
+
+PARSE_RESULT_SCHEMA = "rule_id string, matched boolean, fields map<string,string>"
+
+
+def _ordered(rules: list[ParseRule]) -> list[ParseRule]:
+    return sorted(rules, key=lambda r: r.priority)
+
+
+# ---------------------------------------------------------------------------
+# native engine
+# ---------------------------------------------------------------------------
+
+def _native_rule_id(text: Column, rules: list[ParseRule]) -> Column:
+    expr = None
+    for r in _ordered(rules):
+        cond = text.rlike(r.java_pattern)
+        expr = F.when(cond, F.lit(r.rule_id)) if expr is None else expr.when(cond, F.lit(r.rule_id))
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def _native_fields(text: Column, rule_id: Column, rules: list[ParseRule]) -> Column:
+    expr = None
+    for r in _ordered(rules):
+        kvs: list[Column] = []
+        for name in r.capture_names:
+            kvs.append(F.lit(name))
+            kvs.append(F.regexp_extract(text, r.java_pattern, r.group_index(name)))
+        m = F.create_map(*kvs) if kvs else F.create_map().cast("map<string,string>")
+        cond = rule_id == r.rule_id
+        expr = F.when(cond, m) if expr is None else expr.when(cond, m)
+    return expr.otherwise(F.create_map().cast("map<string,string>"))
+
+
+# ---------------------------------------------------------------------------
+# arrow engine
+# ---------------------------------------------------------------------------
+
+def _make_arrow_parser(rules: list[ParseRule]):
+    """Build the pandas_udf lazily so importing this module never needs
+    a SparkSession. Regexes compile once per Python worker (module-level
+    closure), per PAPERS.md vectorized-UDF guidance."""
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = _ordered(rules)
+    specs = [(r.rule_id, r.compiled, r.capture_names) for r in ordered]
+
+    def _parse_batch(texts: pd.Series) -> pd.DataFrame:
+        n = len(texts)
+        s = texts.fillna("")
+        rule_id = pd.Series([None] * n, index=s.index, dtype=object)
+        fields = pd.Series([{} for _ in range(n)], index=s.index, dtype=object)
+        todo = pd.Series(True, index=s.index)
+        for rid, pat, names in specs:
+            if not todo.any():
+                break
+            sub = s[todo]
+            # whole-batch vectorized extraction (first-match-wins:
+            # only rows still unmatched are probed). A group can
+            # legitimately capture '' so match = ANY group non-null.
+            ext = sub.str.extract(pat, expand=True)
+            hit = ext.notna().any(axis=1) if len(ext.columns) else sub.str.match(pat)
+            hit_idx = sub.index[hit]
+            if len(hit_idx) == 0:
+                continue
+            rule_id.loc[hit_idx] = rid
+            recs = ext.loc[hit_idx].fillna("").to_dict("index")
+            fields.loc[hit_idx] = pd.Series(
+                [dict(recs[i]) for i in hit_idx], index=hit_idx, dtype=object
+            )
+            todo.loc[hit_idx] = False
+        return pd.DataFrame(
+            {"rule_id": rule_id, "matched": rule_id.notna(), "fields": fields}
+        )
+
+    # SCALAR_ITER form: patterns stay compiled across Arrow batches in
+    # the long-lived Python worker (one compile per executor, not per
+    # batch) — the vectorized-UDF pattern from PAPERS.md.
+    @pandas_udf(PARSE_RESULT_SCHEMA)
+    def parse_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in batches:
+            yield _parse_batch(texts)
+
+    return parse_udf
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def parse_stage(
+    df: DataFrame,
+    rules: list[ParseRule],
+    text_col: str = "text",
+    engine: str = "native",
+) -> DataFrame:
+    """Apply the ordered rule list; add rule_id / matched / fields."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if engine == "native":
+        df = df.withColumn("rule_id", _native_rule_id(text, rules))
+        df = df.withColumn("matched", F.col("rule_id").isNotNull())
+        df = df.withColumn("fields", _native_fields(text, F.col("rule_id"), rules))
+        return df
+    if engine == "arrow":
+        parse_udf = _make_arrow_parser(rules)
+        df = df.withColumn("_p", parse_udf(text))
+        return (
+            df.withColumn("rule_id", F.col("_p.rule_id"))
+            .withColumn("matched", F.col("_p.matched"))
+            .withColumn("fields", F.col("_p.fields"))
+            .drop("_p")
+        )
+    raise ValueError(f"unknown parse engine: {engine!r}")
+
+
+def coerce_fields(df: DataFrame, rules: list[ParseRule]) -> DataFrame:
+    """Project captures to typed top-level columns (try_cast, null on
+    failure). A capture named in any rule's field_types gets that type;
+    other captures surface as strings. Missing-on-this-row ⇒ null."""
+    types: dict[str, str] = {}
+    for r in rules:
+        for name in r.capture_names:
+            types.setdefault(name, "string")
+        for name, t in r.field_types.items():
+            types[name] = t
+    cols = {}
+    for name, t in types.items():
+        raw = F.col("fields").getItem(name)
+        if t == "string":
+            cols[name] = raw
+        else:
+            cols[name] = F.expr(f"try_cast(fields['{name}'] as {t})")
+    return df.withColumns(cols)
+
+
+def capture_types(rules: list[ParseRule]) -> dict[str, str]:
+    """capture name -> effective Spark type (string unless declared)."""
+    types: dict[str, str] = {}
+    for r in rules:
+        for name in r.capture_names:
+            types.setdefault(name, "string")
+        for name, t in r.field_types.items():
+            types[name] = t
+    return types

@@ -1,0 +1,64 @@
+"""Rule-driven router — the forwarder's per-destination filter dispatch.
+
+Fan-out semantics (NOT first-match): a row is delivered to EVERY sink
+whose predicate passes; parse failures carry ``matched=false`` and land
+in the ``_unmatched`` fallback sink (BASELINE.json:6).
+
+All sink predicates are evaluated in ONE projection pass into a
+``sink_ids array<string>`` column — one codegen stage, no per-sink scan
+of the input. Writers then either filter-per-sink over a persisted
+frame (preserves per-sink schemas / targets, default) or explode for a
+single partitioned write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.config import SinkRule
+
+
+def route(df: DataFrame, sinks: list[SinkRule]) -> DataFrame:
+    """Add ``sink_ids array<string>`` — every sink whose predicate passes."""
+    branches = [
+        F.when(F.expr(s.predicate), F.lit(s.sink_id)).otherwise(F.lit(None))
+        for s in sinks
+    ]
+    return df.withColumn("sink_ids", F.array_compact(F.array(*branches)))
+
+
+def routed_for_sink(routed: DataFrame, sink_id: str) -> DataFrame:
+    return routed.filter(F.array_contains(F.col("sink_ids"), sink_id))
+
+
+def explode_sinks(routed: DataFrame) -> DataFrame:
+    """One row per (row, sink) delivery — feeds per-sink aggregates and
+    the single-writer path (partitionBy sink_id)."""
+    return routed.withColumn("sink_id", F.explode(F.col("sink_ids")))
+
+
+def write_sinks(
+    routed: DataFrame,
+    sinks: list[SinkRule],
+    out_dir: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Write each sink's rows to its own table. ``routed`` should be
+    persisted by the caller so parse/enrich run once, not once per sink.
+    Returns per-sink routed-row counts (the forwarder's dispatch
+    tallies) collected from the same pass via count aggregation."""
+    from node_log_forwarder_spark.catalog import write_table
+
+    counts: dict[str, int] = {}
+    for s in sinks:
+        sink_df = routed_for_sink(routed, s.sink_id)
+        write_table(
+            sink_df.drop("sink_ids"),
+            f"{out_dir}/{s.sink_id}",
+            mode=mode,
+            partition_by=partition_by,
+        )
+        counts[s.sink_id] = sink_df.count()
+    return counts

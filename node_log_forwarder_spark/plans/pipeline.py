@@ -1,0 +1,196 @@
+"""End-to-end parse → enrich → route → aggregate pipeline, with
+resumable partition manifests and per-partition lineage metrics
+(BASELINE.json:14 "resumable from checkpoint with per-partition
+lineage + metrics").
+
+Execution shape (SURVEY.md §3.2):
+
+    transcripts (scan, column-pruned)
+      → salt + repartition by (conv_id, salt)      [explicit shuffle]
+      → parse_stage (codegen WHEN-chain or Arrow UDF)
+      → coerce_fields (try_cast)
+      → enrich (broadcast hash left joins)
+      → route (one projection → sink_ids array)
+      → persist                                     [parse runs ONCE]
+      → N sink writes + aggregates + manifests      [reuse persisted]
+
+Resume unit: ``bucket = pmod(xxhash64(conv_id), n_buckets)`` — a stable
+logical partition of the conversation space, independent of file
+layout. The manifest table records (run_id, bucket, status, rows_in,
+rows_routed, wall_ms); on restart, committed buckets are skipped via a
+left-anti join, and sink writes are idempotent because each bucket's
+output lands under its own directory (in prod: an Iceberg
+overwrite-by-filter on the bucket column).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark import config
+from node_log_forwarder_spark.catalog import read_table, table_exists, write_table
+from node_log_forwarder_spark.operators.aggregate import (
+    match_miss_tallies,
+    observe_metrics,
+    sink_counts,
+)
+from node_log_forwarder_spark.operators.enrich import dim_frames, enrich
+from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
+from node_log_forwarder_spark.operators.route import route, write_sinks
+from node_log_forwarder_spark.operators.skew import add_salt, repartition_salted
+
+
+@dataclass
+class PipelineConfig:
+    rules: list[config.ParseRule] = field(default_factory=lambda: list(config.DEFAULT_RULES))
+    sinks: list[config.SinkRule] = field(default_factory=lambda: list(config.DEFAULT_SINKS))
+    parse_engine: str = "native"  # or "arrow"
+    n_partitions: int | None = None  # default: spark.sql.shuffle.partitions
+    n_salts: int = 16
+    hot_threshold: int | None = None
+    n_buckets: int = 32  # resume granularity
+    window: str = "hour"
+    agg_keys: list[str] = field(default_factory=lambda: ["conv_id", "tool"])
+    repartition_input: bool = True
+
+
+def build_routed(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """The logical plan for scan→parse→enrich→route (no action)."""
+    df = transcripts
+    if cfg.repartition_input:
+        df = add_salt(
+            df, hot_threshold=cfg.hot_threshold, n_salts=cfg.n_salts
+        )
+        nparts = cfg.n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = repartition_salted(df, nparts)
+    df = parse_stage(df, cfg.rules, engine=cfg.parse_engine)
+    df = coerce_fields(df, cfg.rules)
+    df = enrich(df, dim_frames(spark))
+    df = route(df, cfg.sinks)
+    return df
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    """Single-shot run: write all sinks + aggregate tables; return
+    per-sink counts and stage metrics."""
+    cfg = cfg or PipelineConfig()
+    routed = observe_metrics(build_routed(spark, transcripts, cfg))
+    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts = write_sinks(routed, cfg.sinks, f"{out_dir}/sinks", mode="overwrite")
+        aggs = sink_counts(routed, window=cfg.window, keys=cfg.agg_keys)
+        write_table(aggs, f"{out_dir}/agg_sink_counts", mode="overwrite")
+        tallies = match_miss_tallies(routed, cfg.rules, window=cfg.window)
+        write_table(tallies, f"{out_dir}/agg_tallies", mode="overwrite")
+    finally:
+        routed.unpersist()
+    return {"sink_counts": counts}
+
+
+# ---------------------------------------------------------------------------
+# resumable variant
+# ---------------------------------------------------------------------------
+
+MANIFEST_SCHEMA = (
+    "run_id string, bucket int, status string, rows_in long, "
+    "rows_routed long, wall_ms long, attempt int"
+)
+
+
+def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def pending_buckets(spark: SparkSession, manifest_dir: str, n_buckets: int) -> list[int]:
+    all_b = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    if not table_exists(spark, manifest_dir):
+        return [r[0] for r in all_b.collect()]
+    done = (
+        read_table(spark, manifest_dir)
+        .filter(F.col("status") == "committed")
+        .select("bucket")
+        .distinct()
+    )
+    return [r[0] for r in all_b.join(done, "bucket", "left_anti").collect()]
+
+
+def run_resumable(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    run_id: str,
+    cfg: PipelineConfig | None = None,
+    fail_after_buckets: int | None = None,
+    bucket_batch: int | None = None,
+) -> dict:
+    """Resumable run over conv_id-hash buckets.
+
+    Buckets are processed in batches (default: all pending at once —
+    one Spark job); each batch's sink output is written under
+    ``bucket_lo_hi`` subdirs and the manifest rows are appended only
+    after the writes succeed, so a crash mid-batch leaves the manifest
+    without those buckets and the next run redoes exactly them.
+    ``fail_after_buckets`` injects a crash for the resume test.
+    """
+    cfg = cfg or PipelineConfig()
+    manifest_dir = f"{out_dir}/manifest"
+    pend = pending_buckets(spark, manifest_dir, cfg.n_buckets)
+    if not pend:
+        return {"processed_buckets": [], "skipped": cfg.n_buckets}
+
+    if fail_after_buckets is not None:
+        pend = pend[:fail_after_buckets]
+    batches = (
+        [pend[i : i + bucket_batch] for i in range(0, len(pend), bucket_batch)]
+        if bucket_batch
+        else [pend]
+    )
+
+    processed: list[int] = []
+    for batch in batches:
+        t0 = time.monotonic()
+        src = _with_bucket(transcripts, cfg.n_buckets).filter(F.col("bucket").isin(batch))
+        routed = build_routed(spark, src, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            tag = f"b{min(batch)}_{max(batch)}"
+            write_sinks(routed, cfg.sinks, f"{out_dir}/sinks/{tag}", mode="overwrite")
+            aggs = sink_counts(routed, window=cfg.window, keys=cfg.agg_keys)
+            write_table(aggs, f"{out_dir}/agg_sink_counts/{tag}", mode="overwrite")
+            # per-partition lineage + throughput metrics
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            lineage = (
+                routed.groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("rows_in"),
+                    F.sum(F.size("sink_ids").cast("long")).alias("rows_routed"),
+                )
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("status", F.lit("committed"))
+                .withColumn("wall_ms", F.lit(wall_ms))
+                .withColumn("attempt", F.lit(1))
+                .select(
+                    "run_id", "bucket", "status", "rows_in",
+                    "rows_routed", "wall_ms", "attempt",
+                )
+            )
+            write_table(lineage, manifest_dir, mode="append")
+        finally:
+            routed.unpersist()
+        processed.extend(batch)
+    return {"processed_buckets": processed, "skipped": cfg.n_buckets - len(processed)}

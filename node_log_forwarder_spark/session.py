@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The settings below are the ones that matter at 100 TB: AQE for runtime
+re-planning (partition coalescing + skew-join splitting), explicit
+shuffle-partition sizing, Arrow batching for the vectorized UDF stage,
+and UTC session time so windowed tallies are deterministic across
+clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "node-log-forwarder-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox;
+    on a real cluster it is supplied by spark-submit and this arg stays
+    None.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and os.environ.get("SPARK_GRAFT_CPUS"):
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+
+    sp = shuffle_partitions or int(
+        os.environ.get("NLF_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    conf = {
+        "spark.sql.shuffle.partitions": str(sp),
+        "spark.sql.session.timeZone": "UTC",
+        # AQE: coalesce small shuffle partitions, split skewed join sides.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow transfer for the vectorized parse stage.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # Keep scan partitions a sane size (matters for the 100 TB scan).
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("NLF_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,233 @@
+"""Transcript-table sources.
+
+Two ways to obtain the pinned input shape
+``(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp)`` (BASELINE.json:15):
+
+1. ``synth_transcripts`` — deterministic, fully column-native synthetic
+   generator (FIXTURES.md §1). Conversation sizes are Zipf-skewed so a
+   few hot conversations exist (exercises salting); text is a template
+   mix with KNOWN per-rule match fractions. Scales to any row count —
+   it is ``spark.range`` + hash expressions, no driver-side data, no
+   Python in the row path — so the same generator produces the sf0.001
+   pytest fixture and a 10^9-row bench input.
+
+2. ``transcripts_from_events`` — maps the driver's read-only
+   ``events`` parquet into transcript shape with pure SQL-expressible
+   column ops, so every pipeline query over it has an exact DuckDB
+   oracle twin (used by __spark_entry__).
+
+Determinism: all pseudo-randomness is ``xxhash64(seed, tag, id)``
+reduced mod a range — same output on every run, every partitioning,
+every cluster size. No wall-clock, no rand().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+BASE_EPOCH = 1767225600  # 2026-01-01T00:00:00Z
+
+_TOOLS = [t for t, _, _ in __import__(
+    "node_log_forwarder_spark.config", fromlist=["TOOL_META"]
+).TOOL_META]
+
+_WORDS = [
+    "alpha", "bravo", "delta", "gamma", "omega", "query", "tensor",
+    "vector", "matrix", "stream", "batch", "window", "shuffle", "probe",
+]
+
+_ERRCLASSES = ["Timeout", "Refused", "Parse", "Quota", "Auth"]
+
+
+def _h(seed: int, tag: str, col: Column) -> Column:
+    """Deterministic 64-bit hash stream, one per tag."""
+    return F.xxhash64(F.lit(seed), F.lit(tag), col)
+
+
+def _u100(seed: int, tag: str, col: Column) -> Column:
+    """Uniform integer in [0, 100)."""
+    return F.pmod(_h(seed, tag, col), F.lit(100))
+
+
+def _pick(seed: int, tag: str, col: Column, values: list[str]) -> Column:
+    arr = F.array(*[F.lit(v) for v in values])
+    return F.element_at(arr, (F.pmod(_h(seed, tag, col), F.lit(len(values))) + 1).cast("int"))
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    n_turns: int,
+    n_convs: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic synthetic transcripts (FIXTURES.md §1).
+
+    Template mix: 40% tool_call, 25% syslog_result, 11% error_line,
+    4% error_any (ERROR without retry tail — first-match-wins probe),
+    20% free text (guaranteed unmatched). Rare edge-case rows (empty /
+    10KB / multiline / unicode+metachars) land in the free-text bucket.
+    """
+    n_convs = n_convs or max(4, n_turns // 30)
+    df = spark.range(n_turns).withColumnRenamed("id", "gid")
+    g = F.col("gid")
+
+    # Zipf-ish conversation assignment: X = n_convs * U^3 has pdf ∝ x^(-2/3),
+    # so conv 0 is hot (exercises explicit salting, BASELINE.json:14).
+    u = F.pmod(_h(seed, "conv", g), F.lit(1_000_000)) / F.lit(1_000_000.0)
+    conv_num = F.floor(F.lit(n_convs) * F.pow(u, F.lit(3.0)))
+    df = df.withColumn("conv_id", F.format_string("conv_%06d", conv_num.cast("int")))
+
+    # role: weights (.35, .35, .20, .10) per FIXTURES.md
+    r = _u100(seed, "role", g)
+    df = df.withColumn(
+        "role",
+        F.when(r < 35, "user").when(r < 70, "assistant").when(r < 90, "tool").otherwise("system"),
+    )
+
+    # tool: 12 known tools + ~5% values absent from the dim (left-join null path)
+    df = df.withColumn(
+        "tool",
+        F.when(
+            _u100(seed, "toolmiss", g) < 5,
+            F.format_string("xtool_%d", F.pmod(_h(seed, "xt", g), F.lit(7))),
+        ).otherwise(_pick(seed, "tool", g, _TOOLS)),
+    )
+
+    # ts: base + gid seconds → monotone, spans many hourly windows
+    df = df.withColumn("ts", F.timestamp_seconds(F.lit(BASE_EPOCH) + g))
+
+    # text templates
+    status = _pick(seed, "status", g, ["ok", "ok", "ok", "fail", "retry"])
+    dur = F.pmod(_h(seed, "dur", g), F.lit(10_000))
+    tool_call_txt = F.format_string(
+        "call tool=%s status=%s dur_ms=%d", F.col("tool"), status, dur
+    )
+
+    pri = F.pmod(_h(seed, "pri", g), F.lit(192))
+    code = F.pmod(_h(seed, "code", g), F.lit(600))
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss")
+    msg = F.concat_ws(" ", _pick(seed, "w1", g, _WORDS), _pick(seed, "w2", g, _WORDS))
+    syslog_txt = F.format_string(
+        "<%d> %s result code=%d msg=%s", pri, iso, code, msg
+    )
+
+    errclass = _pick(seed, "ec", g, _ERRCLASSES)
+    retry = _pick(seed, "retry", g, ["true", "false", "maybe"])  # 'maybe' fails boolean cast
+    err_retry_txt = F.format_string(
+        "ERROR %s: %s failed retry=%s", errclass, msg, retry
+    )
+    err_plain_txt = F.format_string("ERROR %s: %s degraded", errclass, msg)
+
+    free_txt = F.concat_ws(
+        " ",
+        _pick(seed, "f1", g, _WORDS), _pick(seed, "f2", g, _WORDS),
+        _pick(seed, "f3", g, _WORDS), _pick(seed, "f4", g, _WORDS),
+    )
+    # edge cases (all in the unmatched bucket): empty, 10KB, multiline,
+    # unicode + regex metacharacters as literals
+    edge = F.pmod(_h(seed, "edge", g), F.lit(997))
+    free_txt = (
+        F.when(edge == 0, F.lit(""))
+        .when(edge == 1, F.repeat(F.lit("padpadpad "), 1000))
+        .when(edge == 2, F.concat(free_txt, F.lit("\nsecond line\nthird line")))
+        .when(edge == 3, F.lit("unicode ünïcödé 你好 .*[](){} literal"))
+        .otherwise(free_txt)
+    )
+
+    t = _u100(seed, "tmpl", g)
+    df = df.withColumn(
+        "text",
+        F.when(t < 40, tool_call_txt)
+        .when(t < 65, syslog_txt)
+        .when(t < 76, err_retry_txt)
+        .when(t < 80, err_plain_txt)
+        .otherwise(free_txt),
+    )
+
+    # dense per-conversation turn index (stable ordering key).
+    # Window at generation time only — the pipeline itself never needs it.
+    w = Window.partitionBy("conv_id").orderBy("gid")
+    df = df.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+
+    return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def transcripts_from_events(events: DataFrame) -> DataFrame:
+    """Map the driver's read-only `events` table into transcript shape.
+
+    Every expression here has an exact ANSI-SQL twin (see
+    __spark_entry__.oracle_sql) so the full pipeline is DuckDB-checkable.
+    ``k`` (the integer inside the JSON-ish ``props``) seeds the
+    deterministic text variation.
+    """
+    k = F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("int")
+    role = (
+        F.when(F.col("event_type") == "purchase", "assistant")
+        .when(F.col("event_type") == "error", "tool")
+        .when(F.col("event_type") == "signup", "system")
+        .otherwise("user")
+    )
+    tool = (
+        F.when(F.col("event_type") == "click", "browser")
+        .when(F.col("event_type") == "view", "search")
+        .when(F.col("event_type") == "purchase", "sql")
+        .when(F.col("event_type") == "error", "bash")
+        .otherwise("email")
+    )
+    status = (
+        F.when(k % 4 == 0, "fail").when(k % 4 == 1, "retry").otherwise("ok")
+    )
+    retry = (
+        F.when(k % 3 == 0, "true").when(k % 3 == 1, "false").otherwise("maybe")
+    )
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss")
+    text = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.format_string("call tool=sql status=%s dur_ms=%d", status, k * 7),
+        )
+        .when(
+            F.col("event_type") == "error",
+            F.format_string("ERROR E%d: operation failed retry=%s", k % 5, retry),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.format_string("<%d> %s result code=%d msg=click through", k % 192, iso, 200 + k % 300),
+        )
+        .otherwise(F.format_string("free text event %d with no rule", k))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        F.format_string("conv_%06d", F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        F.col("ts"),
+    )
+
+
+# The same mapping as ANSI SQL, parameterized by the events table name —
+# kept adjacent to the Spark version so they evolve together.
+TRANSCRIPTS_FROM_EVENTS_SQL = """
+SELECT
+  printf('conv_%06d', user_id) AS conv_id,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+  CASE event_type WHEN 'purchase' THEN 'assistant' WHEN 'error' THEN 'tool'
+       WHEN 'signup' THEN 'system' ELSE 'user' END AS role,
+  CASE event_type
+    WHEN 'purchase' THEN printf('call tool=sql status=%s dur_ms=%d',
+        CASE WHEN k % 4 = 0 THEN 'fail' WHEN k % 4 = 1 THEN 'retry' ELSE 'ok' END, k * 7)
+    WHEN 'error' THEN printf('ERROR E%d: operation failed retry=%s', k % 5,
+        CASE WHEN k % 3 = 0 THEN 'true' WHEN k % 3 = 1 THEN 'false' ELSE 'maybe' END)
+    WHEN 'click' THEN printf('<%d> %s result code=%d msg=click through',
+        k % 192, strftime(ts, '%Y-%m-%dT%H:%M:%S'), 200 + k % 300)
+    ELSE printf('free text event %d with no rule', k)
+  END AS text,
+  CASE event_type WHEN 'click' THEN 'browser' WHEN 'view' THEN 'search'
+       WHEN 'purchase' THEN 'sql' WHEN 'error' THEN 'bash' ELSE 'email' END AS tool,
+  ts
+FROM (SELECT *, CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k FROM events) e
+"""
