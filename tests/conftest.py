@@ -1,0 +1,24 @@
+from __future__ import annotations
+
+import pytest
+
+from node_log_forwarder_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="nlf-tests", master="local[8]", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def transcripts(spark):
+    from node_log_forwarder_spark.sources.transcripts import synth_transcripts
+
+    return synth_transcripts(spark, 4000).cache()
+
+
+@pytest.fixture(scope="session")
+def transcripts_rows(transcripts):
+    return [r.asDict() for r in transcripts.collect()]

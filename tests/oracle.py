@@ -1,0 +1,115 @@
+"""Pure-Python oracle for the parse → route → aggregate semantics.
+
+This IS the spec (SURVEY.md §5.2): the Spark stages must match it
+exactly. It deliberately shares no code with the engine beyond the
+ParseRule/SinkRule config objects — it re-implements first-match-wins,
+coercion, routing, and tallies with plain `re` + dicts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from datetime import datetime, timezone
+
+from node_log_forwarder_spark.config import ParseRule, SinkRule
+
+
+def oracle_parse(text: str, rules: list[ParseRule]):
+    """Return (rule_id|None, fields dict). First match by priority wins."""
+    for r in sorted(rules, key=lambda r: r.priority):
+        m = r.compiled.search(text or "")
+        if m:
+            return r.rule_id, {k: (v if v is not None else "") for k, v in m.groupdict().items()}
+    return None, {}
+
+
+def oracle_coerce(value: str | None, target: str):
+    """try_cast semantics: None on failure, never throws."""
+    if value is None:
+        return None
+    v = value.strip()
+    try:
+        if target == "int":
+            return int(v)
+        if target == "bigint":
+            return int(v)
+        if target == "double":
+            return float(v)
+        if target == "boolean":
+            lv = v.lower()
+            if lv in ("true", "t", "yes", "y", "1"):
+                return True
+            if lv in ("false", "f", "no", "n", "0"):
+                return False
+            return None
+        if target == "timestamp":
+            return datetime.fromisoformat(v).replace(tzinfo=timezone.utc)
+        return v
+    except (ValueError, TypeError):
+        return None
+
+
+def oracle_route(row: dict, sinks: list[SinkRule], tool_risk: dict[str, int]) -> list[str]:
+    """Evaluate the DEFAULT_SINKS predicates (hand-coded — the oracle
+    intentionally interprets the predicate semantics independently of
+    Spark's SQL parser)."""
+    out = []
+    matched = row["rule_id"] is not None
+    status = row["fields"].get("status")
+    risk = tool_risk.get(row["tool"])
+    for s in sinks:
+        if s.sink_id == "errors":
+            hit = row["rule_id"] == "error_line" or status == "fail"
+        elif s.sink_id == "tool_calls":
+            hit = row["rule_id"] == "tool_call"
+        elif s.sink_id == "high_risk":
+            hit = risk is not None and risk >= 2 and matched
+        elif s.sink_id == "archive_all":
+            hit = True
+        elif s.sink_id == "_unmatched":
+            hit = not matched
+        else:
+            raise ValueError(s.sink_id)
+        if hit:
+            out.append(s.sink_id)
+    return out
+
+
+def oracle_pipeline(rows: list[dict], rules, sinks, tool_risk):
+    """rows: dicts with conv_id, turn_idx, role, text, tool, ts.
+    Returns (parsed rows, per-sink Counter, per (rule, field) match/miss
+    Counter windowed by hour, per-sink text sha256)."""
+    parsed = []
+    sink_counter: Counter = Counter()
+    tally: Counter = Counter()  # (window, rule, field, 'match'|'miss')
+    sink_rows: dict[str, list[dict]] = {}
+    for row in rows:
+        rid, fields = oracle_parse(row["text"], rules)
+        out = dict(row, rule_id=rid, fields=fields, matched=rid is not None)
+        window = row["ts"].replace(minute=0, second=0, microsecond=0)
+        if rid is not None:
+            rule = next(r for r in rules if r.rule_id == rid)
+            for name in rule.capture_names:
+                raw = fields.get(name)
+                ok = raw is not None and raw != ""
+                t = rule.field_types.get(name)
+                if ok and t and t != "string":
+                    ok = oracle_coerce(raw, t) is not None
+                tally[(window, rid, name, "match" if ok else "miss")] += 1
+        sids = oracle_route(out, sinks, tool_risk)
+        out["sink_ids"] = sids
+        for sid in sids:
+            sink_counter[sid] += 1
+            sink_rows.setdefault(sid, []).append(out)
+        parsed.append(out)
+    shas = {
+        sid: hashlib.sha256(
+            "".join(
+                r["text"]
+                for r in sorted(rws, key=lambda r: (r["conv_id"], r["turn_idx"]))
+            ).encode()
+        ).hexdigest()
+        for sid, rws in sink_rows.items()
+    }
+    return parsed, sink_counter, tally, shas

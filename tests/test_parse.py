@@ -1,0 +1,107 @@
+"""Parse-stage tests: golden lines, oracle parity, engine equivalence,
+first-match-wins, edge cases. SURVEY.md §5.2(1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.config import DEFAULT_RULES, ParseRule
+from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
+from tests.oracle import oracle_parse
+
+GOLDEN = [
+    ("call tool=sql status=ok dur_ms=12", "tool_call",
+     {"tool_name": "sql", "status": "ok", "dur_ms": "12"}),
+    ("call tool=sql status=ok dur_ms=12 ", None, {}),  # trailing space → anchored miss
+    ("ERROR Timeout: upstream died retry=true", "error_line",
+     {"errclass": "Timeout", "errmsg": "upstream died", "retry": "true"}),
+    ("ERROR Timeout: upstream degraded", "error_any",
+     {"errclass": "Timeout", "errmsg": "upstream degraded"}),
+    ("<42> 2026-01-01T00:00:05 result code=200 msg=hello world", "syslog_result",
+     {"pri": "42", "iso_ts": "2026-01-01T00:00:05", "code": "200", "msg": "hello world"}),
+    ("free text with no rule", None, {}),
+    ("", None, {}),
+    ("unicode ünïcödé 你好 .*[](){} literal", None, {}),
+]
+
+
+@pytest.mark.parametrize("engine", ["native", "arrow"])
+def test_golden_lines(spark, engine):
+    df = spark.createDataFrame([(t,) for t, _, _ in GOLDEN], "text string")
+    out = parse_stage(df, DEFAULT_RULES, engine=engine).select("text", "rule_id", "fields")
+    got = {r["text"]: (r["rule_id"], dict(r["fields"])) for r in out.collect()}
+    for text, rid, fields in GOLDEN:
+        assert got[text] == (rid, fields), f"{engine}: {text!r}"
+
+
+def test_golden_matches_python_oracle():
+    for text, rid, fields in GOLDEN:
+        assert oracle_parse(text, DEFAULT_RULES) == (rid, fields)
+
+
+def test_first_match_wins(spark):
+    # error_line and error_any overlap; priority decides
+    line = "ERROR Quota: too many requests retry=false"
+    df = spark.createDataFrame([(line,)], "text string")
+    assert parse_stage(df, DEFAULT_RULES).select("rule_id").first()[0] == "error_line"
+    reversed_rules = [
+        ParseRule("error_any", 1, r"^ERROR (?P<errclass>\w+): (?P<errmsg>.*)$"),
+        ParseRule("error_line", 2,
+                  r"^ERROR (?P<errclass>\w+): (?P<errmsg>.*) retry=(?P<retry>\w+)$"),
+    ]
+    assert parse_stage(df, reversed_rules).select("rule_id").first()[0] == "error_any"
+
+
+@pytest.mark.parametrize("engine", ["native", "arrow"])
+def test_oracle_parity_on_synth(transcripts_rows, transcripts, engine):
+    parsed = parse_stage(transcripts, DEFAULT_RULES, engine=engine)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["rule_id"], dict(r["fields"]))
+        for r in parsed.select("conv_id", "turn_idx", "rule_id", "fields").collect()
+    }
+    for row in transcripts_rows:
+        exp = oracle_parse(row["text"], DEFAULT_RULES)
+        assert got[(row["conv_id"], row["turn_idx"])] == exp
+
+
+def test_engines_identical(spark, transcripts):
+    cols = ["conv_id", "turn_idx", "rule_id", "matched", "fields"]
+
+    def norm(d):
+        return d.withColumn("fjson", F.to_json(F.map_entries("fields"))).drop("fields")
+
+    a = norm(parse_stage(transcripts, DEFAULT_RULES, engine="native").select(cols))
+    b = norm(parse_stage(transcripts, DEFAULT_RULES, engine="arrow").select(cols))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_coercion_null_on_failure(spark):
+    df = spark.createDataFrame(
+        [("ERROR Auth: denied retry=maybe",), ("ERROR Auth: denied retry=true",)],
+        "text string",
+    )
+    out = coerce_fields(parse_stage(df, DEFAULT_RULES), DEFAULT_RULES)
+    rows = {r["text"]: r["retry"] for r in out.select("text", "retry").collect()}
+    assert rows["ERROR Auth: denied retry=maybe"] is None  # try_cast failure → null
+    assert rows["ERROR Auth: denied retry=true"] is True
+
+
+def test_typed_columns(spark):
+    df = spark.createDataFrame(
+        [("call tool=bash status=fail dur_ms=777",),
+         ("<8> 2026-02-03T04:05:06 result code=503 msg=x",)],
+        "text string",
+    )
+    out = coerce_fields(parse_stage(df, DEFAULT_RULES), DEFAULT_RULES)
+    types = dict(out.dtypes)
+    assert types["dur_ms"] == "int"
+    assert types["retry"] == "boolean"
+    assert types["pri"] == "int"
+    assert types["iso_ts"] == "timestamp"
+    r = out.filter(F.col("rule_id") == "tool_call").first()
+    assert r["dur_ms"] == 777 and r["status"] == "fail" and r["tool_name"] == "bash"
+    s = out.filter(F.col("rule_id") == "syslog_result").first()
+    assert s["pri"] == 8 and s["code"] == 503
+    assert s["iso_ts"].isoformat().startswith("2026-02-03T04:05:06")

@@ -1,0 +1,82 @@
+"""End-to-end pipeline + resumable-manifest tests (SURVEY.md §5.2(6):
+kill after k of n buckets, rerun, assert no duplicates + full coverage)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.catalog import read_table
+from node_log_forwarder_spark.plans.pipeline import (
+    PipelineConfig,
+    pending_buckets,
+    run_pipeline,
+    run_resumable,
+)
+
+CFG = PipelineConfig(hot_threshold=500, n_buckets=8, repartition_input=False)
+
+
+def test_run_pipeline_end_to_end(spark, transcripts, tmp_path):
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(hot_threshold=500)
+    res = run_pipeline(spark, transcripts, out, cfg)
+    counts = res["sink_counts"]
+    n = transcripts.count()
+    assert counts["archive_all"] == n
+    assert counts["_unmatched"] > 0
+    assert sum(counts.values()) > n  # fan-out
+    # sink tables really landed and are readable
+    arch = read_table(spark, f"{out}/sinks/archive_all")
+    assert arch.count() == n
+    aggs = read_table(spark, f"{out}/agg_sink_counts")
+    assert aggs.agg(F.sum("n_rows")).first()[0] == sum(counts.values())
+    tallies = read_table(spark, f"{out}/agg_tallies")
+    assert tallies.filter(F.col("n_miss") > 0).count() > 0
+
+
+def test_resume_after_failure(spark, transcripts, tmp_path):
+    out = str(tmp_path / "res")
+    # crash after 3 of 8 buckets
+    r1 = run_resumable(spark, transcripts, out, run_id="r1", cfg=CFG, fail_after_buckets=3)
+    assert len(r1["processed_buckets"]) == 3
+    assert sorted(pending_buckets(spark, f"{out}/manifest", CFG.n_buckets)) == sorted(
+        set(range(8)) - set(r1["processed_buckets"])
+    )
+    # resume: only the remaining 5 run
+    r2 = run_resumable(spark, transcripts, out, run_id="r2", cfg=CFG)
+    assert len(r2["processed_buckets"]) == 5
+    assert not set(r1["processed_buckets"]) & set(r2["processed_buckets"])
+    # full coverage, no duplicates
+    manifest = read_table(spark, f"{out}/manifest")
+    assert manifest.select("bucket").distinct().count() == 8
+    assert manifest.count() == 8  # one committed row per bucket
+    assert manifest.agg(F.sum("rows_in")).first()[0] == transcripts.count()
+    # third run is a no-op
+    r3 = run_resumable(spark, transcripts, out, run_id="r3", cfg=CFG)
+    assert r3["processed_buckets"] == []
+
+
+def test_manifest_lineage_metrics(spark, transcripts, tmp_path):
+    out = str(tmp_path / "lin")
+    run_resumable(spark, transcripts, out, run_id="r1", cfg=CFG)
+    m = read_table(spark, f"{out}/manifest")
+    row = m.first()
+    assert set(m.columns) == {
+        "run_id", "bucket", "status", "rows_in", "rows_routed", "wall_ms", "attempt"
+    }
+    assert row["wall_ms"] >= 0
+    # every routed row counted: rows_routed >= rows_in (archive_all catch-all)
+    bad = m.filter(F.col("rows_routed") < F.col("rows_in")).count()
+    assert bad == 0
+
+
+@pytest.mark.parametrize("engine", ["native", "arrow"])
+def test_pipeline_engines_same_counts(spark, transcripts, tmp_path, engine):
+    out = str(tmp_path / f"eng_{engine}")
+    cfg = PipelineConfig(parse_engine=engine, hot_threshold=500, repartition_input=False)
+    res = run_pipeline(spark, transcripts, out, cfg)
+    if engine == "native":
+        test_pipeline_engines_same_counts.native = res["sink_counts"]
+    else:
+        assert res["sink_counts"] == test_pipeline_engines_same_counts.native

@@ -1,0 +1,67 @@
+"""Router tests: fan-out semantics, fallback path, exact per-sink
+counts vs the pure-Python oracle. SURVEY.md §5.2(2)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.config import DEFAULT_RULES, DEFAULT_SINKS, TOOL_META
+from node_log_forwarder_spark.operators.enrich import dim_frames, enrich
+from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
+from node_log_forwarder_spark.operators.route import explode_sinks, route, routed_for_sink
+from tests.oracle import oracle_parse, oracle_route
+
+TOOL_RISK = {t: risk for t, _, risk in TOOL_META}
+
+
+def build_routed(spark, transcripts):
+    df = parse_stage(transcripts, DEFAULT_RULES)
+    df = coerce_fields(df, DEFAULT_RULES)
+    df = enrich(df, dim_frames(spark))
+    return route(df, DEFAULT_SINKS)
+
+
+def test_sink_ids_match_oracle(spark, transcripts, transcripts_rows):
+    routed = build_routed(spark, transcripts)
+    got = {
+        (r["conv_id"], r["turn_idx"]): sorted(r["sink_ids"])
+        for r in routed.select("conv_id", "turn_idx", "sink_ids").collect()
+    }
+    for row in transcripts_rows:
+        rid, fields = oracle_parse(row["text"], DEFAULT_RULES)
+        exp = oracle_route(
+            dict(row, rule_id=rid, fields=fields), DEFAULT_SINKS, TOOL_RISK
+        )
+        assert got[(row["conv_id"], row["turn_idx"])] == sorted(exp), row["text"]
+
+
+def test_per_sink_counts_exact(spark, transcripts, transcripts_rows):
+    routed = build_routed(spark, transcripts)
+    got = {
+        r["sink_id"]: r["n"]
+        for r in explode_sinks(routed).groupBy("sink_id").agg(F.count("*").alias("n")).collect()
+    }
+    exp: Counter = Counter()
+    for row in transcripts_rows:
+        rid, fields = oracle_parse(row["text"], DEFAULT_RULES)
+        for sid in oracle_route(dict(row, rule_id=rid, fields=fields), DEFAULT_SINKS, TOOL_RISK):
+            exp[sid] += 1
+    assert got == dict(exp)
+
+
+def test_fanout_not_first_match(spark, transcripts):
+    routed = build_routed(spark, transcripts)
+    multi = routed.filter(F.size("sink_ids") >= 3).count()
+    assert multi > 0  # rows genuinely land in several sinks
+    # archive_all is a catch-all: every row carries it
+    assert routed.filter(~F.array_contains("sink_ids", "archive_all")).count() == 0
+
+
+def test_unmatched_fallback(spark, transcripts):
+    routed = build_routed(spark, transcripts)
+    un = routed_for_sink(routed, "_unmatched")
+    assert un.filter(F.col("matched")).count() == 0
+    n_unmatched = routed.filter(~F.col("matched")).count()
+    assert un.count() == n_unmatched > 0

@@ -1,0 +1,57 @@
+"""Skew handling: hot-key detection, salting, and salted-vs-unsalted
+result equality (SURVEY.md §7 step 5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.skew import (
+    add_salt,
+    find_hot_keys,
+    repartition_salted,
+    two_phase_agg,
+)
+
+
+def test_hot_keys_detected(transcripts):
+    hot = find_hot_keys(transcripts, "conv_id", threshold=200)
+    assert "conv_000000" in hot  # Zipf head is hot by construction
+    assert len(hot) < 20
+
+
+def test_salt_only_on_hot_keys(transcripts):
+    df = add_salt(transcripts, hot_keys=["conv_000000"], n_salts=8)
+    salts = df.groupBy("conv_id").agg(F.countDistinct("salt").alias("d"))
+    hot = salts.filter(F.col("conv_id") == "conv_000000").first()["d"]
+    cold_max = salts.filter(F.col("conv_id") != "conv_000000").agg(F.max("d")).first()[0]
+    assert hot > 1
+    assert cold_max == 1
+
+
+def test_salt_deterministic(transcripts):
+    a = add_salt(transcripts, hot_keys=["conv_000000"], n_salts=8)
+    b = add_salt(transcripts, hot_keys=["conv_000000"], n_salts=8)
+    assert a.exceptAll(b).count() == 0
+
+
+def test_two_phase_agg_equals_plain(spark, transcripts):
+    df = add_salt(transcripts, hot_keys=["conv_000000", "conv_000001"], n_salts=8)
+    df = repartition_salted(df, 16)
+    salted = two_phase_agg(df, ["conv_id"], {"n": "count", "total_turn": "sum:turn_idx"})
+    plain = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("turn_idx").alias("total_turn")
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_repartition_spreads_hot_conv(spark, transcripts):
+    df = add_salt(transcripts, hot_keys=["conv_000000"], n_salts=8)
+    df = repartition_salted(df, 16)
+    parts = (
+        df.filter(F.col("conv_id") == "conv_000000")
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert parts > 1  # the hot conversation no longer lands on one task
