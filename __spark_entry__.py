@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship parse→enrich→route→aggregate run at sf0.001.
+queries()      — one DataFrame callable per implemented operator
+                 (SURVEY.md §2 + training-data ops).
+oracle_sql()   — exact DuckDB twins. Keys missing here (ann_lsh,
+                 multimodal_features, pipeline_resume) are genuinely
+                 non-SQL-expressible or stub-backed → rows-only check.
+
+Cross-engine notes: DuckDB regexp_replace needs the 'g' flag to match
+Spark's replace-all; regexp_extract returns '' on no-match in BOTH;
+md5/try_cast/date_trunc agree; float aggregates are rounded.
 """
 
 from __future__ import annotations
@@ -12,27 +17,693 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.config import DEFAULT_RULES, DEFAULT_SINKS
+from node_log_forwarder_spark.functions.text import (
+    fingerprint,
+    lang_guess,
+    punct_count,
+    stopword_count,
+    token_count,
+)
+from node_log_forwarder_spark.operators.aggregate import match_miss_tallies, sink_counts
+from node_log_forwarder_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash16,
+)
+from node_log_forwarder_spark.operators.enrich import dim_frames, enrich
+from node_log_forwarder_spark.operators.multimodal import attach_media, extract_features
+from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
+from node_log_forwarder_spark.operators.route import explode_sinks, route
+from node_log_forwarder_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from node_log_forwarder_spark.operators.skew import add_salt, two_phase_agg
+from node_log_forwarder_spark.sources.transcripts import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    transcripts_from_events,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _routed(spark: SparkSession, sf_dir: str, engine: str = "native") -> DataFrame:
+    """transcripts(events) → parse → coerce → enrich → route."""
+    tr = transcripts_from_events(_t(spark, sf_dir, "events"))
+    df = parse_stage(tr, DEFAULT_RULES, engine=engine)
+    df = coerce_fields(df, DEFAULT_RULES)
+    df = enrich(df, dim_frames(spark))
+    return route(df, DEFAULT_SINKS)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline on sf0.001, hourly per-sink counts."""
+    routed = _routed(spark, SF0001)
+    return sink_counts(routed, keys=["tool"]).withColumnRenamed("window_start", "ws")
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- O1/O6 scan + projection -------------------------------------------
+    def q_scan_project(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") / 100).cast("int").alias("value_bucket"),
+        )
+    q["scan_project"] = q_scan_project
+
+    # --- filter + pushdown-friendly projection -----------------------------
+    def q_filter_project(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05))
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+        )
+    q["filter_project"] = q_filter_project
+
+    # --- O2 syslog PRI/facility/severity decode ----------------------------
+    def q_syslog_decode(spark, sf):
+        ev = _t(spark, sf, "events")
+        line = F.format_string("<%d>host app: %s", F.col("event_id") % 192, F.col("event_type"))
+        pri = F.regexp_extract(line, r"^<(\d+)>", 1).cast("int")
+        return (
+            ev.select(
+                F.floor(pri / 8).cast("int").alias("facility"),
+                (pri % 8).cast("int").alias("severity"),
+            )
+            .groupBy("facility", "severity")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    q["syslog_decode"] = q_syslog_decode
+
+    # --- O3 timestamp normalization ----------------------------------------
+    def q_ts_parse(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.select(F.date_trunc("day", F.col("ts")).alias("day"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    q["ts_parse"] = q_ts_parse
+
+    # --- O4 regex field extraction on real text ----------------------------
+    def q_regex_extract(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.select(
+                F.regexp_extract(F.col("text"), r"^(\w+)", 1).alias("first_word"),
+                F.col("lang"),
+            )
+            .groupBy("first_word", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+    q["regex_extract"] = q_regex_extract
+
+    # --- O5 type coercion (try_cast, null on failure) -----------------------
+    def q_coerce(spark, sf):
+        ev = _t(spark, sf, "events")
+        k = F.expr(r"try_cast(regexp_extract(props, '(\\d+)', 1) as int)")
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+    q["coerce"] = q_coerce
+
+    # --- O7 broadcast lookup enrich -----------------------------------------
+    def q_enrich_broadcast(spark, sf):
+        cust = _t(spark, sf, "customer")
+        nat = _t(spark, sf, "nation")
+        reg = _t(spark, sf, "region")
+        return (
+            cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            )
+        )
+    q["enrich_broadcast"] = q_enrich_broadcast
+
+    # --- O8/O12 router fan-out over the full pipeline ----------------------
+    def q_router_fanout(spark, sf):
+        return (
+            explode_sinks(_routed(spark, sf))
+            .groupBy("sink_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+    q["router_fanout"] = q_router_fanout
+
+    # same pipeline through the Arrow-UDF parse engine (north-star path)
+    def q_router_fanout_arrow(spark, sf):
+        return (
+            explode_sinks(_routed(spark, sf, engine="arrow"))
+            .groupBy("sink_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+    q["router_fanout_arrow"] = q_router_fanout_arrow
+
+    # --- O9-O11 per-sink windowed aggregates (flagship) --------------------
+    def q_pipeline_sink_counts(spark, sf):
+        routed = _routed(spark, sf)
+        return sink_counts(routed, keys=["tool"]).withColumnRenamed("window_start", "ws")
+    q["pipeline_sink_counts"] = q_pipeline_sink_counts
+
+    # --- O11 per-field match/miss tallies -----------------------------------
+    def q_match_miss_tallies(spark, sf):
+        routed = _routed(spark, sf)
+        out = match_miss_tallies(routed, DEFAULT_RULES).withColumnRenamed(
+            "window_start", "ws"
+        )
+        return out.filter(
+            F.col("field").isin("status", "dur_ms", "retry", "code")
+        )
+    q["match_miss_tallies"] = q_match_miss_tallies
+
+    # --- windowed counts over the raw stream --------------------------------
+    def q_windowed_counts(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("ws"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    q["windowed_counts"] = q_windowed_counts
+
+    # --- window function: latest event per user -----------------------------
+    def q_window_latest(spark, sf):
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type")
+        )
+    q["window_latest"] = q_window_latest
+
+    # --- top-k with deterministic tie-break ---------------------------------
+    def q_topk_users(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("user_id"))
+            .limit(10)
+        )
+    q["topk_users"] = q_topk_users
+
+    # --- set ops -------------------------------------------------------------
+    def q_set_union(spark, sf):
+        ev = _t(spark, sf, "events").select(F.col("event_type").alias("val"))
+        dl = _t(spark, sf, "documents").select(F.col("lang").alias("val"))
+        return ev.unionByName(dl).distinct()
+    q["set_union"] = q_set_union
+
+    # --- relational aggregates (TPC-H Q1 shape) ------------------------------
+    def q_tpch_q1(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    q["tpch_q1"] = q_tpch_q1
+
+    # --- multi-join + agg (revenue per nation) -------------------------------
+    def q_join_revenue(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        nat = _t(spark, sf, "nation")
+        rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(rev, 2).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        )
+    q["join_revenue"] = q_join_revenue
+
+    # --- dedup: exact ---------------------------------------------------------
+    def q_dedup_exact(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(fingerprint(F.col("text"))).alias("n_unique"),
+        )
+    q["dedup_exact"] = q_dedup_exact
+
+    # --- text: token counting -------------------------------------------------
+    def q_token_count(spark, sf):
+        docs = _t(spark, sf, "documents")
+        tc = token_count(F.col("text"))
+        return docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tc).alias("total_tokens"),
+            F.max(tc).alias("max_tokens"),
+        )
+    q["token_count"] = q_token_count
+
+    # --- text: quality components (integer-exact) ------------------------------
+    def q_quality_components(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("sum_tokens"),
+            F.sum(punct_count(F.col("text"))).alias("sum_punct"),
+            F.sum(stopword_count(F.col("text"))).alias("sum_stop"),
+        )
+    q["quality_components"] = q_quality_components
+
+    # --- text: language-ID heuristic -------------------------------------------
+    def q_lang_id(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.select(F.col("lang"), lang_guess(F.col("text")).alias("lang_guess"))
+            .groupBy("lang", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    q["lang_id"] = q_lang_id
+
+    # --- text: document fingerprinting ------------------------------------------
+    def q_fingerprint(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            F.col("doc_id"), fingerprint(F.col("text")).alias("fp")
+        ).filter(F.col("doc_id") < 100)
+    q["fingerprint"] = q_fingerprint
+
+    # --- dedup: minhash signatures ------------------------------------------------
+    def q_minhash_sig(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return minhash_signatures(docs, k=2).filter(F.col("doc_id") < 200)
+    q["minhash_sig"] = q_minhash_sig
+
+    # --- dedup: LSH candidate pairs ------------------------------------------------
+    def q_minhash_pairs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        sigs = minhash_signatures(docs, k=8)
+        return lsh_candidate_pairs(sigs, bands=4, rows=2)
+    q["minhash_pairs"] = q_minhash_pairs
+
+    # --- dedup: n-gram jaccard -------------------------------------------------------
+    def q_ngram_jaccard(spark, sf):
+        docs = _t(spark, sf, "documents")
+        ids = docs.select("doc_id")
+        pairs = ids.select(F.col("doc_id").alias("id_a")).join(
+            ids.select(F.col("doc_id").alias("id_b")),
+            F.col("id_b") == F.col("id_a") + 1,
+        )
+        return ngram_jaccard(docs, pairs, ngram=2)
+    q["ngram_jaccard"] = q_ngram_jaccard
+
+    # --- dedup: simhash -----------------------------------------------------------
+    def q_simhash(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return simhash16(docs).filter(F.col("doc_id") < 200)
+    q["simhash"] = q_simhash
+
+    # --- similarity: exact cosine top-k ----------------------------------------------
+    def q_cosine_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        query = emb.filter(F.col("vec_id") == 0)
+        return cosine_topk(emb, query, k=10)
+    q["cosine_topk"] = q_cosine_topk
+
+    # --- similarity: LSH-bucketed ANN (no SQL twin → rows-only check) ------------------
+    def q_ann_lsh(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        query = emb.filter(F.col("vec_id") == 0)
+        return ann_lsh_topk(emb, query, k=10)
+    q["ann_lsh"] = q_ann_lsh
+
+    # --- skew: salted two-phase agg == plain agg ----------------------------------------
+    def q_salted_agg(spark, sf):
+        ev = _t(spark, sf, "events")
+        salted = add_salt(
+            ev, key="user_id", order_col="event_id", hot_keys=None, hot_threshold=50, n_salts=8
+        )
+        out = two_phase_agg(salted, ["user_id"], {"n": "count", "sum_val": "sum:value"})
+        return out.select(
+            "user_id", "n", F.round(F.col("sum_val"), 4).alias("total_value")
+        )
+    q["salted_agg"] = q_salted_agg
+
+    # --- multimodal: binary columns + mapInPandas (stubbed decode → rows-only) ----------
+    def q_multimodal_features(spark, sf):
+        docs = _t(spark, sf, "documents")
+        media = attach_media(docs)
+        feats = extract_features(media)
+        return feats.groupBy("media_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.sum("feature"), 2).alias("sum_feature"),
+        )
+    q["multimodal_features"] = q_multimodal_features
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_TOKENS = "CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
+_FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+_PARSED = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+p AS (
+  SELECT t.*,
+    CASE
+      WHEN regexp_matches(text, '^call tool=\\S+ status=\\w+ dur_ms=\\d+$') THEN 'tool_call'
+      WHEN regexp_matches(text, '^ERROR \\w+: .* retry=\\w+$') THEN 'error_line'
+      WHEN regexp_matches(text, '^ERROR \\w+: .*$') THEN 'error_any'
+      WHEN regexp_matches(text, '^<\\d+> \\S+ result code=\\d+ msg=.*$') THEN 'syslog_result'
+      ELSE NULL END AS rule_id,
+    regexp_extract(text, '^call tool=\\S+ status=(\\w+) dur_ms=\\d+$', 1) AS status,
+    CASE tool WHEN 'browser' THEN 1 WHEN 'search' THEN 0 WHEN 'sql' THEN 2
+              WHEN 'bash' THEN 3 WHEN 'email' THEN 2 END AS risk_tier
+  FROM t
+)
+"""
+_SINKS_EXPLODED = """
+sinks AS (
+  SELECT 'errors' AS sink_id, * FROM p WHERE rule_id = 'error_line' OR status = 'fail'
+  UNION ALL SELECT 'tool_calls', * FROM p WHERE rule_id = 'tool_call'
+  UNION ALL SELECT 'high_risk', * FROM p WHERE risk_tier >= 2 AND rule_id IS NOT NULL
+  UNION ALL SELECT 'archive_all', * FROM p
+  UNION ALL SELECT '_unmatched', * FROM p WHERE rule_id IS NULL
+)
+"""
+_NGRAM3 = (
+    "list_transform(generate_series(1, greatest(len(w) - 2, 0)),"
+    " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+)
+_NGRAM2 = (
+    "list_transform(generate_series(1, greatest(len(w) - 1, 0)),"
+    " i -> w[i] || ' ' || w[i+1])"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["scan_project"] = """
+        SELECT event_id, event_type,
+               CAST(floor(value / 100) AS INT) AS value_bucket
+        FROM events
     """
-    return {}
+
+    sql["filter_project"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+    """
+
+    sql["syslog_decode"] = """
+        WITH lines AS (
+          SELECT printf('<%d>host app: %s', event_id % 192, event_type) AS line FROM events
+        ), pri AS (
+          SELECT CAST(regexp_extract(line, '^<(\\d+)>', 1) AS INT) AS pri FROM lines
+        )
+        SELECT CAST(floor(pri / 8) AS INT) AS facility,
+               CAST(pri % 8 AS INT) AS severity,
+               count(*) AS n
+        FROM pri GROUP BY 1, 2
+    """
+
+    sql["ts_parse"] = """
+        -- CAST: duckdb date_trunc('day') yields DATE, spark yields TIMESTAMP
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    """
+
+    sql["regex_extract"] = """
+        SELECT regexp_extract(text, '^(\\w+)', 1) AS first_word, lang,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1, 2
+    """
+
+    sql["coerce"] = """
+        WITH e AS (
+          SELECT event_type, TRY_CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k
+          FROM events
+        )
+        SELECT event_type, count(*) AS n,
+               round(avg(k), 4) AS avg_k, max(k) AS max_k
+        FROM e GROUP BY 1
+    """
+
+    sql["enrich_broadcast"] = """
+        SELECT r_name, count(*) AS n_customers,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    fanout = (
+        _PARSED
+        + ","
+        + _SINKS_EXPLODED
+        + "SELECT sink_id, count(*) AS n_rows FROM sinks GROUP BY sink_id"
+    )
+    sql["router_fanout"] = fanout
+    sql["router_fanout_arrow"] = fanout
+
+    sql["pipeline_sink_counts"] = (
+        _PARSED
+        + ","
+        + _SINKS_EXPLODED
+        + """
+        SELECT date_trunc('hour', ts) AS ws, sink_id, tool, count(*) AS n_rows
+        FROM sinks GROUP BY 1, 2, 3
+        """
+    )
+
+    sql["match_miss_tallies"] = (
+        _PARSED
+        + """
+        , f AS (
+          SELECT date_trunc('hour', ts) AS ws, 'tool_call' AS rule_id, 'status' AS field,
+                 (status <> '') AS ok
+          FROM p WHERE rule_id = 'tool_call'
+          UNION ALL
+          SELECT date_trunc('hour', ts), 'tool_call', 'dur_ms',
+                 (regexp_extract(text, '^call tool=\\S+ status=\\w+ dur_ms=(\\d+)$', 1) <> ''
+                  AND TRY_CAST(regexp_extract(text, '^call tool=\\S+ status=\\w+ dur_ms=(\\d+)$', 1) AS INT) IS NOT NULL)
+          FROM p WHERE rule_id = 'tool_call'
+          UNION ALL
+          SELECT date_trunc('hour', ts), 'error_line', 'retry',
+                 (regexp_extract(text, '^ERROR \\w+: .* retry=(\\w+)$', 1) <> ''
+                  AND TRY_CAST(regexp_extract(text, '^ERROR \\w+: .* retry=(\\w+)$', 1) AS BOOLEAN) IS NOT NULL)
+          FROM p WHERE rule_id = 'error_line'
+          UNION ALL
+          SELECT date_trunc('hour', ts), 'syslog_result', 'code',
+                 (regexp_extract(text, '^<\\d+> \\S+ result code=(\\d+) msg=.*$', 1) <> ''
+                  AND TRY_CAST(regexp_extract(text, '^<\\d+> \\S+ result code=(\\d+) msg=.*$', 1) AS INT) IS NOT NULL)
+          FROM p WHERE rule_id = 'syslog_result'
+        )
+        SELECT ws, rule_id, field,
+               sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_match,
+               sum(CASE WHEN ok THEN 0 ELSE 1 END) AS n_miss
+        FROM f GROUP BY 1, 2, 3
+        """
+    )
+
+    sql["windowed_counts"] = """
+        SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2
+    """
+
+    sql["window_latest"] = """
+        SELECT user_id, event_id, event_type FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """
+
+    sql["topk_users"] = """
+        SELECT user_id, count(*) AS n FROM events
+        GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+    """
+
+    sql["set_union"] = """
+        SELECT DISTINCT event_type AS val FROM events
+        UNION
+        SELECT DISTINCT lang AS val FROM documents
+    """
+
+    sql["tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem GROUP BY 1, 2
+    """
+
+    sql["join_revenue"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+    sql["dedup_exact"] = f"""
+        SELECT lang, count(*) AS n_docs,
+               count(DISTINCT {_FP}) AS n_unique
+        FROM documents GROUP BY lang
+    """
+
+    sql["token_count"] = f"""
+        WITH d AS (SELECT lang, len({_TOKENS}) AS tc FROM documents)
+        SELECT lang, count(*) AS n_docs, sum(tc) AS total_tokens,
+               max(tc) AS max_tokens
+        FROM d GROUP BY lang
+    """
+
+    sql["quality_components"] = f"""
+        WITH d AS (
+          SELECT source,
+                 len({_TOKENS}) AS tc,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS pc,
+                 len(list_filter({_TOKENS},
+                     t -> list_contains(['the','a','of','and','is'], t))) AS sc
+          FROM documents
+        )
+        SELECT source, count(*) AS n_docs, sum(tc) AS sum_tokens,
+               sum(pc) AS sum_punct, sum(sc) AS sum_stop
+        FROM d GROUP BY source
+    """
+
+    # language-ID: argmax of stopword hits, ties → earlier lang code wins
+    lang_hits = []
+    from node_log_forwarder_spark.functions.text import LANG_STOPWORDS
+
+    for lang in sorted(LANG_STOPWORDS):
+        words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        lang_hits.append(
+            f"len(list_filter(toks, t -> list_contains([{words}], t))) AS {lang}_hits"
+        )
+    best = "greatest(" + ", ".join(f"{lang}_hits" for lang in sorted(LANG_STOPWORDS)) + ")"
+    guess_cases = " ".join(
+        f"WHEN {lang}_hits = best THEN '{lang}'" for lang in sorted(LANG_STOPWORDS)
+    )
+    sql["lang_id"] = f"""
+        WITH d AS (SELECT lang, {_TOKENS} AS toks FROM documents),
+        h AS (SELECT lang, {', '.join(lang_hits)} FROM d),
+        g AS (SELECT *, {best} AS best FROM h),
+        r AS (SELECT lang,
+                CASE WHEN best = 0 THEN 'und' {guess_cases} ELSE 'und' END AS lang_guess
+              FROM g)
+        SELECT lang, lang_guess, count(*) AS n FROM r GROUP BY 1, 2
+    """
+
+    sql["fingerprint"] = f"""
+        SELECT doc_id, {_FP} AS fp FROM documents WHERE doc_id < 100
+    """
+
+    sql["minhash_sig"] = f"""
+        WITH w_t AS (SELECT doc_id, {_TOKENS} AS w FROM documents WHERE doc_id < 200),
+        sh AS (SELECT doc_id, unnest({_NGRAM3}) AS shingle FROM w_t)
+        SELECT doc_id,
+               min(md5('0|' || shingle)) AS mh0,
+               min(md5('1|' || shingle)) AS mh1
+        FROM sh GROUP BY doc_id
+    """
+
+    mh_cols = ",\n".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(8)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS band_key FROM sigs"
+        for b in range(4)
+    )
+    sql["minhash_pairs"] = f"""
+        WITH w_t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+        sh AS (SELECT doc_id, unnest({_NGRAM3}) AS shingle FROM w_t),
+        sigs AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+        bands AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """
+
+    sql["ngram_jaccard"] = f"""
+        WITH w_t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+        g AS (SELECT doc_id, list_distinct({_NGRAM2}) AS grams FROM w_t),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        )
+        SELECT id_a, id_b,
+               round(CASE WHEN len(list_distinct(ga || gb)) > 0
+                     THEN CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                          / len(list_distinct(ga || gb))
+                     ELSE 0.0 END, 4) AS jaccard
+        FROM pairs
+    """
+
+    bit_votes = ",\n".join(
+        f"sum(CASE WHEN ascii(substr(h, {i+1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    bit_sum = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    sql["simhash"] = f"""
+        WITH toks AS (
+          SELECT doc_id, md5(t) AS h
+          FROM (SELECT doc_id, unnest(list_distinct({_TOKENS})) AS t
+                FROM documents WHERE doc_id < 200)
+        ),
+        votes AS (SELECT doc_id, {bit_votes} FROM toks GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({bit_sum} AS INT) AS simhash FROM votes)
+        SELECT d.doc_id, coalesce(sig.simhash, 0) AS simhash
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 200) d
+        LEFT JOIN sig USING (doc_id)
+    """
+
+    sql["cosine_topk"] = """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding, qe), 4) AS sim
+        FROM embeddings, q
+        ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
+        LIMIT 10
+    """
+
+    sql["salted_agg"] = """
+        SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value
+        FROM events GROUP BY user_id
+    """
+
+    # ann_lsh, multimodal_features: intentionally no SQL twin
+    # (approximate / stub-backed) → driver rows-only check.
+    return sql

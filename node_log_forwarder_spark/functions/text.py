@@ -1,0 +1,96 @@
+"""Text-analysis column functions for large-scale training-data
+pipelines: token counting, quality scoring, language-ID heuristic,
+document fingerprinting. All pure native ``pyspark.sql.functions``
+expressions — whole-stage-codegen'd, no Python in the row path — and
+each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language
+# heuristic; deliberately small and deterministic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "est", "que"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    return F.when(
+        F.trim(col) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(col), r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_count(col: Column) -> Column:
+    """Count of punctuation characters (.,;:!?)."""
+    return F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+
+
+def stopword_count(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or ENGLISH_STOPWORDS
+    arr = F.array(*[F.lit(s) for s in sw])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length component +
+    low-punctuation component + stopword-density component. The exact
+    formula is arbitrary but pinned — the oracle twin must match it
+    digit for digit (round 4)."""
+    n_tok = token_count(col).cast("double")
+    n_chars = F.length(col).cast("double")
+    punct_ratio = punct_count(col).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = stopword_count(col).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * stop_ratio
+    )
+    return F.round(score, 4)
+
+
+def lang_guess(col: Column) -> Column:
+    """Stopword-hit language heuristic: argmax over per-language
+    stopword-hit counts, ties broken by language code order; 'und'
+    (undetermined) when nothing hits."""
+    toks = tokens(col)
+    scores = []
+    for lang in sorted(LANG_STOPWORDS):
+        sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append((lang, hits))
+    best_score = F.greatest(*[h for _, h in scores])
+    guess = F.lit("und")
+    for lang, hits in reversed(scores):  # earlier lang wins ties
+        guess = F.when(hits == best_score, F.lit(lang)).otherwise(guess)
+    return F.when(best_score > 0, guess).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string>; docs with < n tokens
+    yield an empty array."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+    )

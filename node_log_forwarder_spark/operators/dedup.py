@@ -1,0 +1,135 @@
+"""Deduplication operators for training-data pipelines.
+
+All engine-agnostic hashing uses md5 (available and bit-identical in
+Spark, DuckDB, and Python) so every stage has an exact SQL oracle twin.
+
+* exact_dedup       — hash-groupBy exact dedup (one shuffle on the hash)
+* minhash_signatures— word-shingle MinHash (k hash functions simulated
+                      by salted md5; one explode + one groupBy)
+* lsh_bands / lsh_candidate_pairs — banding + bucket self-join:
+                      candidates = pairs sharing ≥1 band. At 100 TB the
+                      join shuffles only (band_idx, band_key, doc_id)
+                      tuples — never the text.
+* ngram_jaccard     — exact Jaccard on word n-gram sets for a pair list
+* simhash16         — 16-bit SimHash from per-token md5-hex-char parity
+                      bits, majority-voted (explode + one groupBy with
+                      16 conditional sums)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.text import fingerprint, tokens, word_ngrams
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per identical (normalized) text."""
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """One row per doc with mh0..mh{k-1} minhash values. Hash family i
+    is md5('<i>|' || shingle) — deterministic and portable. Docs with no
+    shingles (< ngram tokens) are dropped (no signature defined)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 2) -> DataFrame:
+    """(id, band_idx, band_key) — band key = md5 of its row hashes."""
+    entries = []
+    for b in range(bands):
+        key = F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        entries.append(F.struct(F.lit(b).alias("band_idx"), key.alias("band_key")))
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, F.col("e.band_idx").alias("band_idx"), F.col("e.band_key").alias("band_key"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 2
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band."""
+    bdf = lsh_bands(sigs, id_col, bands, rows)
+    a = bdf.alias("a")
+    b = bdf.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-ngram sets for the given
+    (id_a, id_b) pairs."""
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("grams"),
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
+    joined = pairs.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return joined.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash: for each distinct token, bit i is the parity of
+    the (i+1)-th md5 hex char; bits are majority-voted across tokens
+    (+1/-1), simhash = Σ bit_i·2^i. Empty docs get simhash 0."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.ascii(F.substring(F.col("h"), i + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    sig = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(16):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    base = df.select(F.col(id_col)).distinct()
+    return (
+        base.join(sig, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(sim, F.lit(0)).cast("int").alias("simhash"),
+        )
+    )

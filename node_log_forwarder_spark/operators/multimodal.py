@@ -1,0 +1,83 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The decode libraries (PIL/librosa/ffmpeg) are NOT in this container, so
+the decode kernel is STUBBED behind ``decode_impl`` — either a clearly
+marked NotImplementedError or a deterministic fake (default) — while
+everything Spark-side is real and tested: schema, Arrow batch shape,
+partition-preserving mapInPandas signature, and the metadata contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, codec:string>"
+)
+
+FEATURE_SCHEMA = "doc_id long, media_type string, n_bytes int, header_hex string, feature double"
+
+
+def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize an opaque binary payload + typed metadata from text —
+    the stand-in for reading real image/audio bytes from object
+    storage. Deterministic; exercises the full binary-column path."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    media_type = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+    )
+    meta = F.struct(
+        (F.pmod(F.col(id_col), F.lit(1024)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col(id_col), F.lit(768)) + 16).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        F.lit("raw").alias("codec"),
+    )
+    return df.select(
+        F.col(id_col), media_type.alias("media_type"), payload.alias("payload"), meta.alias("meta")
+    )
+
+
+def decode_impl(payload: bytes, media_type: str) -> float:
+    """REAL DECODE IS STUBBED (no image/audio libs in this container).
+
+    Production swaps this for PIL.Image.open / librosa.load /
+    pyav frame sampling. The deterministic fake returns a byte-sum
+    feature so tests can assert exact values end-to-end."""
+    if not payload:
+        return 0.0
+    return float(sum(payload[:64]) % 997)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas keeps partitioning intact (no shuffle); each pandas
+    batch arrives via Arrow, the kernel is vectorized per batch.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype("int32"),
+                    "header_hex": payloads.map(
+                        lambda b: (b[:4].hex() if b else "")
+                    ),
+                    "feature": [
+                        decode_impl(b, m)
+                        for b, m in zip(payloads, pdf["media_type"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)

@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (array<float>).
+
+* cosine_topk      — exact brute-force top-k vs a query vector. All
+                     arithmetic native (zip_with + aggregate in double),
+                     DuckDB twin: list_cosine_similarity.
+* ann_lsh_topk     — scale path: random-hyperplane LSH. Hyperplane
+                     coefficients derive deterministically from
+                     xxhash64(plane, dim) so every executor computes the
+                     same planes with zero driver-side state. Search
+                     probes only the query's bucket (and optionally its
+                     1-bit-flip neighbors), so the candidate set — not
+                     the whole corpus — is scored. At 100 TB the bucket
+                     column is a partition key: bucket pruning turns
+                     top-k into a single-partition scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine vs the single-row ``query`` frame
+    (broadcast — the corpus never shuffles)."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    # order by the RAW similarity (ties → id) and round only for output,
+    # so top-k selection matches an oracle that rounds after ranking
+    return (
+        df.crossJoin(q)
+        .select(F.col(id_col), sim.alias("_raw_sim"))
+        .orderBy(F.col("_raw_sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("_raw_sim"), 4).alias("sim"))
+    )
+
+
+def _plane_coeff(plane: int, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random coefficient in [-1, 1)."""
+    h = F.xxhash64(F.lit(plane), dim_idx)
+    return (F.pmod(h, F.lit(2_000_001)) - F.lit(1_000_000)) / F.lit(1_000_000.0)
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Random-hyperplane signature: bit p = sign(vec · plane_p)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x.cast("double") * _plane_coeff(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_neighbors: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane bucket
+    equals the query's bucket (or differs by one bit with
+    ``probe_neighbors``)."""
+    qb = query.select(
+        F.col(vec_col).alias("_qvec"), lsh_bucket(F.col(vec_col), n_planes).alias("_qbucket")
+    )
+    corpus = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), n_planes))
+    joined = corpus.crossJoin(F.broadcast(qb))
+    if probe_neighbors:
+        # Hamming distance ≤ 1 between bucket signatures
+        diff = F.col("_bucket").bitwiseXOR(F.col("_qbucket"))
+        cand = joined.filter(F.bit_count(diff) <= 1)
+    else:
+        cand = joined.filter(F.col("_bucket") == F.col("_qbucket"))
+    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    return (
+        cand.select(F.col(id_col), F.round(sim, 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
