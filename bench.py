@@ -1,0 +1,121 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = end-to-end parse→enrich→route→write pipeline over a
+transcripts parquet synthesized at the tier's scale (10x the tier's
+lineitem rows → 600k turns at sf0.1), plus operator micro-queries over
+the driver tables. Throughput (turns/sec) and config are reported under
+"extra" for the scaling protocol in BENCH/BASELINE.md.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     NLF_BENCH_TURNS (override synthetic turn count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from node_log_forwarder_spark.config import DEFAULT_RULES, DEFAULT_SINKS  # noqa: E402
+from node_log_forwarder_spark.plans.pipeline import PipelineConfig, run_pipeline  # noqa: E402
+from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage  # noqa: E402
+from node_log_forwarder_spark.operators.enrich import dim_frames, enrich  # noqa: E402
+from node_log_forwarder_spark.operators.route import explode_sinks, route  # noqa: E402
+from node_log_forwarder_spark.session import get_spark  # noqa: E402
+from node_log_forwarder_spark.sources.transcripts import synth_transcripts  # noqa: E402
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_turns = int(os.environ.get("NLF_BENCH_TURNS", str(int(6_000_000 * sf))))
+
+    spark = get_spark(
+        app_name="nlf-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- prepare (untimed): synthesize + write the transcripts table ----
+    input_dir = f"/tmp/nlf_bench/input_sf{sf}_{n_turns}"
+    marker = os.path.join(input_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        log(f"preparing {n_turns} synthetic turns at {input_dir}")
+        synth_transcripts(spark, n_turns).repartition(max(2 * cpus, 16)).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
+    transcripts = spark.read.parquet(input_dir)
+
+    out_dir = "/tmp/nlf_bench/out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        queries[name] = round(time.monotonic() - t0, 3)
+        log(f"{name}: {queries[name]:.2f}s")
+
+    cfg = PipelineConfig(hot_threshold=max(2000, n_turns // 100))
+
+    # headline: full e2e incl. sink + aggregate writes
+    timed("pipeline_e2e", lambda: run_pipeline(spark, transcripts, out_dir, cfg))
+
+    # parse→route compute path only (no sink IO), native engine
+    def _parse_route(engine: str):
+        df = parse_stage(transcripts, DEFAULT_RULES, engine=engine)
+        df = coerce_fields(df, DEFAULT_RULES)
+        df = enrich(df, dim_frames(spark))
+        df = route(df, DEFAULT_SINKS)
+        explode_sinks(df).groupBy("sink_id").count().collect()
+
+    timed("parse_route_native", lambda: _parse_route("native"))
+    timed("parse_route_arrow", lambda: _parse_route("arrow"))
+
+    # operator micro-benchmarks over the driver tables
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ["minhash_pairs", "cosine_topk", "join_revenue", "dedup_exact"]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
+
+    total = round(sum(queries.values()), 3)
+    thr_e2e = round(n_turns / queries["pipeline_e2e"], 1)
+    thr_parse = round(n_turns / queries["parse_route_native"], 1)
+    result = {
+        "metric": "end-to-end parse→route pipeline + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "extra": {
+            "n_turns": n_turns,
+            "cpus": cpus,
+            "throughput_e2e_turns_per_sec": thr_e2e,
+            "throughput_parse_route_turns_per_sec": thr_parse,
+            "arrow_vs_native_ratio": round(
+                queries["parse_route_arrow"] / max(queries["parse_route_native"], 1e-9), 2
+            ),
+        },
+    }
+    print(json.dumps(result), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
