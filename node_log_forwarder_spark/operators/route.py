@@ -45,13 +45,12 @@ def write_sinks(
     mode: str = "append",
     partition_by: list[str] | None = None,
 ) -> dict[str, int]:
-    """Write each sink's rows to its own table. ``routed`` should be
-    persisted by the caller so parse/enrich run once, not once per sink.
-    Returns per-sink routed-row counts (the forwarder's dispatch
-    tallies) collected from the same pass via count aggregation."""
+    """Per-sink-table writer: one write job per sink over the (persisted)
+    routed frame — the mode for heterogeneous sink targets (the
+    forwarder's ES-vs-file split). Counts come from ONE exploded
+    aggregation, not N count() jobs."""
     from node_log_forwarder_spark.catalog import write_table
 
-    counts: dict[str, int] = {}
     for s in sinks:
         sink_df = routed_for_sink(routed, s.sink_id)
         write_table(
@@ -60,5 +59,33 @@ def write_sinks(
             mode=mode,
             partition_by=partition_by,
         )
-        counts[s.sink_id] = sink_df.count()
-    return counts
+    return sink_delivery_counts(routed)
+
+
+def sink_delivery_counts(routed: DataFrame) -> dict[str, int]:
+    """Per-sink routed-row counts in a single aggregation job."""
+    return {
+        r["sink_id"]: r["n"]
+        for r in explode_sinks(routed).groupBy("sink_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def write_sinks_partitioned(
+    routed: DataFrame,
+    out_dir: str,
+    mode: str = "append",
+    extra_partition_by: list[str] | None = None,
+) -> None:
+    """Single-pass writer: explode deliveries and write ONE table
+    partitioned by sink_id (+ optional time partitions). One job, no
+    per-sink re-scan — the default at scale, where re-reading a
+    persisted 100 TB frame N times is not an option. Per-sink data
+    lands under ``sink_id=<id>/`` exactly as N separate tables would."""
+    cols = ["sink_id"] + (extra_partition_by or [])
+    (
+        explode_sinks(routed)
+        .drop("sink_ids")
+        .write.mode(mode)
+        .partitionBy(*cols)
+        .parquet(out_dir)
+    )

@@ -41,7 +41,11 @@ from node_log_forwarder_spark.operators.aggregate import (
 )
 from node_log_forwarder_spark.operators.enrich import dim_frames, enrich
 from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
-from node_log_forwarder_spark.operators.route import route, write_sinks
+from node_log_forwarder_spark.operators.route import (
+    route,
+    write_sinks,
+    write_sinks_partitioned,
+)
 from node_log_forwarder_spark.operators.skew import add_salt, repartition_salted
 
 
@@ -50,6 +54,7 @@ class PipelineConfig:
     rules: list[config.ParseRule] = field(default_factory=lambda: list(config.DEFAULT_RULES))
     sinks: list[config.SinkRule] = field(default_factory=lambda: list(config.DEFAULT_SINKS))
     parse_engine: str = "native"  # or "arrow"
+    writer: str = "partitioned"  # single-pass partitionBy(sink_id); or "per_sink"
     n_partitions: int | None = None  # default: spark.sql.shuffle.partitions
     n_salts: int = 16
     hot_threshold: int | None = None
@@ -91,11 +96,23 @@ def run_pipeline(
     routed = observe_metrics(build_routed(spark, transcripts, cfg))
     routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        counts = write_sinks(routed, cfg.sinks, f"{out_dir}/sinks", mode="overwrite")
+        if cfg.writer == "partitioned":
+            write_sinks_partitioned(routed, f"{out_dir}/sinks", mode="overwrite")
+        else:
+            write_sinks(routed, cfg.sinks, f"{out_dir}/sinks", mode="overwrite")
         aggs = sink_counts(routed, window=cfg.window, keys=cfg.agg_keys)
         write_table(aggs, f"{out_dir}/agg_sink_counts", mode="overwrite")
         tallies = match_miss_tallies(routed, cfg.rules, window=cfg.window)
         write_table(tallies, f"{out_dir}/agg_tallies", mode="overwrite")
+        # per-sink totals fall out of the (tiny) written aggregate table —
+        # no extra pass over the data
+        counts = {
+            r["sink_id"]: r["n"]
+            for r in read_table(spark, f"{out_dir}/agg_sink_counts")
+            .groupBy("sink_id")
+            .agg(F.sum("n_rows").alias("n"))
+            .collect()
+        }
     finally:
         routed.unpersist()
     return {"sink_counts": counts}
@@ -169,7 +186,10 @@ def run_resumable(
         routed = build_routed(spark, src, cfg).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             tag = f"b{min(batch)}_{max(batch)}"
-            write_sinks(routed, cfg.sinks, f"{out_dir}/sinks/{tag}", mode="overwrite")
+            if cfg.writer == "partitioned":
+                write_sinks_partitioned(routed, f"{out_dir}/sinks/{tag}", mode="overwrite")
+            else:
+                write_sinks(routed, cfg.sinks, f"{out_dir}/sinks/{tag}", mode="overwrite")
             aggs = sink_counts(routed, window=cfg.window, keys=cfg.agg_keys)
             write_table(aggs, f"{out_dir}/agg_sink_counts/{tag}", mode="overwrite")
             # per-partition lineage + throughput metrics

@@ -19,20 +19,30 @@ CFG = PipelineConfig(hot_threshold=500, n_buckets=8, repartition_input=False)
 
 def test_run_pipeline_end_to_end(spark, transcripts, tmp_path):
     out = str(tmp_path / "out")
-    cfg = PipelineConfig(hot_threshold=500)
+    cfg = PipelineConfig(hot_threshold=500)  # default partitioned writer
     res = run_pipeline(spark, transcripts, out, cfg)
     counts = res["sink_counts"]
     n = transcripts.count()
     assert counts["archive_all"] == n
     assert counts["_unmatched"] > 0
     assert sum(counts.values()) > n  # fan-out
-    # sink tables really landed and are readable
-    arch = read_table(spark, f"{out}/sinks/archive_all")
-    assert arch.count() == n
+    # single partitioned sink table: per-sink dirs under sink_id=
+    sinks = read_table(spark, f"{out}/sinks")
+    assert sinks.filter(F.col("sink_id") == "archive_all").count() == n
+    assert sinks.count() == sum(counts.values())
     aggs = read_table(spark, f"{out}/agg_sink_counts")
     assert aggs.agg(F.sum("n_rows")).first()[0] == sum(counts.values())
     tallies = read_table(spark, f"{out}/agg_tallies")
     assert tallies.filter(F.col("n_miss") > 0).count() > 0
+
+
+def test_run_pipeline_per_sink_writer(spark, transcripts, tmp_path):
+    out = str(tmp_path / "outps")
+    cfg = PipelineConfig(hot_threshold=500, writer="per_sink", repartition_input=False)
+    res = run_pipeline(spark, transcripts, out, cfg)
+    n = transcripts.count()
+    arch = read_table(spark, f"{out}/sinks/archive_all")
+    assert arch.count() == n == res["sink_counts"]["archive_all"]
 
 
 def test_resume_after_failure(spark, transcripts, tmp_path):
