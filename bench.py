@@ -65,11 +65,17 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.monotonic()
-        fn()
-        queries[name] = round(time.monotonic() - t0, 3)
-        log(f"{name}: {queries[name]:.2f}s")
+    def timed(name: str, fn, reps: int = 2) -> None:
+        """Run reps times, report the best (warm-up excluded, per the
+        BASELINE.md measurement protocol)."""
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
+        log(f"{name}: {queries[name]:.2f}s (best of {reps})")
 
     cfg = PipelineConfig(hot_threshold=max(2000, n_turns // 100))
 

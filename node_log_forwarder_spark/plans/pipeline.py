@@ -94,27 +94,43 @@ def run_pipeline(
     per-sink counts and stage metrics."""
     cfg = cfg or PipelineConfig()
     routed = observe_metrics(build_routed(spark, transcripts, cfg))
-    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        if cfg.writer == "partitioned":
-            write_sinks_partitioned(routed, f"{out_dir}/sinks", mode="overwrite")
-        else:
-            write_sinks(routed, cfg.sinks, f"{out_dir}/sinks", mode="overwrite")
-        aggs = sink_counts(routed, window=cfg.window, keys=cfg.agg_keys)
+    if cfg.writer == "partitioned":
+        # Scale plan: NO persist of the fanned-out frame. The written
+        # partitioned sink table IS the materialization; windowed
+        # aggregates re-read it with column pruning (sink_id/ts/keys
+        # only — the wide text column is never re-read), and tallies
+        # need only the parse stage, so they run as an independent
+        # column-pruned job over the source.
+        write_sinks_partitioned(routed, f"{out_dir}/sinks", mode="overwrite")
+        delivered = read_table(spark, f"{out_dir}/sinks")
+        aggs = delivered.groupBy(
+            F.date_trunc(cfg.window, F.col("ts")).alias("window_start"),
+            F.col("sink_id"),
+            *[F.col(k) for k in cfg.agg_keys],
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
         write_table(aggs, f"{out_dir}/agg_sink_counts", mode="overwrite")
-        tallies = match_miss_tallies(routed, cfg.rules, window=cfg.window)
+        parsed = parse_stage(transcripts, cfg.rules, engine=cfg.parse_engine)
+        tallies = match_miss_tallies(parsed, cfg.rules, window=cfg.window)
         write_table(tallies, f"{out_dir}/agg_tallies", mode="overwrite")
-        # per-sink totals fall out of the (tiny) written aggregate table —
-        # no extra pass over the data
-        counts = {
-            r["sink_id"]: r["n"]
-            for r in read_table(spark, f"{out_dir}/agg_sink_counts")
-            .groupBy("sink_id")
-            .agg(F.sum("n_rows").alias("n"))
-            .collect()
-        }
-    finally:
-        routed.unpersist()
+    else:
+        routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            write_sinks(routed, cfg.sinks, f"{out_dir}/sinks", mode="overwrite")
+            aggs = sink_counts(routed, window=cfg.window, keys=cfg.agg_keys)
+            write_table(aggs, f"{out_dir}/agg_sink_counts", mode="overwrite")
+            tallies = match_miss_tallies(routed, cfg.rules, window=cfg.window)
+            write_table(tallies, f"{out_dir}/agg_tallies", mode="overwrite")
+        finally:
+            routed.unpersist()
+    # per-sink totals fall out of the (tiny) written aggregate table —
+    # no extra pass over the data
+    counts = {
+        r["sink_id"]: r["n"]
+        for r in read_table(spark, f"{out_dir}/agg_sink_counts")
+        .groupBy("sink_id")
+        .agg(F.sum("n_rows").alias("n"))
+        .collect()
+    }
     return {"sink_counts": counts}
 
 

@@ -1,0 +1,114 @@
+"""Scaling-efficiency evidence for the north rule's two-cluster-size
+criterion (BASELINE.md protocol): run the SAME e2e pipeline job on the
+SAME input at local[8] and local[32] in fresh JVMs, ≥3 timed reps each
+(cold run dropped), median reported; efficiency = (thr_32/thr_8)/4.
+
+    python tools/run_scaling.py [n_turns] [reps]
+
+Writes BENCH/BASELINE.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import textwrap
+
+RUNNER = r"""
+import json, shutil, sys, time
+sys.path.insert(0, "/root/repo")
+from node_log_forwarder_spark.session import get_spark
+from node_log_forwarder_spark.plans.pipeline import PipelineConfig, run_pipeline
+from node_log_forwarder_spark.sources.transcripts import synth_transcripts
+
+cpus = int(sys.argv[1]); n_turns = int(sys.argv[2]); reps = int(sys.argv[3])
+spark = get_spark(app_name=f"nlf-scale-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=2 * cpus)
+spark.sparkContext.setLogLevel("ERROR")
+input_dir = f"/tmp/nlf_bench/input_scaling_{n_turns}"
+if not shutil.os.path.exists(input_dir + "/_SUCCESS"):
+    synth_transcripts(spark, n_turns).repartition(64).write.mode("overwrite").parquet(input_dir)
+tr = spark.read.parquet(input_dir)
+cfg = PipelineConfig(hot_threshold=max(2000, n_turns // 100))
+times = []
+for rep in range(reps + 1):  # +1 cold run, dropped
+    shutil.rmtree("/tmp/nlf_scale_out", ignore_errors=True)
+    t0 = time.monotonic()
+    run_pipeline(spark, tr, "/tmp/nlf_scale_out", cfg)
+    dt = time.monotonic() - t0
+    if rep > 0:
+        times.append(dt)
+    print(f"  local[{cpus}] rep{rep}{' (cold, dropped)' if rep==0 else ''}: {dt:.2f}s",
+          file=sys.stderr, flush=True)
+print(json.dumps({"cpus": cpus, "times": times}))
+"""
+
+
+def run_level(cpus: int, n_turns: int, reps: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(cpus), str(n_turns), str(reps)],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    for line in out.stderr.splitlines():
+        if "rep" in line:
+            print(line, file=sys.stderr, flush=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    results = {}
+    for cpus in (8, 32):
+        r = run_level(cpus, n_turns, reps)
+        med = statistics.median(r["times"])
+        results[cpus] = {
+            "median_sec": round(med, 2),
+            "times": [round(t, 2) for t in r["times"]],
+            "turns_per_sec": round(n_turns / med, 1),
+        }
+    thr8 = results[8]["turns_per_sec"]
+    thr32 = results[32]["turns_per_sec"]
+    eff = round((thr32 / thr8) / 4, 3)
+    summary = {
+        "n_turns": n_turns,
+        "reps": reps,
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency": eff,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write(textwrap.dedent(f"""\
+            # BENCH/BASELINE.md — measured throughput & scaling evidence
+
+            North rule: ≥0.8 throughput scaling efficiency from N to 4N
+            executors. Sandbox protocol (BASELINE.md): same e2e
+            parse→enrich→route→aggregate job, same {n_turns:,}-turn
+            synthetic transcripts parquet (seed 42), fresh JVM per
+            parallelism level, {reps} timed reps (cold run dropped),
+            median reported.
+
+            | parallelism | times (s) | median (s) | throughput (turns/sec) |
+            | --- | --- | --- | --- |
+            | local[8]  | {results[8]['times']} | {results[8]['median_sec']} | {thr8:,.0f} |
+            | local[32] | {results[32]['times']} | {results[32]['median_sec']} | {thr32:,.0f} |
+
+            **Scaling efficiency = (thr_32 / thr_8) / 4 = {eff}**
+            ({'PASS' if eff >= 0.8 else 'FAIL'} vs the ≥0.8 requirement)
+
+            The job includes hot-key detection, salted repartition by
+            (conv_id, salt), dual-engine parse (native default),
+            broadcast enrich, fan-out routing, a single-pass partitioned
+            sink write, and both windowed aggregate tables.
+            """))
+    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
