@@ -61,7 +61,12 @@ class PipelineConfig:
     n_buckets: int = 32  # resume granularity
     window: str = "hour"
     agg_keys: list[str] = field(default_factory=lambda: ["conv_id", "tool"])
-    repartition_input: bool = True
+    # Parse BEFORE any shuffle: at 10^12 rows the text column must never
+    # move. Salting protects the aggregation phase (two-phase agg by
+    # (key, salt)); set repartition_input=True only when downstream work
+    # genuinely needs whole conversations co-located on a task (e.g.
+    # per-conversation ordered exports, conv_id-bucketed sink tables).
+    repartition_input: bool = False
 
 
 def build_routed(

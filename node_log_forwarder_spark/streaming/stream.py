@@ -1,0 +1,133 @@
+"""Structured Streaming twin of the batch pipeline — the forwarder's
+live socket mode. Same stages, different driver loop: ``readStream`` on
+the transcripts table → identical parse/enrich/route transformations →
+either a direct streaming sink write or ``foreachBatch`` reusing the
+batch writer verbatim (one code path for both modes, like the
+forwarder's shared parser pipeline between live and replay).
+
+Watermarking bounds state for late data in windowed tallies — the
+reference forwarder has no such notion (it counts on arrival time);
+we pin watermark semantics so streaming counts converge to the batch
+counts once the watermark passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from node_log_forwarder_spark import config
+from node_log_forwarder_spark.operators.enrich import dim_frames, enrich
+from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
+from node_log_forwarder_spark.operators.route import explode_sinks, route
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-based streaming source over a transcripts directory
+    (prod: readStream on the Iceberg table; semantics identical)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_routed(
+    spark: SparkSession,
+    stream: DataFrame,
+    rules: list[config.ParseRule] | None = None,
+    sinks: list[config.SinkRule] | None = None,
+    parse_engine: str = "native",
+) -> DataFrame:
+    """The exact batch stages applied to an unbounded frame."""
+    rules = rules or config.DEFAULT_RULES
+    sinks = sinks or config.DEFAULT_SINKS
+    df = parse_stage(stream, rules, engine=parse_engine)
+    df = coerce_fields(df, rules)
+    df = enrich(df, dim_frames(spark))
+    return route(df, sinks)
+
+
+def start_sink_writer(
+    routed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Continuous partitioned sink writes with exactly-once file-sink
+    semantics (checkpointed offsets + write-ahead commit log — the
+    streaming analogue of the batch manifest table)."""
+    exploded = explode_sinks(routed).drop("sink_ids")
+    w = (
+        exploded.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("sink_id")
+    )
+    if trigger_seconds:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def start_windowed_counts(
+    routed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Streaming per-sink windowed counts with a watermark bounding
+    late-data state; append mode emits each window once it is final,
+    matching the batch aggregate exactly for on-time data."""
+    agg = (
+        explode_sinks(routed)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("sink_id"), F.col("tool"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "sink_id",
+            "tool",
+            "n_rows",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_foreach_batch(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """foreachBatch mode: every micro-batch runs the BATCH writer —
+    byte-identical logic between live and replay runs."""
+    from node_log_forwarder_spark.operators.route import write_sinks_partitioned
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        routed = streaming_routed(spark, batch_df)  # batch frame here
+        write_sinks_partitioned(routed, f"{out_dir}/sinks", mode="append")
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

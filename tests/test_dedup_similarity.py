@@ -1,0 +1,163 @@
+"""Dedup / similarity / text-function / multimodal operator tests with
+pure-Python oracles (the DuckDB twins are exercised separately by
+tools/parity_check.py and the driver)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.text import (
+    fingerprint,
+    lang_guess,
+    quality_score,
+    token_count,
+    word_ngrams,
+)
+from node_log_forwarder_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash16,
+)
+from node_log_forwarder_spark.operators.multimodal import attach_media, extract_features
+from node_log_forwarder_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "completely different text about spark engines"),
+    (4, ""),
+    (5, "one two"),  # fewer than 3 tokens → no 3-gram shingles
+    (6, "  the   quick  brown fox jumps over the lazy dog "),  # ws-normalized dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs).select("doc_id").orderBy("doc_id").collect()
+    # 0 survives; 2 and 6 (whitespace-normalized dup) are removed
+    assert [r[0] for r in kept] == [0, 1, 3, 4, 5]
+
+
+def test_fingerprint_matches_python(docs):
+    rows = docs.select("doc_id", "text", fingerprint(F.col("text")).alias("fp")).collect()
+    for r in rows:
+        norm = re.sub(r"\s+", " ", r["text"]).strip().lower()
+        assert r["fp"] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_token_count(docs):
+    rows = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert rows[0] == 9 and rows[4] == 0 and rows[5] == 2 and rows[6] == 9
+
+
+def test_word_ngrams(docs):
+    rows = {r["doc_id"]: r["g"] for r in docs.select(
+        "doc_id", word_ngrams(F.col("text"), 3).alias("g")).collect()}
+    assert rows[5] == [] and rows[4] == []
+    assert rows[0][0] == "the quick brown" and len(rows[0]) == 7
+
+
+def test_minhash_matches_python(docs):
+    sigs = {r["doc_id"]: (r["mh0"], r["mh1"]) for r in minhash_signatures(docs, k=2).collect()}
+    assert 4 not in sigs and 5 not in sigs  # no shingles → no signature
+    toks = DOCS[0][1].split()
+    shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    exp0 = min(hashlib.md5(f"0|{s}".encode()).hexdigest() for s in shingles)
+    exp1 = min(hashlib.md5(f"1|{s}".encode()).hexdigest() for s in shingles)
+    assert sigs[0] == (exp0, exp1)
+    assert sigs[0] == sigs[2] == sigs[6]  # dups share signatures
+
+
+def test_lsh_pairs_find_duplicates(docs):
+    sigs = minhash_signatures(docs, k=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 2) in pairs and (0, 6) in pairs and (2, 6) in pairs
+    assert (1, 3) not in pairs  # unrelated docs never collide on all bands here
+    # near-dup 0 vs 1 shares most shingles → at least one band collides
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard(docs, spark):
+    pairs = spark.createDataFrame([(0, 2), (0, 3)], "id_a long, id_b long")
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(docs, pairs).collect()}
+    assert rows[(0, 2)] == 1.0
+    assert rows[(0, 3)] == 0.0
+
+
+def test_simhash_dups_equal_and_near_dups_close(docs):
+    sims = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    assert sims[0] == sims[2] == sims[6]
+    assert sims[4] == 0
+    ham = bin(sims[0] ^ sims[1]).count("1")
+    assert ham <= 6  # near-dup within a few bits
+    assert 0 <= sims[3] < 2 ** 16
+
+
+def test_cosine_topk_matches_python(spark):
+    vecs = [(i, [float(i + 1), float((i * 7) % 5 + 1), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = [(r["vec_id"], r["sim"]) for r in cosine_topk(df, q, k=5).collect()]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    exp = sorted(
+        ((i, cos(v, vecs[0][1])) for i, v in vecs),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [i for i, _ in got] == [i for i, _ in exp]
+    for (_, g), (_, e) in zip(got, exp):
+        assert abs(g - round(e, 4)) < 1e-9
+
+
+def test_ann_lsh_contains_query_and_subset_of_corpus(spark):
+    vecs = [(i, [float((i * 13) % 7 - 3), float((i * 5) % 11 - 5), float(i % 3)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 7)
+    got = ann_lsh_topk(df, q, k=5).collect()
+    assert len(got) >= 1
+    assert got[0]["vec_id"] == 7  # the query itself is its own nearest neighbor
+    assert got[0]["sim"] == 1.0
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat"), (2, "der hund ist das tier und"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["q"], r["g"]) for r in df.select(
+        "doc_id", quality_score(F.col("text")).alias("q"), lang_guess(F.col("text")).alias("g")
+    ).collect()}
+    assert rows[1][1] == "en"
+    assert rows[2][1] == "de"
+    assert rows[3][1] == "und"
+    assert 0.0 <= rows[1][0] <= 1.0
+    # more stopwords → higher quality under the pinned formula
+    assert rows[1][0] > rows[3][0]
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows[0]["n_bytes"] == len(DOCS[0][1].encode())
+    assert rows[0]["header_hex"] == DOCS[0][1][:4].encode().hex()
+    assert rows[4]["n_bytes"] == 0 and rows[4]["feature"] == 0.0
+    exp_feature = float(sum(DOCS[0][1].encode()[:64]) % 997)
+    assert rows[0]["feature"] == exp_feature

@@ -1,0 +1,75 @@
+"""Streaming twin: streamed per-sink deliveries and windowed counts
+must equal the batch pipeline's on the same input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.streaming.stream import (
+    read_transcript_stream,
+    start_sink_writer,
+    start_windowed_counts,
+    streaming_routed,
+)
+
+
+def _write_input(transcripts, path: str) -> None:
+    # several files → several micro-batches with maxFilesPerTrigger
+    transcripts.repartition(8).write.mode("overwrite").parquet(path)
+
+
+def test_stream_matches_batch_deliveries(spark, transcripts, tmp_path):
+    inp = str(tmp_path / "in")
+    _write_input(transcripts, inp)
+    stream = read_transcript_stream(spark, inp, max_files_per_trigger=3)
+    routed = streaming_routed(spark, stream)
+    q = start_sink_writer(routed, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .groupBy("sink_id")
+        .count()
+        .collect()
+    )
+    got = {r["sink_id"]: r["count"] for r in got}
+
+    from node_log_forwarder_spark.operators.route import explode_sinks
+    from tests.test_route import build_routed
+
+    exp_rows = (
+        explode_sinks(build_routed(spark, transcripts)).groupBy("sink_id").count().collect()
+    )
+    exp = {r["sink_id"]: r["count"] for r in exp_rows}
+    assert got == exp
+
+
+def test_stream_windowed_counts_match_batch(spark, transcripts, tmp_path):
+    inp = str(tmp_path / "in2")
+    _write_input(transcripts, inp)
+    stream = read_transcript_stream(spark, inp, max_files_per_trigger=4)
+    routed = streaming_routed(spark, stream)
+    q = start_windowed_counts(
+        routed, str(tmp_path / "aggout"), str(tmp_path / "ckpt2"), watermark="0 seconds"
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "aggout"))
+    from node_log_forwarder_spark.operators.aggregate import sink_counts
+    from tests.test_route import build_routed
+
+    exp = sink_counts(build_routed(spark, transcripts), keys=["tool"])
+    # append mode withholds windows not yet past the watermark; with the
+    # availableNow trigger + 0s watermark every closed window emits, but
+    # the final (max-ts) window may be retained — compare the common set
+    joined = got.alias("g").join(
+        exp.alias("e"),
+        (F.col("g.window_start") == F.col("e.window_start"))
+        & (F.col("g.sink_id") == F.col("e.sink_id"))
+        & (F.col("g.tool") == F.col("e.tool")),
+        "inner",
+    )
+    n_got = got.count()
+    assert n_got > 0
+    assert joined.filter(F.col("g.n_rows") != F.col("e.n_rows")).count() == 0
+    assert joined.count() == n_got
