@@ -357,6 +357,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_lsh_topk(emb, query, k=10)
     q["ann_lsh"] = q_ann_lsh
 
+    # --- byte-equality invariant: per-sink sha256 over text in stable order -------------
+    def q_sink_text_sha(spark, sf):
+        exploded = explode_sinks(_routed(spark, sf))
+        ordered = F.array_sort(
+            F.collect_list(F.struct("conv_id", "turn_idx", "text"))
+        )
+        concat = F.concat_ws("", F.transform(ordered, lambda s: s.getField("text")))
+        return exploded.groupBy("sink_id").agg(
+            F.sha2(concat, 256).alias("text_sha"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    q["sink_text_sha"] = q_sink_text_sha
+
     # --- skew: salted two-phase agg == plain agg ----------------------------------------
     def q_salted_agg(spark, sf):
         ev = _t(spark, sf, "events")
@@ -698,6 +711,18 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
         LIMIT 10
     """
+
+    sql["sink_text_sha"] = (
+        _PARSED
+        + ","
+        + _SINKS_EXPLODED
+        + """
+        SELECT sink_id,
+               sha256(string_agg(text, '' ORDER BY conv_id, turn_idx)) AS text_sha,
+               count(*) AS n_rows
+        FROM sinks GROUP BY sink_id
+        """
+    )
 
     sql["salted_agg"] = """
         SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value
