@@ -119,7 +119,7 @@ def main() -> None:
 
             | parse engine | median local[8] (s) | median local[32] (s) | thr_8 (turns/s) | thr_32 (turns/s) | efficiency (thr32/thr8)/4 |
             | --- | --- | --- | --- | --- | --- |
-            {chr(10).join('            ' + r for r in rows)}
+            {chr(10).join(rows)}
 
             Headline (north-star configuration, Arrow-vectorized UDF
             parse stage): **efficiency {summary['arrow']['efficiency']}**
