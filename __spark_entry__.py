@@ -38,7 +38,11 @@ from node_log_forwarder_spark.operators.enrich import dim_frames, enrich
 from node_log_forwarder_spark.operators.multimodal import attach_media, extract_features
 from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
 from node_log_forwarder_spark.operators.route import explode_sinks, route
-from node_log_forwarder_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from node_log_forwarder_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_near_dup_pairs,
+    cosine_topk,
+)
 from node_log_forwarder_spark.operators.skew import add_salt, two_phase_agg
 from node_log_forwarder_spark.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
@@ -349,6 +353,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         query = emb.filter(F.col("vec_id") == 0)
         return cosine_topk(emb, query, k=10)
     q["cosine_topk"] = q_cosine_topk
+
+    # --- similarity: embedding-cosine near-dup pairs ------------------------------------
+    def q_cosine_near_dup(spark, sf):
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+        return cosine_near_dup_pairs(emb, threshold=0.35)
+    q["cosine_near_dup"] = q_cosine_near_dup
+
+    # same pairs via LSH blocking (scale path; subset of exact → rows-only)
+    def q_cosine_near_dup_blocked(spark, sf):
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+        return cosine_near_dup_pairs(emb, threshold=0.35, blocked=True)
+    q["cosine_near_dup_blocked"] = q_cosine_near_dup_blocked
 
     # --- similarity: LSH-bucketed ANN (no SQL twin → rows-only check) ------------------
     def q_ann_lsh(spark, sf):
@@ -723,6 +739,14 @@ def oracle_sql() -> dict[str, str]:
         FROM sinks GROUP BY sink_id
         """
     )
+
+    sql["cosine_near_dup"] = """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35
+    """
 
     sql["salted_agg"] = """
         SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value

@@ -87,6 +87,37 @@ def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
     return bucket.cast("int")
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocked: bool = False,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim > threshold).
+
+    ``blocked=False`` is the exact O(n²) baseline (use on bounded id
+    ranges / small partitions). ``blocked=True`` is the scale path:
+    candidates must share a random-hyperplane LSH bucket first, so the
+    self-join keys on the bucket — the shuffle moves (bucket, id, vec)
+    instead of producing the full cross product."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if blocked:
+        a = a.withColumn("_bkt", lsh_bucket(F.col("va"), n_planes))
+        b = b.withColumn("_bkt", lsh_bucket(F.col("vb"), n_planes))
+        joined = a.join(b, ["_bkt"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        joined.withColumn("_sim", sim)
+        .filter(F.col("_sim") > threshold)
+        .select("id_a", "id_b", F.round(F.col("_sim"), 4).alias("sim"))
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query: DataFrame,

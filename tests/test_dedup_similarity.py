@@ -135,6 +135,22 @@ def test_ann_lsh_contains_query_and_subset_of_corpus(spark):
     assert got[0]["sim"] == 1.0
 
 
+def test_cosine_near_dup_blocked_subset_of_exact(spark):
+    from node_log_forwarder_spark.operators.similarity import cosine_near_dup_pairs
+
+    vecs = [(i, [float((i * 13) % 7 - 3), float((i * 5) % 11 - 5), float(i % 3) + 0.1])
+            for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(df, 0.9).collect()}
+    blocked = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(df, 0.9, blocked=True).collect()}
+    assert len(exact) > 0
+    assert blocked <= exact  # blocking can only drop candidates, never invent
+    # identical vectors always share every bucket → recall 1.0 on true dups
+    dups = {(a, b) for (a, b) in exact
+            if vecs[a][1] == vecs[b][1]}
+    assert dups <= blocked
+
+
 def test_quality_and_langid(spark):
     df = spark.createDataFrame(
         [(1, "the cat is on the mat"), (2, "der hund ist das tier und"), (3, "zzz qqq")],
