@@ -659,26 +659,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {_FP} AS fp FROM documents WHERE doc_id < 100
     """
 
+    from node_log_forwarder_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    _H = "CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)"
+    mh = lambda i: f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"  # noqa: E731
+
     sql["minhash_sig"] = f"""
         WITH w_t AS (SELECT doc_id, {_TOKENS} AS w FROM documents WHERE doc_id < 200),
-        sh AS (SELECT doc_id, unnest({_NGRAM3}) AS shingle FROM w_t)
-        SELECT doc_id,
-               min(md5('0|' || shingle)) AS mh0,
-               min(md5('1|' || shingle)) AS mh1
-        FROM sh GROUP BY doc_id
+        sh AS (SELECT DISTINCT doc_id, unnest({_NGRAM3}) AS shingle FROM w_t),
+        hs AS (SELECT doc_id, {_H} AS h FROM sh)
+        SELECT doc_id, {mh(0)}, {mh(1)}
+        FROM hs GROUP BY doc_id
     """
 
-    mh_cols = ",\n".join(
-        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(8)
-    )
+    mh_cols = ",\n".join(mh(i) for i in range(8))
     band_selects = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS band_key FROM sigs"
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_key FROM sigs"
         for b in range(4)
     )
     sql["minhash_pairs"] = f"""
         WITH w_t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
-        sh AS (SELECT doc_id, unnest({_NGRAM3}) AS shingle FROM w_t),
-        sigs AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+        sh AS (SELECT DISTINCT doc_id, unnest({_NGRAM3}) AS shingle FROM w_t),
+        hs AS (SELECT doc_id, {_H} AS h FROM sh),
+        sigs AS (SELECT doc_id, {mh_cols} FROM hs GROUP BY doc_id),
         bands AS ({band_selects})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b

@@ -35,6 +35,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# Affine-permutation MinHash family over a single md5-derived 32-bit
+# base hash: mh_i = min((A_i * h + B_i) mod P). One md5 per DISTINCT
+# shingle instead of k md5s per shingle occurrence (~10x less hashing);
+# A_i*h + B_i stays < 2^63 so the arithmetic is exact, portable 64-bit
+# in Spark, DuckDB, and Python.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_A = [1_000_000_007, 998_244_353, 754_974_721, 167_772_161,
+             469_762_049, 1_107_296_257, 2_013_265_921, 1_711_276_033]
+MINHASH_B = [12_345, 67_891, 24_680, 13_579, 97_531, 86_420, 11_111, 55_555]
+
+
+def shingle_hash(col):
+    """First 8 hex chars of md5 as a 32-bit int — identical in Spark
+    (conv base 16), DuckDB (cast '0x..'), and Python (int(hex,16))."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -42,14 +59,16 @@ def minhash_signatures(
     k: int = 8,
     ngram: int = 3,
 ) -> DataFrame:
-    """One row per doc with mh0..mh{k-1} minhash values. Hash family i
-    is md5('<i>|' || shingle) — deterministic and portable. Docs with no
-    shingles (< ngram tokens) are dropped (no signature defined)."""
+    """One row per doc with mh0..mh{k-1} (bigint) minhash values over
+    the doc's DISTINCT word-ngram shingles. Docs with no shingles
+    (< ngram tokens) are dropped (no signature defined)."""
+    assert k <= len(MINHASH_A)
     sh = df.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle")
-    )
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), ngram))).alias("shingle"),
+    ).withColumn("h", shingle_hash(F.col("shingle")))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -59,7 +78,7 @@ def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int
     """(id, band_idx, band_key) — band key = md5 of its row hashes."""
     entries = []
     for b in range(bands):
-        key = F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        key = F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
         entries.append(F.struct(F.lit(b).alias("band_idx"), key.alias("band_key")))
     return sigs.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("e")

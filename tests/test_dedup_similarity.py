@@ -71,12 +71,15 @@ def test_word_ngrams(docs):
 
 
 def test_minhash_matches_python(docs):
+    from node_log_forwarder_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
     sigs = {r["doc_id"]: (r["mh0"], r["mh1"]) for r in minhash_signatures(docs, k=2).collect()}
     assert 4 not in sigs and 5 not in sigs  # no shingles → no signature
     toks = DOCS[0][1].split()
-    shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
-    exp0 = min(hashlib.md5(f"0|{s}".encode()).hexdigest() for s in shingles)
-    exp1 = min(hashlib.md5(f"1|{s}".encode()).hexdigest() for s in shingles)
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
+    exp0 = min((MINHASH_A[0] * h + MINHASH_B[0]) % MINHASH_P for h in hs)
+    exp1 = min((MINHASH_A[1] * h + MINHASH_B[1]) % MINHASH_P for h in hs)
     assert sigs[0] == (exp0, exp1)
     assert sigs[0] == sigs[2] == sigs[6]  # dups share signatures
 
