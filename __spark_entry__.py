@@ -284,7 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(tc).alias("total_tokens"),
-            F.max(tc).alias("max_tokens"),
+            F.max(tc).cast("long").alias("max_tokens"),
         )
     q["token_count"] = q_token_count
 
@@ -372,6 +372,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         query = emb.filter(F.col("vec_id") == 0)
         return ann_lsh_topk(emb, query, k=10)
     q["ann_lsh"] = q_ann_lsh
+
+    # --- O11 received/matched tallies per rule ------------------------------------------
+    def q_rule_tallies(spark, sf):
+        from node_log_forwarder_spark.operators.aggregate import rule_tallies
+
+        routed = _routed(spark, sf)
+        return rule_tallies(routed).withColumnRenamed("window_start", "ws")
+    q["rule_tallies"] = q_rule_tallies
+
+    # --- JSON-ish payload extraction (from_json over events.props) ----------------------
+    def q_json_extract(spark, sf):
+        ev = _t(spark, sf, "events")
+        k = F.from_json(F.col("props"), "k int").getField("k")
+        return ev.groupBy("event_type").agg(
+            F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+        )
+    q["json_extract"] = q_json_extract
+
+    # --- grouped-map UDF (applyInPandas): whole-conversation stats ----------------------
+    def q_conversation_stats(spark, sf):
+        from node_log_forwarder_spark.operators.convstats import conversation_stats
+
+        tr = transcripts_from_events(_t(spark, sf, "events"))
+        return conversation_stats(tr)
+    q["conversation_stats"] = q_conversation_stats
 
     # --- byte-equality invariant: per-sink sha256 over text in stable order -------------
     def q_sink_text_sha(spark, sf):
@@ -554,11 +579,46 @@ def oracle_sql() -> dict[str, str]:
           FROM p WHERE rule_id = 'syslog_result'
         )
         SELECT ws, rule_id, field,
-               sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_match,
-               sum(CASE WHEN ok THEN 0 ELSE 1 END) AS n_miss
+               CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+               CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_miss
         FROM f GROUP BY 1, 2, 3
         """
     )
+
+    sql["rule_tallies"] = (
+        _PARSED
+        + """
+        SELECT date_trunc('hour', ts) AS ws,
+               coalesce(rule_id, '_unmatched') AS rule_id,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN rule_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        FROM p GROUP BY 1, 2
+        """
+    )
+
+    sql["json_extract"] = """
+        SELECT event_type,
+               CAST(sum(CAST(regexp_extract(props, '(\\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """
+
+    sql["conversation_stats"] = f"""
+        WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        g AS (
+          SELECT conv_id, turn_idx, role, ts,
+                 epoch(ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS gap_s
+          FROM t
+        )
+        SELECT conv_id,
+               count(*) AS n_turns,
+               count(DISTINCT role) AS n_roles,
+               arg_min(role, turn_idx) AS first_role,
+               arg_max(role, turn_idx) AS last_role,
+               coalesce(round(avg(gap_s), 4), 0.0) AS mean_gap_s,
+               coalesce(round(max(gap_s), 4), 0.0) AS max_gap_s
+        FROM g GROUP BY conv_id
+    """
 
     sql["windowed_counts"] = """
         SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
@@ -613,8 +673,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["token_count"] = f"""
         WITH d AS (SELECT lang, len({_TOKENS}) AS tc FROM documents)
-        SELECT lang, count(*) AS n_docs, sum(tc) AS total_tokens,
-               max(tc) AS max_tokens
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(tc) AS BIGINT) AS total_tokens,
+               CAST(max(tc) AS BIGINT) AS max_tokens
         FROM d GROUP BY lang
     """
 
@@ -627,8 +688,10 @@ def oracle_sql() -> dict[str, str]:
                      t -> list_contains(['the','a','of','and','is'], t))) AS sc
           FROM documents
         )
-        SELECT source, count(*) AS n_docs, sum(tc) AS sum_tokens,
-               sum(pc) AS sum_punct, sum(sc) AS sum_stop
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(tc) AS BIGINT) AS sum_tokens,
+               CAST(sum(pc) AS BIGINT) AS sum_punct,
+               CAST(sum(sc) AS BIGINT) AS sum_stop
         FROM d GROUP BY source
     """
 

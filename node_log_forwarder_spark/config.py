@@ -30,7 +30,12 @@ class ParseRule:
 
     @property
     def compiled(self) -> re.Pattern:
-        return re.compile(self.pattern)
+        # re.ASCII pins \w \d \s \b to ASCII — the semantics of Java
+        # regex (JVM engine), RE2 (DuckDB oracle), and the reference's
+        # JS regexes. Without it, Python-side parsing would accept
+        # unicode word chars the other engines reject (found by the
+        # hypothesis adversarial corpus).
+        return re.compile(self.pattern, re.ASCII)
 
     @property
     def capture_names(self) -> list[str]:
@@ -42,8 +47,10 @@ class ParseRule:
     def java_pattern(self) -> str:
         """Python pattern with named groups reduced to plain numbered
         groups (Java group names reject underscores; numbering is
-        identical in both engines so index-based extraction is safe)."""
-        return re.sub(r"\(\?P<[A-Za-z_][A-Za-z0-9_]*>", "(", self.pattern)
+        identical in both engines so index-based extraction is safe).
+        (?d) = UNIX_LINES pins Java's '.'/'$' to \\n-only line
+        terminators, matching Python/RE2 exactly."""
+        return "(?d)" + re.sub(r"\(\?P<[A-Za-z_][A-Za-z0-9_]*>", "(", self.pattern)
 
     def group_index(self, name: str) -> int:
         return self.compiled.groupindex[name]

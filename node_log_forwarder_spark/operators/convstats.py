@@ -1,0 +1,48 @@
+"""Per-conversation grouped-map operator (applyInPandas).
+
+The reserved whole-group UDF path from SURVEY.md §2.2: operations that
+need an entire conversation in one place, in turn order — here,
+per-conversation dialogue statistics including inter-turn gap analysis
+that's awkward to express per-row. Groups arrive as pandas DataFrames
+via Arrow; the conv_id grouping IS the salted-repartition use case
+(hot conversations should be handled by bounding group size upstream
+or pre-aggregating — documented, not hidden).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator  # noqa: F401  (kept for symmetry with parse)
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+CONV_STATS_SCHEMA = (
+    "conv_id string, n_turns long, n_roles long, first_role string, "
+    "last_role string, mean_gap_s double, max_gap_s double"
+)
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Whole-conversation stats; one output row per conv_id."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        ts = pdf["ts"]
+        gaps = ts.diff().dt.total_seconds().dropna()
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n_turns": [len(pdf)],
+                "n_roles": [pdf["role"].nunique()],
+                "first_role": [pdf["role"].iloc[0]],
+                "last_role": [pdf["role"].iloc[-1]],
+                "mean_gap_s": [round(float(gaps.mean()), 4) if len(gaps) else 0.0],
+                "max_gap_s": [round(float(gaps.max()), 4) if len(gaps) else 0.0],
+            }
+        )
+
+    return (
+        transcripts.select("conv_id", "turn_idx", "role", "ts")
+        .groupBy("conv_id")
+        .applyInPandas(kernel, CONV_STATS_SCHEMA)
+    )
