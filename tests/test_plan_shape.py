@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the plans the engine promises at
+scale — broadcast joins for dims, filter pushdown + column pruning at
+the scan, no shuffle before the parse stage — must stay in the plan.
+Guards against silent Catalyst regressions (e.g. a dim join flipping to
+sort-merge, a filter failing to reach parquet)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.config import DEFAULT_RULES, DEFAULT_SINKS
+from node_log_forwarder_spark.operators.enrich import dim_frames, enrich
+from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
+from node_log_forwarder_spark.operators.route import route
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_enrich_uses_broadcast_joins(spark, transcripts):
+    df = coerce_fields(parse_stage(transcripts, DEFAULT_RULES), DEFAULT_RULES)
+    plan = _plan(enrich(df, dim_frames(spark)))
+    assert plan.count("BroadcastHashJoin") == 3  # role, tool, source dims
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "li")
+    spark.createDataFrame(
+        [(1, 10.0, "x" * 100), (2, 50.0, "y" * 100)], "k long, qty double, payload string"
+    ).write.parquet(path)
+    df = spark.read.parquet(path).filter(F.col("qty") > 20).select("k", "qty")
+    df.collect()
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(qty), GreaterThan(qty,20.0)" in plan
+    # column pruning: the wide payload column never leaves the scan
+    assert "ReadSchema: struct<k:bigint,qty:double>" in plan
+
+
+def test_no_shuffle_before_parse_by_default(spark, transcripts, tmp_path):
+    # materialize to parquet first: the assertion is about the PIPELINE
+    # plan over a table scan, not the synth generator's lineage
+    path = str(tmp_path / "tr")
+    transcripts.write.parquet(path)
+    df = parse_stage(spark.read.parquet(path), DEFAULT_RULES)
+    df = coerce_fields(df, DEFAULT_RULES)
+    df = enrich(df, dim_frames(spark))
+    df = route(df, DEFAULT_SINKS)
+    plan = _plan(df)
+    # broadcast exchanges only — no round-robin/hash repartition of rows
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            raise AssertionError(f"unexpected shuffle in parse->route path: {line.strip()}")
+
+
+def test_parse_stage_whole_stage_codegen(spark, transcripts, tmp_path):
+    path = str(tmp_path / "trc")
+    transcripts.write.parquet(path)
+    df = parse_stage(spark.read.parquet(path), DEFAULT_RULES)
+    df.collect()  # execute THIS QueryExecution so the final plan is shown
+    plan = _plan(df)
+    assert "*(1)" in plan  # '*(n)' = whole-stage-codegen span; parse stays fused
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python, ever
+
+
+def test_arrow_engine_is_arrow_not_row_python(spark, transcripts):
+    df = parse_stage(transcripts, DEFAULT_RULES, engine="arrow")
+    plan = _plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
