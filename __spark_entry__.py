@@ -268,6 +268,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["join_revenue"] = q_join_revenue
 
+    # --- remaining TPC-H-ish tables: part & supplier coverage ----------------
+    def q_part_stats(spark, sf):
+        part = _t(spark, sf, "part")
+        return (
+            part.filter(F.col("p_size") >= 10)
+            .groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n_parts"),
+                F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            )
+        )
+    q["part_stats"] = q_part_stats
+
+    def q_supplier_nation(spark, sf):
+        sup = _t(spark, sf, "supplier")
+        nat = _t(spark, sf, "nation")
+        return (
+            sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_suppliers"),
+                F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            )
+        )
+    q["supplier_nation"] = q_supplier_nation
+
     # --- dedup: exact ---------------------------------------------------------
     def q_dedup_exact(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -662,6 +688,19 @@ def oracle_sql() -> dict[str, str]:
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+    sql["part_stats"] = """
+        SELECT p_brand, count(*) AS n_parts,
+               round(avg(p_retailprice), 4) AS avg_price
+        FROM part WHERE p_size >= 10 GROUP BY p_brand
+    """
+
+    sql["supplier_nation"] = """
+        SELECT n_name, count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """
 

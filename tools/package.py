@@ -1,0 +1,30 @@
+"""Build dist/nlf_spark.zip for `spark-submit --py-files` deployment
+(the north rule's packaging requirement). Pure stdlib; deterministic
+file order."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "node_log_forwarder_spark"
+
+
+def build(out: str = "dist/nlf_spark.zip") -> str:
+    out_path = os.path.join(ROOT, out)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, dirnames, filenames in sorted(os.walk(os.path.join(ROOT, PKG))):
+            dirnames.sort()
+            if "__pycache__" in dirpath:
+                continue
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, ROOT))
+    return out_path
+
+
+if __name__ == "__main__":
+    print(build())

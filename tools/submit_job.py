@@ -1,0 +1,37 @@
+"""spark-submit entry point: runs the e2e pipeline from a packaged zip.
+
+    spark-submit --master local[8] --py-files dist/nlf_spark.zip \
+        tools/submit_job.py --input <transcripts_parquet> --out <dir>
+
+Only imports from the shipped package — proves the --py-files
+deployment path the north rule requires.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--engine", default="native")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("nlf-submit").getOrCreate()
+    from node_log_forwarder_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    tr = spark.read.parquet(args.input)
+    res = run_pipeline(
+        spark, tr, args.out, PipelineConfig(parse_engine=args.engine, hot_threshold=10_000)
+    )
+    print(json.dumps(res))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
