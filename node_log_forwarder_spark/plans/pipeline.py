@@ -36,7 +36,6 @@ from node_log_forwarder_spark import config
 from node_log_forwarder_spark.catalog import read_table, table_exists, write_table
 from node_log_forwarder_spark.operators.aggregate import (
     match_miss_tallies,
-    observe_metrics,
     sink_counts,
 )
 from node_log_forwarder_spark.operators.enrich import dim_frames, enrich
@@ -96,9 +95,17 @@ def run_pipeline(
     cfg: PipelineConfig | None = None,
 ) -> dict:
     """Single-shot run: write all sinks + aggregate tables; return
-    per-sink counts and stage metrics."""
+    per-sink counts and stage metrics (rows_in/rows_matched captured by
+    an Observation riding the write pass — zero extra jobs)."""
+    from pyspark.sql import Observation
+
     cfg = cfg or PipelineConfig()
-    routed = observe_metrics(build_routed(spark, transcripts, cfg))
+    obs = Observation("stage_metrics")
+    routed = build_routed(spark, transcripts, cfg).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("matched").cast("long")).alias("rows_matched"),
+    )
     if cfg.writer == "partitioned":
         # Scale plan: NO persist of the fanned-out frame. The written
         # partitioned sink table IS the materialization; windowed
@@ -136,7 +143,7 @@ def run_pipeline(
         .agg(F.sum("n_rows").alias("n"))
         .collect()
     }
-    return {"sink_counts": counts}
+    return {"sink_counts": counts, "stage_metrics": dict(obs.get)}
 
 
 # ---------------------------------------------------------------------------

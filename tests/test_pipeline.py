@@ -34,6 +34,9 @@ def test_run_pipeline_end_to_end(spark, transcripts, tmp_path):
     assert aggs.agg(F.sum("n_rows")).first()[0] == sum(counts.values())
     tallies = read_table(spark, f"{out}/agg_tallies")
     assert tallies.filter(F.col("n_miss") > 0).count() > 0
+    # stage metrics observed on the write pass itself
+    assert res["stage_metrics"]["rows_in"] == n
+    assert 0 < res["stage_metrics"]["rows_matched"] < n
 
 
 def test_run_pipeline_per_sink_writer(spark, transcripts, tmp_path):
