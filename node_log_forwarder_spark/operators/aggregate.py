@@ -38,6 +38,33 @@ def sink_counts(
     )
 
 
+def sink_counts_salted(
+    routed: DataFrame,
+    window: str = "hour",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """sink_counts with an explicit two-phase salted aggregation —
+    identical results, but a hot (window, sink, conv) group is first
+    reduced per salt shard, so no single reducer sees a whole hot
+    conversation. Requires a ``salt`` column (operators.skew.add_salt);
+    falls back to literal 0 salt if absent."""
+    keys = keys if keys is not None else ["conv_id", "tool"]
+    df = explode_sinks(routed)
+    salt = F.col("salt") if "salt" in df.columns else F.lit(0)
+    partial = (
+        df.groupBy(
+            F.date_trunc(window, F.col("ts")).alias("window_start"),
+            F.col("sink_id"),
+            *[F.col(k) for k in keys],
+            salt.alias("_salt"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return partial.groupBy("window_start", "sink_id", *keys).agg(
+        F.sum("n_rows").alias("n_rows")
+    )
+
+
 def match_miss_tallies(
     parsed: DataFrame,
     rules: list[ParseRule],

@@ -60,6 +60,10 @@ class PipelineConfig:
     n_buckets: int = 32  # resume granularity
     window: str = "hour"
     agg_keys: list[str] = field(default_factory=lambda: ["conv_id", "tool"])
+    # Iceberg days(ts) analogue: additionally partition sink output by
+    # event day so time-range reads prune partitions (parquet mode
+    # writes sink_id=<id>/day=<yyyy-MM-dd>/ directories).
+    partition_by_day: bool = False
     # Parse BEFORE any shuffle: at 10^12 rows the text column must never
     # move. Salting protects the aggregation phase (two-phase agg by
     # (key, salt)); set repartition_input=True only when downstream work
@@ -113,7 +117,13 @@ def run_pipeline(
         # only — the wide text column is never re-read), and tallies
         # need only the parse stage, so they run as an independent
         # column-pruned job over the source.
-        write_sinks_partitioned(routed, f"{out_dir}/sinks", mode="overwrite")
+        extra = None
+        if cfg.partition_by_day:
+            routed = routed.withColumn("day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+            extra = ["day"]
+        write_sinks_partitioned(
+            routed, f"{out_dir}/sinks", mode="overwrite", extra_partition_by=extra
+        )
         delivered = read_table(spark, f"{out_dir}/sinks")
         aggs = delivered.groupBy(
             F.date_trunc(cfg.window, F.col("ts")).alias("window_start"),

@@ -83,6 +83,36 @@ def test_per_sink_text_byte_equality(spark, transcripts, transcripts_rows):
         assert sha == exp_shas[s.sink_id], s.sink_id
 
 
+def test_sink_counts_salted_equals_plain(spark, transcripts):
+    from node_log_forwarder_spark.operators.aggregate import sink_counts_salted
+    from node_log_forwarder_spark.operators.skew import add_salt
+
+    routed = build_routed(spark, add_salt(transcripts, hot_keys=["conv_000000"], n_salts=8))
+    plain = sink_counts(routed)
+    salted = sink_counts_salted(routed)
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_pipeline_day_partitioning(spark, transcripts, tmp_path):
+    from node_log_forwarder_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    out = str(tmp_path / "daypart")
+    run_pipeline(spark, transcripts, out,
+                 PipelineConfig(hot_threshold=500, partition_by_day=True))
+    import os
+
+    arch = os.path.join(out, "sinks", "sink_id=archive_all")
+    days = [d for d in os.listdir(arch) if d.startswith("day=")]
+    assert len(days) >= 1
+    # partition pruning: a day-filtered read scans only that partition dir
+    one = spark.read.parquet(f"{out}/sinks").filter(
+        (F.col("sink_id") == "archive_all") & (F.col("day") == days[0].split("=")[1])
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day#" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_observe_metrics(spark, transcripts):
     from node_log_forwarder_spark.operators.aggregate import observe_metrics
 

@@ -44,6 +44,53 @@ def test_stream_matches_batch_deliveries(spark, transcripts, tmp_path):
     assert got == exp
 
 
+def test_stream_restart_exactly_once(spark, transcripts, tmp_path):
+    """Run-stop-add-data-rerun with the SAME checkpoint: previously
+    committed files must not be reprocessed (no duplicate deliveries),
+    new files must be picked up — the streaming analogue of the batch
+    manifest resume."""
+    import shutil
+
+    inp = str(tmp_path / "inc_in")
+    staging = str(tmp_path / "staging")
+    _write_input(transcripts, staging)
+    import os
+
+    files = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    os.makedirs(inp)
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(os.path.join(staging, f), os.path.join(inp, f))
+
+    out, ckpt = str(tmp_path / "inc_out"), str(tmp_path / "inc_ckpt")
+
+    def run_once():
+        stream = read_transcript_stream(spark, inp, max_files_per_trigger=2)
+        q = start_sink_writer(streaming_routed(spark, stream), out, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+    # add the remaining files, restart from the same checkpoint
+    for f in files[half:]:
+        shutil.copy(os.path.join(staging, f), os.path.join(inp, f))
+    run_once()
+
+    got = {
+        r["sink_id"]: r["count"]
+        for r in spark.read.parquet(out).groupBy("sink_id").count().collect()
+    }
+    from node_log_forwarder_spark.operators.route import explode_sinks
+    from tests.test_route import build_routed
+
+    exp = {
+        r["sink_id"]: r["count"]
+        for r in explode_sinks(build_routed(spark, transcripts)).groupBy("sink_id").count().collect()
+    }
+    assert got == exp  # complete coverage, zero duplicates
+
+
 def test_stream_windowed_counts_match_batch(spark, transcripts, tmp_path):
     inp = str(tmp_path / "in2")
     _write_input(transcripts, inp)
