@@ -437,6 +437,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sink_text_sha"] = q_sink_text_sha
 
+    # --- deterministic hash sampling (reproducible train/val splits at any scale) -------
+    def q_sample_hash(spark, sf):
+        docs = _t(spark, sf, "documents")
+        # ~10% deterministic sample: first 2 md5 hex chars of the doc key
+        bucket = F.conv(F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int")
+        return (
+            docs.filter(bucket < 26)  # 26/256 ≈ 10.2%
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_sampled"))
+        )
+    q["sample_hash"] = q_sample_hash
+
+    # --- vocabulary: corpus-wide top-k tokens (explode + partial agg + topk) ------------
+    def q_vocab_topk(spark, sf):
+        from node_log_forwarder_spark.functions.text import tokens
+
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token"))
+            .limit(20)
+        )
+    q["vocab_topk"] = q_vocab_topk
+
     # --- skew: salted two-phase agg == plain agg ----------------------------------------
     def q_salted_agg(spark, sf):
         ev = _t(spark, sf, "events")
@@ -848,6 +874,18 @@ def oracle_sql() -> dict[str, str]:
         FROM sinks GROUP BY sink_id
         """
     )
+
+    sql["sample_hash"] = """
+        SELECT lang, count(*) AS n_sampled FROM documents
+        WHERE CAST(concat('0x', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 2)) AS INT) < 26
+        GROUP BY lang
+    """
+
+    sql["vocab_topk"] = f"""
+        WITH toks AS (SELECT unnest({_TOKENS}) AS token FROM documents)
+        SELECT token, count(*) AS n FROM toks
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """
 
     sql["cosine_near_dup"] = """
         WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
