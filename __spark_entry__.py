@@ -437,6 +437,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sink_text_sha"] = q_sink_text_sha
 
+    # --- conversation-level near-dup: minhash over whole concatenated transcripts -------
+    def q_conv_minhash_pairs(spark, sf):
+        tr = transcripts_from_events(_t(spark, sf, "events"))
+        conv_text = tr.groupBy("conv_id").agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s.getField("text"),
+                ),
+            ).alias("text")
+        )
+        sigs = minhash_signatures(conv_text, id_col="conv_id", k=8)
+        return lsh_candidate_pairs(sigs, id_col="conv_id", bands=4, rows=2)
+    q["conv_minhash_pairs"] = q_conv_minhash_pairs
+
+    # --- BPE-ish regex token counting (words / numbers / punctuation runs) --------------
+    def q_token_count_bpe(spark, sf):
+        docs = _t(spark, sf, "documents")
+        n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+        n_bpe = F.when(F.col("text").isNull() | (F.col("text") == ""), F.lit(0)).otherwise(n_bpe)
+        return docs.groupBy("source").agg(
+            F.sum(n_bpe).alias("total_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    q["token_count_bpe"] = q_token_count_bpe
+
     # --- deterministic hash sampling (reproducible train/val splits at any scale) -------
     def q_sample_hash(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -874,6 +901,37 @@ def oracle_sql() -> dict[str, str]:
         FROM sinks GROUP BY sink_id
         """
     )
+
+    mh_cols8 = ",\n".join(mh(i) for i in range(8))
+    band_selects_conv = "\nUNION ALL\n".join(
+        f"SELECT conv_id, {b} AS band_idx, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_key FROM sigs"
+        for b in range(4)
+    )
+    sql["conv_minhash_pairs"] = f"""
+        WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        ct AS (SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+               FROM t GROUP BY conv_id),
+        w_t AS (SELECT conv_id, {_TOKENS} AS w FROM ct),
+        sh AS (SELECT DISTINCT conv_id, unnest({_NGRAM3}) AS shingle FROM w_t),
+        hs AS (SELECT conv_id, {_H} AS h FROM sh),
+        sigs AS (SELECT conv_id, {mh_cols8} FROM hs GROUP BY conv_id),
+        bands AS ({band_selects_conv})
+        SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.conv_id < b.conv_id
+    """
+
+    sql["token_count_bpe"] = """
+        WITH d AS (
+          SELECT source,
+                 coalesce(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 0) AS n_bpe
+          FROM documents
+        )
+        SELECT source, CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+               count(*) AS n_docs
+        FROM d GROUP BY source
+    """
 
     sql["sample_hash"] = """
         SELECT lang, count(*) AS n_sampled FROM documents
