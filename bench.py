@@ -97,7 +97,8 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in ["minhash_pairs", "cosine_topk", "join_revenue", "dedup_exact"]:
+    for name in ["minhash_pairs", "cosine_topk", "join_revenue", "dedup_exact",
+                 "conv_minhash_pairs", "conversation_stats", "vocab_topk"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
     total = round(sum(queries.values()), 3)

@@ -75,17 +75,26 @@ def write_sinks_partitioned(
     out_dir: str,
     mode: str = "append",
     extra_partition_by: list[str] | None = None,
+    cluster: bool = False,
 ) -> None:
     """Single-pass writer: explode deliveries and write ONE table
     partitioned by sink_id (+ optional time partitions). One job, no
     per-sink re-scan — the default at scale, where re-reading a
     persisted 100 TB frame N times is not an option. Per-sink data
-    lands under ``sink_id=<id>/`` exactly as N separate tables would."""
+    lands under ``sink_id=<id>/`` exactly as N separate tables would.
+
+    ``cluster=True`` repartitions deliveries by the partition columns
+    before the write (one shuffle, AQE-coalesced): without it every map
+    task writes a file into every (sink, day) directory it touches —
+    tasks × partitions tiny files (measured 35k files / 2.7 GB at 19M
+    turns). With it, file count ≈ partition count. Turn it on whenever
+    a time partition column is present; Iceberg users get the same
+    effect from write.distribution-mode=hash."""
     cols = ["sink_id"] + (extra_partition_by or [])
-    (
-        explode_sinks(routed)
-        .drop("sink_ids")
-        .write.mode(mode)
-        .partitionBy(*cols)
-        .parquet(out_dir)
-    )
+    out = explode_sinks(routed).drop("sink_ids")
+    if cluster:
+        # REBALANCE (not repartition): AQE coalesces small partitions AND
+        # splits skewed ones — plain hash repartition by (sink_id, day)
+        # would make the archive_all x hot-day partition one giant task
+        out = out.hint("rebalance", *cols)
+    out.write.mode(mode).partitionBy(*cols).parquet(out_dir)

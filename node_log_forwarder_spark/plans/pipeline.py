@@ -122,7 +122,13 @@ def run_pipeline(
             routed = routed.withColumn("day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
             extra = ["day"]
         write_sinks_partitioned(
-            routed, f"{out_dir}/sinks", mode="overwrite", extra_partition_by=extra
+            routed,
+            f"{out_dir}/sinks",
+            mode="overwrite",
+            extra_partition_by=extra,
+            # fine-grained time partitions + unclustered writes = tiny-file
+            # explosion (tasks x partitions); cluster when day-partitioned
+            cluster=cfg.partition_by_day,
         )
         delivered = read_table(spark, f"{out_dir}/sinks")
         aggs = delivered.groupBy(
