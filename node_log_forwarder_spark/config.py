@@ -58,10 +58,16 @@ class ParseRule:
 
 @dataclass(frozen=True)
 class SinkRule:
-    """One destination: rows fan out to EVERY sink whose predicate passes."""
+    """One destination: rows fan out to EVERY sink whose predicate passes.
+
+    ``columns`` optionally projects the delivered rows (the forwarder's
+    per-destination field selection — e.g. the file target gets raw
+    text only while the ES target gets extracted fields); None delivers
+    the full enriched row."""
 
     sink_id: str
     predicate: str  # Spark SQL boolean expression over the enriched frame
+    columns: tuple[str, ...] | None = None
 
 
 # --------------------------------------------------------------------------
@@ -148,3 +154,47 @@ SOURCE_META: list[tuple[str, str, list[str]]] = [
     ("edge", "qa", ["edge"]),
 ]
 SOURCE_META_SCHEMA = "source string, site string, tags array<string>"
+
+
+# --------------------------------------------------------------------------
+# JSON config loading — the forwarder reads its parser/destination config
+# from a reloadable file; same shape here. A config is:
+#   {"rules":  [{"rule_id": ..., "priority": ..., "pattern": ...,
+#                "field_types": {...}}, ...],
+#    "sinks":  [{"sink_id": ..., "predicate": ..., "columns": [...]?}, ...]}
+# --------------------------------------------------------------------------
+
+def load_config(path: str) -> tuple[list[ParseRule], list[SinkRule]]:
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    rules = [
+        ParseRule(r["rule_id"], r["priority"], r["pattern"], dict(r.get("field_types", {})))
+        for r in doc.get("rules", [])
+    ]
+    sinks = [
+        SinkRule(s["sink_id"], s["predicate"],
+                 tuple(s["columns"]) if s.get("columns") else None)
+        for s in doc.get("sinks", [])
+    ]
+    return rules, sinks
+
+
+def dump_config(rules: list[ParseRule], sinks: list[SinkRule], path: str) -> None:
+    import json
+
+    doc = {
+        "rules": [
+            {"rule_id": r.rule_id, "priority": r.priority, "pattern": r.pattern,
+             "field_types": r.field_types}
+            for r in rules
+        ],
+        "sinks": [
+            {"sink_id": s.sink_id, "predicate": s.predicate,
+             **({"columns": list(s.columns)} if s.columns else {})}
+            for s in sinks
+        ],
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)

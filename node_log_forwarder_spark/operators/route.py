@@ -52,9 +52,11 @@ def write_sinks(
     from node_log_forwarder_spark.catalog import write_table
 
     for s in sinks:
-        sink_df = routed_for_sink(routed, s.sink_id)
+        sink_df = routed_for_sink(routed, s.sink_id).drop("sink_ids")
+        if s.columns:
+            sink_df = sink_df.select(*s.columns)  # per-destination field selection
         write_table(
-            sink_df.drop("sink_ids"),
+            sink_df,
             f"{out_dir}/{s.sink_id}",
             mode=mode,
             partition_by=partition_by,

@@ -39,6 +39,45 @@ def test_sink_swap_changes_fanout(spark):
     assert sorted(route(parsed, v2).first()["sink_ids"]) == ["failures", "slow_calls"]
 
 
+def test_json_config_round_trip(tmp_path):
+    from node_log_forwarder_spark.config import (
+        DEFAULT_RULES,
+        DEFAULT_SINKS,
+        dump_config,
+        load_config,
+    )
+
+    path = str(tmp_path / "forwarder.json")
+    sinks = list(DEFAULT_SINKS) + [
+        SinkRule("raw_archive", "true", columns=("conv_id", "turn_idx", "text"))
+    ]
+    dump_config(DEFAULT_RULES, sinks, path)
+    rules2, sinks2 = load_config(path)
+    assert rules2 == DEFAULT_RULES
+    assert sinks2 == sinks
+    assert sinks2[-1].columns == ("conv_id", "turn_idx", "text")
+
+
+def test_per_sink_column_projection(spark, transcripts, tmp_path):
+    from node_log_forwarder_spark.operators.enrich import dim_frames, enrich
+    from node_log_forwarder_spark.operators.route import write_sinks
+    from node_log_forwarder_spark.config import DEFAULT_RULES
+    from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
+
+    sinks = [
+        SinkRule("raw_file", "true", columns=("conv_id", "turn_idx", "text")),
+        SinkRule("es_like", "matched"),
+    ]
+    df = coerce_fields(parse_stage(transcripts, DEFAULT_RULES), DEFAULT_RULES)
+    df = enrich(df, dim_frames(spark))
+    routed = route(df, sinks)
+    write_sinks(routed, sinks, str(tmp_path / "s"), mode="overwrite")
+    raw = spark.read.parquet(str(tmp_path / "s" / "raw_file"))
+    assert raw.columns == ["conv_id", "turn_idx", "text"]
+    es = spark.read.parquet(str(tmp_path / "s" / "es_like"))
+    assert "fields" in es.columns and "risk_tier" in es.columns
+
+
 def test_rules_round_trip_through_table(spark, tmp_path):
     """Rules persist to and reload from a table (hot-reload storage)."""
     from node_log_forwarder_spark.config import DEFAULT_RULES
