@@ -53,6 +53,12 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC so date_trunc/hour windows agree with DuckDB's naive
+    # timestamps regardless of the harness session's local timezone.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -70,6 +70,20 @@ def test_resume_after_failure(spark, transcripts, tmp_path):
     assert r3["processed_buckets"] == []
 
 
+def test_resume_with_salted_repartition(spark, transcripts, tmp_path):
+    """Resume correctness must hold when conversation co-location
+    (salted repartition) is enabled."""
+    out = str(tmp_path / "res_salt")
+    cfg = PipelineConfig(
+        hot_threshold=500, n_buckets=8, repartition_input=True, n_salts=4
+    )
+    r1 = run_resumable(spark, transcripts, out, run_id="r1", cfg=cfg, fail_after_buckets=2)
+    r2 = run_resumable(spark, transcripts, out, run_id="r2", cfg=cfg)
+    assert len(r1["processed_buckets"]) + len(r2["processed_buckets"]) == 8
+    m = read_table(spark, f"{out}/manifest")
+    assert m.agg(F.sum("rows_in")).first()[0] == transcripts.count()
+
+
 def test_manifest_lineage_metrics(spark, transcripts, tmp_path):
     out = str(tmp_path / "lin")
     run_resumable(spark, transcripts, out, run_id="r1", cfg=CFG)
