@@ -53,10 +53,11 @@ def add_salt(
     """Add a ``salt`` column; detect hot keys if not supplied."""
     if hot_keys is None:
         if hot_threshold is None:
-            # default: keys holding > 4x a fair share of an average partition
+            # default: keys holding > 4x a fair share of a default-parallelism
+            # task (no .rdd — DataFrame-only discipline)
             total = df.count()
-            nparts = max(df.rdd.getNumPartitions(), 1)
-            hot_threshold = max(1000, (total // max(nparts, 1)) * 4)
+            nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+            hot_threshold = max(1000, (total // nparts) * 4)
         hot_keys = find_hot_keys(df, key, hot_threshold)
     return df.withColumn("salt", salt_column(key, order_col, hot_keys, n_salts))
 
