@@ -168,7 +168,7 @@ def run_pipeline(
 
 MANIFEST_SCHEMA = (
     "run_id string, bucket int, status string, rows_in long, "
-    "rows_routed long, wall_ms long, attempt int"
+    "rows_routed long, wall_ms long, attempt int, rows_per_sec double"
 )
 
 
@@ -248,9 +248,13 @@ def run_resumable(
                 .withColumn("status", F.lit("committed"))
                 .withColumn("wall_ms", F.lit(wall_ms))
                 .withColumn("attempt", F.lit(1))
+                .withColumn(
+                    "rows_per_sec",
+                    F.round(F.col("rows_in") / F.greatest(F.lit(wall_ms) / 1000.0, F.lit(0.001)), 1),
+                )
                 .select(
                     "run_id", "bucket", "status", "rows_in",
-                    "rows_routed", "wall_ms", "attempt",
+                    "rows_routed", "wall_ms", "attempt", "rows_per_sec",
                 )
             )
             write_table(lineage, manifest_dir, mode="append")

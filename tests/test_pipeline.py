@@ -90,9 +90,10 @@ def test_manifest_lineage_metrics(spark, transcripts, tmp_path):
     m = read_table(spark, f"{out}/manifest")
     row = m.first()
     assert set(m.columns) == {
-        "run_id", "bucket", "status", "rows_in", "rows_routed", "wall_ms", "attempt"
+        "run_id", "bucket", "status", "rows_in", "rows_routed",
+        "wall_ms", "attempt", "rows_per_sec",
     }
-    assert row["wall_ms"] >= 0
+    assert row["wall_ms"] >= 0 and row["rows_per_sec"] > 0
     # every routed row counted: rows_routed >= rows_in (archive_all catch-all)
     bad = m.filter(F.col("rows_routed") < F.col("rows_in")).count()
     assert bad == 0
