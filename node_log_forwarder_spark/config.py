@@ -106,6 +106,55 @@ DEFAULT_RULES: list[ParseRule] = [
     ),
 ]
 
+# Library of common log-format rules a forwarder ships out of the box
+# (RFC3164/RFC5424 syslog, Apache combined access, nginx error, JSON
+# lines). Not in DEFAULT_RULES — composed in by config, like the
+# forwarder's optional parser modules.
+LIBRARY_RULES: list[ParseRule] = [
+    ParseRule(
+        rule_id="rfc5424",
+        priority=100,
+        # <pri>version ts host app procid msgid [sd] msg
+        pattern=(
+            r"^<(?P<pri>\d{1,3})>(?P<version>\d) (?P<ts5424>\S+) (?P<host>\S+) "
+            r"(?P<app>\S+) (?P<procid>\S+) (?P<msgid>\S+) (?P<sd>(?:-|\[.*\])) ?(?P<msg5424>.*)$"
+        ),
+        field_types={"pri": "int", "version": "int", "ts5424": "timestamp"},
+    ),
+    ParseRule(
+        rule_id="rfc3164",
+        priority=110,
+        pattern=r"^<(?P<pri>\d{1,3})>(?P<ts3164>[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) (?P<host>\S+) (?P<tag>[\w\-/\.]+)(?:\[(?P<pid>\d+)\])?: ?(?P<msg3164>.*)$",
+        field_types={"pri": "int", "pid": "int"},
+    ),
+    ParseRule(
+        rule_id="apache_access",
+        priority=120,
+        pattern=(
+            r'^(?P<client>\S+) \S+ (?P<user>\S+) \[(?P<atime>[^\]]+)\] '
+            r'"(?P<method>[A-Z]+) (?P<path>\S+) (?P<proto>[^"]+)" '
+            r"(?P<status_code>\d{3}) (?P<bytes>\d+|-)"
+        ),
+        field_types={"status_code": "int", "bytes": "bigint"},
+    ),
+    ParseRule(
+        rule_id="nginx_error",
+        priority=130,
+        pattern=(
+            r"^(?P<etime>\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}) \[(?P<level>\w+)\] "
+            r"(?P<epid>\d+)#(?P<tid>\d+): (?P<emsg>.*)$"
+        ),
+        field_types={"epid": "int", "tid": "int"},
+    ),
+    ParseRule(
+        rule_id="json_line",
+        priority=140,
+        # detection only — payload decoding goes through from_json
+        pattern=r"^(?P<json>\{.*\})$",
+        field_types={},
+    ),
+]
+
 # Sink config per FIXTURES.md §4. `_unmatched` is the parse-failure
 # fallback path (reference: unparseable events routed to a default
 # destination and counted as misses).

@@ -1,0 +1,87 @@
+"""Library parser rules (syslog RFC3164/5424, Apache access, nginx
+error, JSON lines) — golden-line tests through BOTH engines, matching
+the forwarder's out-of-the-box parser modules."""
+
+from __future__ import annotations
+
+import pytest
+
+from node_log_forwarder_spark.config import LIBRARY_RULES
+from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
+from tests.oracle import oracle_parse
+
+GOLDEN = [
+    (
+        "<165>1 2026-02-03T10:11:12Z web01 nginx 4242 ID47 - upstream timed out",
+        "rfc5424",
+        {"pri": "165", "version": "1", "host": "web01", "app": "nginx",
+         "msg5424": "upstream timed out"},
+    ),
+    (
+        "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed for lonvick",
+        "rfc3164",
+        {"pri": "34", "host": "mymachine", "tag": "su", "pid": "230",
+         "msg3164": "'su root' failed for lonvick"},
+    ),
+    (
+        '192.168.0.7 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326',
+        "apache_access",
+        {"client": "192.168.0.7", "user": "frank", "method": "GET",
+         "path": "/apache_pb.gif", "status_code": "200", "bytes": "2326"},
+    ),
+    (
+        "2026/02/03 10:11:12 [error] 1234#0: connection refused while reading",
+        "nginx_error",
+        {"level": "error", "epid": "1234", "tid": "0",
+         "emsg": "connection refused while reading"},
+    ),
+    ('{"event": "login", "user": "alice"}', "json_line",
+     {"json": '{"event": "login", "user": "alice"}'}),
+    ("plain text no format", None, {}),
+]
+
+
+@pytest.mark.parametrize("engine", ["native", "arrow"])
+def test_library_rules_golden(spark, engine):
+    df = spark.createDataFrame([(t,) for t, _, _ in GOLDEN], "text string")
+    out = parse_stage(df, LIBRARY_RULES, engine=engine)
+    got = {r["text"]: (r["rule_id"], dict(r["fields"])) for r in out.collect()}
+    for text, rid, subset in GOLDEN:
+        grid, gfields = got[text]
+        assert grid == rid, f"{engine}: {text!r} -> {grid}"
+        for k, v in subset.items():
+            assert gfields.get(k) == v, f"{engine}: {text!r} field {k}"
+
+
+def test_library_rules_match_python_oracle():
+    for text, rid, subset in GOLDEN:
+        grid, gfields = oracle_parse(text, LIBRARY_RULES)
+        assert grid == rid
+        for k, v in subset.items():
+            assert gfields.get(k) == v
+
+
+def test_library_coercions(spark):
+    df = spark.createDataFrame(
+        [('10.0.0.1 - - [10/Oct/2000:13:55:36 -0700] "POST /x HTTP/1.1" 503 -',)],
+        "text string",
+    )
+    out = coerce_fields(parse_stage(df, LIBRARY_RULES), LIBRARY_RULES)
+    r = out.first()
+    assert r["status_code"] == 503
+    assert r["bytes"] is None  # '-' fails bigint coercion -> null, no throw
+
+
+def test_json_line_decoding(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"event": "login", "user": "alice"}',), ("not json",)], "text string"
+    )
+    out = parse_stage(df, LIBRARY_RULES)
+    decoded = out.withColumn(
+        "payload", F.from_json(F.col("fields").getItem("json"), "event string, user string")
+    )
+    rows = {r["text"]: r["payload"] for r in decoded.collect()}
+    assert rows['{"event": "login", "user": "alice"}']["user"] == "alice"
+    assert rows["not json"] is None
