@@ -25,7 +25,6 @@ import os
 import statistics
 import subprocess
 import sys
-import textwrap
 
 RUNNER = r"""
 import json, os, sys, time
