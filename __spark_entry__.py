@@ -54,9 +54,12 @@ SF0001 = "/root/testdata/sf0.001"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC so date_trunc/hour windows agree with DuckDB's naive
-    # timestamps regardless of the harness session's local timezone.
+    # timestamps regardless of the harness session's local timezone, and
+    # pin shuffle partitioning so float-aggregate summation order (and
+    # therefore the rounded values) is identical to the validated runs.
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     except Exception:
         pass
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

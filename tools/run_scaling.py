@@ -49,10 +49,14 @@ sums = [F.sum(F.array_contains("sink_ids", s.sink_id).cast("long")).alias(s.sink
 out = {"cpus": cpus}
 for engine in ("arrow", "native"):
     cfg = PipelineConfig(hot_threshold=max(2000, n_turns // 100), parse_engine=engine)
+    # build the plan ONCE per engine: rebuilding per rep creates a fresh
+    # pandas UDF each time, piling up Python workers that oversubscribe
+    # the pinned cores and skew later reps
+    plan = build_routed(spark, tr, cfg).agg(*sums)
     times = []
     for rep in range(reps + 1):  # +1 cold run, dropped
         t0 = time.monotonic()
-        build_routed(spark, tr, cfg).agg(*sums).collect()
+        plan.collect()
         dt = time.monotonic() - t0
         if rep > 0:
             times.append(dt)
