@@ -72,10 +72,22 @@ def _native_fields(text: Column, rule_id: Column, rules: list[ParseRule]) -> Col
 # arrow engine
 # ---------------------------------------------------------------------------
 
+_ARROW_PARSER_CACHE: dict[tuple, object] = {}
+
+
 def _make_arrow_parser(rules: list[ParseRule]):
     """Build the pandas_udf lazily so importing this module never needs
     a SparkSession. Regexes compile once per Python worker (module-level
-    closure), per PAPERS.md vectorized-UDF guidance."""
+    closure), per PAPERS.md vectorized-UDF guidance. The UDF object is
+    memoized per rule set so repeated parse_stage calls reuse one UDF
+    (and its Python workers) instead of accumulating new ones."""
+    key = tuple(
+        (r.rule_id, r.priority, r.pattern, tuple(sorted(r.field_types.items())))
+        for r in rules
+    )
+    cached = _ARROW_PARSER_CACHE.get(key)
+    if cached is not None:
+        return cached
     from pyspark.sql.functions import pandas_udf
 
     ordered = _ordered(rules)
@@ -113,6 +125,7 @@ def _make_arrow_parser(rules: list[ParseRule]):
         for texts in batches:
             yield _parse_batch(texts)
 
+    _ARROW_PARSER_CACHE[key] = parse_udf
     return parse_udf
 
 

@@ -49,15 +49,17 @@ sums = [F.sum(F.array_contains("sink_ids", s.sink_id).cast("long")).alias(s.sink
 out = {"cpus": cpus}
 for engine in ("arrow", "native"):
     cfg = PipelineConfig(hot_threshold=max(2000, n_turns // 100), parse_engine=engine)
-    # build the plan ONCE per engine: rebuilding per rep creates a fresh
-    # pandas UDF each time, piling up Python workers that oversubscribe
-    # the pinned cores and skew later reps
-    plan = build_routed(spark, tr, cfg).agg(*sums)
     times = []
     for rep in range(reps + 1):  # +1 cold run, dropped
+        # fresh plan per rep (re-collecting one plan would reuse its
+        # shuffle outputs and measure nothing); the parse UDF object is
+        # memoized inside parse_stage so Python workers are reused
         t0 = time.monotonic()
-        plan.collect()
+        build_routed(spark, tr, cfg).agg(*sums).collect()
         dt = time.monotonic() - t0
+        # let the ContextCleaner drop the rep's shuffle files so disk /
+        # page-cache pressure doesn't accumulate across reps
+        spark.sparkContext._jvm.System.gc()
         if rep > 0:
             times.append(dt)
         print(f"  local[{cpus}] {engine} rep{rep}"
