@@ -1,17 +1,20 @@
 """Scaling-efficiency evidence for the north rule's two-cluster-size
-criterion (BASELINE.md protocol): run the SAME parse→route critical-path
-job on the SAME input at 8 and 32 cores, each in a fresh JVM with the
-process PINNED to that many physical cores (sched_setaffinity — without
-pinning, a local[8] JVM still burns all 32 cores for GC/IO/codegen
-threads and fakes a low efficiency). ≥3 timed reps, cold run dropped,
-median reported; efficiency = (thr_32 / thr_8) / 4.
+criterion (BASELINE.md protocol), measured with a PAIRED design.
 
-Measured job = scan → Arrow-vectorized parse → coerce → broadcast
-enrich → route → per-sink routed-row counts (the north star's
-configuration). The JVM-native parse engine is measured alongside for
-reference; the single-box e2e (with sink writes) is reported by
-bench.py and is disk-bound, so it is not the scaling criterion —
-BASELINE.md pins the criterion to the parse→route critical path.
+Why paired: single-box background state (page cache, disk, thermal)
+drifts on ~minutes timescales; measuring all 8-core reps then all
+32-core reps lets that drift masquerade as (anti-)scaling. Here each
+rep spawns a FRESH 8-core-pinned JVM and a fresh 32-core JVM
+back-to-back over the same warmed input, computes the per-rep ratio,
+and the reported efficiency is the median of per-rep efficiencies —
+drift cancels within a pair.
+
+Per JVM: one cold run (dropped — Python-worker/codegen warmup) + one
+timed run per engine. Core pinning via sched_setaffinity (without it a
+local[8] JVM borrows the other 24 cores for GC/IO threads). Measured
+job = parse→route critical path (scan → parse → coerce → broadcast
+enrich → route → per-sink routed counts); sink writes are disk-bound on
+one box and excluded per BASELINE.md.
 
     python tools/run_scaling.py [n_turns] [reps]
 
@@ -22,13 +25,14 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import statistics
 import subprocess
 import sys
 
 RUNNER = r"""
 import json, os, sys, time
-cpus = int(sys.argv[1]); n_turns = int(sys.argv[2]); reps = int(sys.argv[3])
+cpus = int(sys.argv[1]); n_turns = int(sys.argv[2])
 os.sched_setaffinity(0, set(range(cpus)))  # inherited by the JVM
 sys.path.insert(0, "/root/repo")
 from node_log_forwarder_spark.session import get_spark
@@ -49,101 +53,109 @@ sums = [F.sum(F.array_contains("sink_ids", s.sink_id).cast("long")).alias(s.sink
 out = {"cpus": cpus}
 for engine in ("arrow", "native"):
     cfg = PipelineConfig(hot_threshold=max(2000, n_turns // 100), parse_engine=engine)
-    times = []
-    for rep in range(reps + 1):  # +1 cold run, dropped
-        # fresh plan per rep (re-collecting one plan would reuse its
-        # shuffle outputs and measure nothing); the parse UDF object is
-        # memoized inside parse_stage so Python workers are reused
-        t0 = time.monotonic()
-        build_routed(spark, tr, cfg).agg(*sums).collect()
-        dt = time.monotonic() - t0
-        # let the ContextCleaner drop the rep's shuffle files so disk /
-        # page-cache pressure doesn't accumulate across reps
-        spark.sparkContext._jvm.System.gc()
-        if rep > 0:
-            times.append(dt)
-        print(f"  local[{cpus}] {engine} rep{rep}"
-              f"{' (cold, dropped)' if rep == 0 else ''}: {dt:.2f}s",
-              file=sys.stderr, flush=True)
-    out[engine] = times
+    # cold run (dropped): python-worker spawn + codegen warmup
+    build_routed(spark, tr, cfg).agg(*sums).collect()
+    t0 = time.monotonic()
+    build_routed(spark, tr, cfg).agg(*sums).collect()
+    out[engine] = time.monotonic() - t0
 print(json.dumps(out))
 """
 
 
-def run_level(cpus: int, n_turns: int, reps: int) -> dict:
+def run_level(cpus: int, n_turns: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cpus), str(n_turns), str(reps)],
+        [sys.executable, "-c", RUNNER, str(cpus), str(n_turns)],
         capture_output=True, text=True, check=True, cwd="/root/repo",
     )
-    for line in out.stderr.splitlines():
-        if "rep" in line:
-            print(line, file=sys.stderr, flush=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def warm_input(n_turns: int) -> None:
+    d = f"/tmp/nlf_bench/input_scaling_{n_turns}"
+    if os.path.isdir(d):
+        for f in os.listdir(d):
+            with open(os.path.join(d, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
 
 
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 19_200_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    levels = {cpus: run_level(cpus, n_turns, reps) for cpus in (8, 32)}
-    summary: dict = {"n_turns": n_turns, "reps": reps}
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # clear stray bench outputs so disk state is comparable across runs
+    for d in ("/tmp/nlf_scale_out", "/tmp/nlf_e2e", "/tmp/nlf_e2e_big", "/tmp/nlf_prof"):
+        shutil.rmtree(d, ignore_errors=True)
+    pairs: list[dict] = []
+    for rep in range(reps):
+        warm_input(n_turns)
+        r8 = run_level(8, n_turns)
+        r32 = run_level(32, n_turns)
+        pair = {
+            "rep": rep,
+            "t8": {e: round(r8[e], 2) for e in ("arrow", "native")},
+            "t32": {e: round(r32[e], 2) for e in ("arrow", "native")},
+            "eff": {
+                e: round((r8[e] / r32[e]) / 4, 3) for e in ("arrow", "native")
+            },
+        }
+        pairs.append(pair)
+        print(f"rep{rep}: {json.dumps(pair)}", file=sys.stderr, flush=True)
+
+    summary: dict = {"n_turns": n_turns, "reps": reps, "pairs": pairs}
     rows = []
-    for engine in ("arrow", "native"):
-        med8 = statistics.median(levels[8][engine])
-        med32 = statistics.median(levels[32][engine])
-        thr8, thr32 = n_turns / med8, n_turns / med32
-        eff = round((thr32 / thr8) / 4, 3)
-        summary[engine] = {
-            "t8": [round(t, 2) for t in levels[8][engine]],
-            "t32": [round(t, 2) for t in levels[32][engine]],
-            "median8_sec": round(med8, 2),
-            "median32_sec": round(med32, 2),
-            "thr8_turns_per_sec": round(thr8, 1),
-            "thr32_turns_per_sec": round(thr32, 1),
-            "efficiency": eff,
+    for e in ("arrow", "native"):
+        effs = [p["eff"][e] for p in pairs]
+        med8 = statistics.median(p["t8"][e] for p in pairs)
+        med32 = statistics.median(p["t32"][e] for p in pairs)
+        summary[e] = {
+            "median8_sec": med8,
+            "median32_sec": med32,
+            "thr8_turns_per_sec": round(n_turns / med8, 1),
+            "thr32_turns_per_sec": round(n_turns / med32, 1),
+            "per_rep_efficiency": effs,
+            "efficiency": statistics.median(effs),
         }
         rows.append(
-            f"| {engine} | {round(med8,2)} | {round(med32,2)} | "
-            f"{thr8:,.0f} | {thr32:,.0f} | **{eff}** |"
+            f"| {e} | {med8} | {med32} | {n_turns/med8:,.0f} | "
+            f"{n_turns/med32:,.0f} | {effs} | **{summary[e]['efficiency']}** |"
         )
     summary["pass"] = summary["arrow"]["efficiency"] >= 0.8
     print(json.dumps(summary))
+
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     lines = [
         "# BENCH/BASELINE.md — measured throughput & scaling evidence",
         "",
         "North rule: ≥0.8 throughput scaling efficiency from N to 4N",
-        "executors. Sandbox protocol (BASELINE.md): the parse→route",
-        "critical path (scan → parse → coerce → broadcast enrich →",
-        "route → per-sink routed counts) over the same",
-        f"{n_turns:,}-turn synthetic transcripts parquet (seed 42);",
-        "fresh JVM per level; the process is PINNED to 8 / 32",
-        "physical cores via sched_setaffinity so local[8] cannot",
-        f"borrow GC/IO threads from idle cores; {reps} timed reps,",
-        "cold run dropped, median reported. The machine must be",
-        "otherwise idle — concurrent load on the unpinned cores skews",
-        "the 8-core level.",
+        "executors. Sandbox protocol (no real cluster — BASELINE.md):",
+        "the parse→route critical path (scan → parse → coerce →",
+        "broadcast enrich → route → per-sink routed counts) over the",
+        f"same {n_turns:,}-turn synthetic transcripts parquet (seed 42),",
+        "PAIRED measurement: each rep runs a fresh JVM pinned to 8",
+        "cores (sched_setaffinity) and a fresh JVM pinned to 32 cores",
+        "back-to-back over the page-cache-warmed input; per-rep",
+        "efficiency = (t8/t32)/4; reported efficiency = median across",
+        "reps (pairing cancels single-box background drift). Each JVM",
+        "runs one cold pass (dropped) + one timed pass per engine.",
         "",
-        "| parse engine | median local[8] (s) | median local[32] (s) | thr_8 (turns/s) | thr_32 (turns/s) | efficiency (thr32/thr8)/4 |",
-        "| --- | --- | --- | --- | --- | --- |",
+        "| parse engine | median t8 (s) | median t32 (s) | thr_8 (turns/s) | thr_32 (turns/s) | per-rep efficiency | median efficiency |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
         *rows,
         "",
         "Headline (north-star configuration, Arrow-vectorized UDF parse",
         f"stage): **efficiency {summary['arrow']['efficiency']}**",
-        f"({'PASS' if summary['pass'] else 'FAIL'} vs ≥0.8). The JVM-native",
-        "engine is faster in absolute terms but memory-bandwidth-bound on",
-        "a single box, which caps its single-machine scaling — on a real",
-        "4N-executor cluster both memory bandwidth and cores scale",
-        "together.",
+        f"({'PASS' if summary['pass'] else 'FAIL'} vs ≥0.8).",
         "",
-        f"Raw rep times (s): arrow 8c {summary['arrow']['t8']},",
-        f"arrow 32c {summary['arrow']['t32']},",
-        f"native 8c {summary['native']['t8']},",
-        f"native 32c {summary['native']['t32']}.",
+        f"Raw pairs: {json.dumps(pairs)}",
         "",
-        "Single-box end-to-end (including partitioned sink writes and",
-        "both aggregate tables) is reported by bench.py (BENCH_r*.json);",
-        "its write phase is disk-bound and excluded from the scaling",
-        "criterion per BASELINE.md.",
+        "Notes: the JVM-native engine is faster in absolute terms but",
+        "more memory-bandwidth-bound, which depresses its single-box",
+        "8→32-thread scaling; on a real 4N-executor cluster memory",
+        "bandwidth scales with the nodes. Single-box end-to-end",
+        "(including partitioned sink writes + aggregate tables) is",
+        "reported by bench.py (BENCH_r*.json); its write phase is",
+        "disk-bound and excluded from the scaling criterion per",
+        "BASELINE.md.",
         "",
     ]
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
