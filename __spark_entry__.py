@@ -446,6 +446,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sink_text_sha"] = q_sink_text_sha
 
+    # --- sessionization: 30-min-gap sessions per user (lag + cumulative sum) ------------
+    def q_sessionize(spark, sf):
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        epoch = F.unix_timestamp(F.col("ts"))
+        gap_s = epoch - F.lag(epoch).over(w)
+        new_sess = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+        sess = ev.withColumn("sess_idx", F.sum(new_sess).over(w))
+        return sess.groupBy("user_id", "sess_idx").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(epoch) - F.min(epoch)).alias("dur_s"),
+        )
+    q["sessionize"] = q_sessionize
+
+    # --- exact percentiles (interpolated) per event_type ---------------------------------
+    def q_value_percentiles(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.round(F.percentile("value", 0.5), 4).alias("p50"),
+            F.round(F.percentile("value", 0.95), 4).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    q["value_percentiles"] = q_value_percentiles
+
+    # --- running (cumulative) totals per user over time ---------------------------------
+    def q_running_total(spark, sf):
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf, "events").filter(F.col("user_id") < 20)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 4).alias("running_value"),
+        )
+    q["running_total"] = q_running_total
+
     # --- conversation-level near-dup: minhash over whole concatenated transcripts -------
     def q_conv_minhash_pairs(spark, sf):
         tr = transcripts_from_events(_t(spark, sf, "events"))
@@ -910,6 +949,42 @@ def oracle_sql() -> dict[str, str]:
         FROM sinks GROUP BY sink_id
         """
     )
+
+    sql["sessionize"] = """
+        -- floor(epoch) everywhere: spark unix_timestamp truncates to
+        -- whole seconds, duckdb epoch() keeps microseconds
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                 CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT)
+                           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ep,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_idx
+          FROM g
+        )
+        SELECT user_id, sess_idx, count(*) AS n_events,
+               max(ep) - min(ep) AS dur_s
+        FROM s GROUP BY user_id, sess_idx
+    """
+
+    sql["value_percentiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """
+
+    sql["running_total"] = """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS running_value
+        FROM events WHERE user_id < 20
+    """
 
     mh_cols8 = ",\n".join(mh(i) for i in range(8))
     band_selects_conv = "\nUNION ALL\n".join(
