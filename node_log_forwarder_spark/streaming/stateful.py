@@ -1,0 +1,74 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The forwarder keeps in-memory per-source counters between events; the
+streaming analogue over transcripts is per-CONVERSATION running state
+that survives micro-batch boundaries: turns seen so far, first/last
+turn index observed, and a completeness flag (dense turn_idx coverage
+0..n-1 — detects dropped turns in transit).
+
+State is keyed by conv_id, stored as (n_turns, min_idx, max_idx,
+idx_checksum); a conversation is 'complete' when the checksum matches
+the dense-range sum — O(1) state per conversation, no turn buffering,
+which is what makes this viable for 10^8 live conversations. Idle
+conversations are evicted by a processing-time timeout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n_turns long, min_idx long, max_idx long, idx_sum long"
+OUTPUT_SCHEMA = (
+    "conv_id string, n_turns long, min_idx long, max_idx long, complete boolean"
+)
+
+
+def _track(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    if state.hasTimedOut:
+        n, mn, mx, s = state.get
+        state.remove()
+        complete = (mn == 0) and (s == mx * (mx + 1) // 2) and (n == mx + 1)
+        yield pd.DataFrame(
+            {"conv_id": [conv_id], "n_turns": [n], "min_idx": [mn],
+             "max_idx": [mx], "complete": [complete]}
+        )
+        return
+    n, mn, mx, s = state.get if state.exists else (0, None, None, 0)
+    for pdf in pdfs:
+        idx = pdf["turn_idx"].astype("int64")
+        n += len(idx)
+        mn = int(idx.min()) if mn is None else min(mn, int(idx.min()))
+        mx = int(idx.max()) if mx is None else max(mx, int(idx.max()))
+        s += int(idx.sum())
+    state.update((n, mn, mx, s))
+    state.setTimeoutDuration(30_000)  # evict idle conversations after 30s
+    complete = (mn == 0) and (s == mx * (mx + 1) // 2) and (n == mx + 1)
+    yield pd.DataFrame(
+        {"conv_id": [conv_id], "n_turns": [n], "min_idx": [mn],
+         "max_idx": [mx], "complete": [complete]}
+    )
+
+
+def conversation_tracker(stream: DataFrame) -> DataFrame:
+    """Streaming per-conversation running state (update output mode)."""
+    return (
+        stream.select("conv_id", "turn_idx")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _track,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

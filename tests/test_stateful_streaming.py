@@ -1,0 +1,58 @@
+"""applyInPandasWithState: per-conversation running state must converge
+to the batch truth once all micro-batches are processed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.streaming.stateful import conversation_tracker
+from node_log_forwarder_spark.streaming.stream import read_transcript_stream
+
+
+def test_conversation_tracker_converges_to_batch_truth(spark, transcripts, tmp_path):
+    inp = str(tmp_path / "in")
+    transcripts.repartition(6).write.mode("overwrite").parquet(inp)
+
+    stream = read_transcript_stream(spark, inp, max_files_per_trigger=2)
+    tracked = conversation_tracker(stream)
+    q = (
+        tracked.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last update per conversation = final state (memory sink appends
+    # every update; take the row with max n_turns per conv)
+    from pyspark.sql import Window
+
+    updates = spark.table("conv_state")
+    w = Window.partitionBy("conv_id").orderBy(F.col("n_turns").desc())
+    final = (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("conv_id", "n_turns", "min_idx", "max_idx", "complete")
+    )
+    got = {r["conv_id"]: r for r in final.collect()}
+
+    exp = {
+        r["conv_id"]: r
+        for r in transcripts.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("min_idx"),
+            F.max("turn_idx").alias("max_idx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for cid, e in exp.items():
+        g = got[cid]
+        assert (g["n_turns"], g["min_idx"], g["max_idx"]) == (
+            e["n_turns"], e["min_idx"], e["max_idx"],
+        ), cid
+        # synthetic turn_idx is dense 0..n-1 → every conv ends complete
+        assert g["complete"], cid
