@@ -550,6 +550,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["salted_agg"] = q_salted_agg
 
+    # --- token-budget document packing (greedy per-group fold — not SQL-expressible,
+    #     rows-only check; invariants pytest-verified in test_packing) ------------------
+    def q_pack_documents(spark, sf):
+        from node_log_forwarder_spark.operators.packing import pack_documents
+
+        docs = _t(spark, sf, "documents")
+        return pack_documents(docs, budget=200)
+    q["pack_documents"] = q_pack_documents
+
     # --- multimodal: binary columns + mapInPandas (stubbed decode → rows-only) ----------
     def q_multimodal_features(spark, sf):
         docs = _t(spark, sf, "documents")

@@ -1,0 +1,66 @@
+"""Token-budget document packing — training-batch preparation.
+
+Greedy sequential packing: within each partition group (e.g. lang or
+source), documents are taken in deterministic id order and appended to
+the current pack until adding the next doc would exceed ``budget``
+tokens; oversized single docs get their own pack. One output row per
+doc with its (group, pack_id, offset) assignment — downstream
+concatenation/tokenization reads packs with a simple groupBy.
+
+Implemented with applyInPandas (grouped-map): packing is inherently
+sequential WITHIN a group, but groups pack in parallel across the
+cluster — the standard shape for this operator at scale (groups =
+shards; at 100 TB choose the group key so a group's doc list fits a
+task, e.g. lang x hash-bucket).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.text import token_count
+
+PACK_SCHEMA = (
+    "group_key string, doc_id long, n_tokens int, pack_id long, pack_offset int"
+)
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each doc to a pack of ≤ budget tokens within its group."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        pack_id, used, offset = 0, 0, 0
+        out_pack, out_off = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if used > 0 and used + n > budget:
+                pack_id, used, offset = pack_id + 1, 0, 0
+            out_pack.append(pack_id)
+            out_off.append(offset)
+            used += n
+            offset += 1
+        return pd.DataFrame(
+            {
+                "group_key": pdf[group_col].astype(str),
+                "doc_id": pdf[id_col],
+                "n_tokens": pdf["n_tokens"].astype("int32"),
+                "pack_id": out_pack,
+                "pack_offset": out_off,
+            }
+        )
+
+    prepared = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    return prepared.groupBy(group_col).applyInPandas(kernel, PACK_SCHEMA)

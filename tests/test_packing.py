@@ -1,0 +1,47 @@
+"""Token-budget packing: python-oracle parity + budget invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.packing import pack_documents
+
+DOCS = [
+    (0, "en", "a b c"),            # 3 tokens
+    (1, "en", "d e"),              # 2
+    (2, "en", "f g h i"),          # 4
+    (3, "en", "j"),                # 1
+    (4, "en", " ".join("x" * 1 for _ in range(12))),  # 12 (> budget alone)
+    (5, "de", "p q r s t"),        # 5
+    (6, "de", "u v w"),            # 3
+]
+
+
+def test_packing_matches_oracle(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
+    out = pack_documents(df, budget=6)
+    got = {r["doc_id"]: (r["group_key"], r["pack_id"], r["pack_offset"], r["n_tokens"])
+           for r in out.collect()}
+    # en, budget 6, id order: [3] -> p0; [2] -> p0 (5); [4] won't fit -> p1 (4);
+    # [1] fits p1 (5); [12] oversize -> p2 alone
+    assert got[0] == ("en", 0, 0, 3)
+    assert got[1] == ("en", 0, 1, 2)
+    assert got[2] == ("en", 1, 0, 4)
+    assert got[3] == ("en", 1, 1, 1)
+    assert got[4] == ("en", 2, 0, 12)
+    assert got[5] == ("de", 0, 0, 5)
+    assert got[6] == ("de", 1, 0, 3)
+
+
+def test_packing_budget_invariant_on_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_documents(docs, budget=200)
+    sums = out.groupBy("group_key", "pack_id").agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_docs")
+    )
+    # multi-doc packs never exceed the budget; oversized docs sit alone
+    bad = sums.filter((F.col("total") > 200) & (F.col("n_docs") > 1)).count()
+    assert bad == 0
+    # every doc assigned exactly once
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
