@@ -243,6 +243,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["topk_users"] = q_topk_users
 
+    # --- ntile quantile-bucketing --------------------------------------------
+    def q_ntile_buckets(spark, sf):
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        return (
+            ev.withColumn("bucket", F.ntile(4).over(w))
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.min("value"), 4).alias("lo"),
+                F.round(F.max("value"), 4).alias("hi"),
+            )
+        )
+    q["ntile_buckets"] = q_ntile_buckets
+
     # --- set ops -------------------------------------------------------------
     def q_set_union(spark, sf):
         ev = _t(spark, sf, "events").select(F.col("event_type").alias("val"))
@@ -773,6 +790,17 @@ def oracle_sql() -> dict[str, str]:
     sql["topk_users"] = """
         SELECT user_id, count(*) AS n FROM events
         GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+    """
+
+    sql["ntile_buckets"] = """
+        WITH b AS (
+          SELECT event_type, value,
+                 ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+          FROM events
+        )
+        SELECT event_type, bucket, count(*) AS n,
+               round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        FROM b GROUP BY 1, 2
     """
 
     sql["set_union"] = """

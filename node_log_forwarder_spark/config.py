@@ -28,6 +28,23 @@ class ParseRule:
     pattern: str  # anchored Python regex with named groups
     field_types: dict[str, str] = field(default_factory=dict)  # name -> spark type
 
+    def __post_init__(self) -> None:
+        # fail fast with a precise message at config-load time, not deep
+        # inside a Spark job (the forwarder likewise validates parsers on
+        # config reload)
+        try:
+            compiled = re.compile(self.pattern, re.ASCII)
+        except re.error as e:
+            raise ValueError(
+                f"rule {self.rule_id!r}: invalid regex {self.pattern!r}: {e}"
+            ) from e
+        unknown = set(self.field_types) - set(compiled.groupindex)
+        if unknown:
+            raise ValueError(
+                f"rule {self.rule_id!r}: field_types for captures that do not "
+                f"exist in the pattern: {sorted(unknown)}"
+            )
+
     @property
     def compiled(self) -> re.Pattern:
         # re.ASCII pins \w \d \s \b to ASCII — the semantics of Java

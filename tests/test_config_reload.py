@@ -39,6 +39,15 @@ def test_sink_swap_changes_fanout(spark):
     assert sorted(route(parsed, v2).first()["sink_ids"]) == ["failures", "slow_calls"]
 
 
+def test_invalid_rule_fails_fast():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid regex"):
+        ParseRule("bad", 1, r"^unclosed (?P<grp>[a-z")
+    with _pytest.raises(ValueError, match="do not exist in the pattern"):
+        ParseRule("bad2", 1, r"^ok (?P<a>\w+)$", {"nonexistent": "int"})
+
+
 def test_json_config_round_trip(tmp_path):
     from node_log_forwarder_spark.config import (
         DEFAULT_RULES,
