@@ -227,38 +227,59 @@ def run_resumable(
     for batch in batches:
         t0 = time.monotonic()
         src = _with_bucket(transcripts, cfg.n_buckets).filter(F.col("bucket").isin(batch))
-        routed = build_routed(spark, src, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            tag = f"b{min(batch)}_{max(batch)}"
-            if cfg.writer == "partitioned":
-                write_sinks_partitioned(routed, f"{out_dir}/sinks/{tag}", mode="overwrite")
-            else:
-                write_sinks(routed, cfg.sinks, f"{out_dir}/sinks/{tag}", mode="overwrite")
-            aggs = sink_counts(routed, window=cfg.window, keys=cfg.agg_keys)
+        routed = build_routed(spark, src, cfg)
+        tag = f"b{min(batch)}_{max(batch)}"
+        if cfg.writer == "partitioned":
+            # scale path: NO persist of the fanned-out frame (a 16-bucket
+            # batch at 19M rows blew an 8g heap with MEMORY_AND_DISK).
+            # Write once; aggregates + rows_routed re-read the written
+            # sinks column-pruned; rows_in is a column-pruned source
+            # count. Same no-materialization argument as run_pipeline.
+            write_sinks_partitioned(routed, f"{out_dir}/sinks/{tag}", mode="overwrite")
+            delivered = read_table(spark, f"{out_dir}/sinks/{tag}")
+            aggs = delivered.groupBy(
+                F.date_trunc(cfg.window, F.col("ts")).alias("window_start"),
+                F.col("sink_id"),
+                *[F.col(k) for k in cfg.agg_keys],
+            ).agg(F.count(F.lit(1)).alias("n_rows"))
             write_table(aggs, f"{out_dir}/agg_sink_counts/{tag}", mode="overwrite")
-            # per-partition lineage + throughput metrics
-            wall_ms = int((time.monotonic() - t0) * 1000)
-            lineage = (
-                routed.groupBy("bucket")
-                .agg(
+            routed_counts = delivered.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("rows_routed")
+            )
+            in_counts = src.select("bucket").groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("rows_in")
+            )
+            base = in_counts.join(routed_counts, "bucket", "left")
+        else:
+            routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                write_sinks(routed, cfg.sinks, f"{out_dir}/sinks/{tag}", mode="overwrite")
+                aggs = sink_counts(routed, window=cfg.window, keys=cfg.agg_keys)
+                write_table(aggs, f"{out_dir}/agg_sink_counts/{tag}", mode="overwrite")
+                base = routed.groupBy("bucket").agg(
                     F.count(F.lit(1)).alias("rows_in"),
                     F.sum(F.size("sink_ids").cast("long")).alias("rows_routed"),
                 )
-                .withColumn("run_id", F.lit(run_id))
-                .withColumn("status", F.lit("committed"))
-                .withColumn("wall_ms", F.lit(wall_ms))
-                .withColumn("attempt", F.lit(1))
-                .withColumn(
-                    "rows_per_sec",
-                    F.round(F.col("rows_in") / F.greatest(F.lit(wall_ms) / 1000.0, F.lit(0.001)), 1),
-                )
-                .select(
-                    "run_id", "bucket", "status", "rows_in",
-                    "rows_routed", "wall_ms", "attempt", "rows_per_sec",
-                )
+                base = base.persist()
+                base.count()
+            finally:
+                routed.unpersist()
+        # per-partition lineage + throughput metrics
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage = (
+            base.withColumn("run_id", F.lit(run_id))
+            .withColumn("status", F.lit("committed"))
+            .withColumn("wall_ms", F.lit(wall_ms))
+            .withColumn("attempt", F.lit(1))
+            .withColumn(
+                "rows_per_sec",
+                F.round(F.col("rows_in") / F.greatest(F.lit(wall_ms) / 1000.0, F.lit(0.001)), 1),
             )
-            write_table(lineage, manifest_dir, mode="append")
-        finally:
-            routed.unpersist()
+            .select(
+                "run_id", "bucket", "status", "rows_in",
+                "rows_routed", "wall_ms", "attempt", "rows_per_sec",
+            )
+        )
+        write_table(lineage, manifest_dir, mode="append")
         processed.extend(batch)
     return {"processed_buckets": processed, "skipped": cfg.n_buckets - len(processed)}
