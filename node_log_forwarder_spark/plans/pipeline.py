@@ -266,6 +266,7 @@ def run_resumable(
                 routed.unpersist()
         # per-partition lineage + throughput metrics
         wall_ms = int((time.monotonic() - t0) * 1000)
+        base_persisted = cfg.writer != "partitioned"
         lineage = (
             base.withColumn("run_id", F.lit(run_id))
             .withColumn("status", F.lit("committed"))
@@ -281,5 +282,7 @@ def run_resumable(
             )
         )
         write_table(lineage, manifest_dir, mode="append")
+        if base_persisted:
+            base.unpersist()
         processed.extend(batch)
     return {"processed_buckets": processed, "skipped": cfg.n_buckets - len(processed)}
