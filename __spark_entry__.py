@@ -967,11 +967,14 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["cosine_topk"] = """
-        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        -- CAST to DOUBLE[]: duckdb computes list_cosine_similarity of
+        -- FLOAT[] in float32; spark computes in double
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
         SELECT vec_id,
-               round(list_cosine_similarity(embedding, qe), 4) AS sim
-        FROM embeddings, q
-        ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
+               round(list_cosine_similarity(emb, qe), 4) AS sim
+        FROM e, q
+        ORDER BY list_cosine_similarity(emb, qe) DESC, vec_id
         LIMIT 10
     """
 
@@ -1067,11 +1070,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["cosine_near_dup"] = """
-        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings WHERE vec_id < 200)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+               round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35
+        WHERE list_cosine_similarity(a.emb, b.emb) > 0.35
     """
 
     sql["salted_agg"] = """

@@ -31,12 +31,12 @@ def norm_cell(v):
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return f"{v:.6g}"
+        return f"{v:.10g}"
     try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return f"{float(v):.6g}"
+            return f"{float(v):.10g}"
     except ImportError:
         pass
     if hasattr(v, "isoformat"):
