@@ -759,8 +759,10 @@ def oracle_sql() -> dict[str, str]:
     sql["conversation_stats"] = f"""
         WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
         g AS (
+          -- integer microsecond gaps: exact, matches the pandas kernel
           SELECT conv_id, turn_idx, role, ts,
-                 epoch(ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS gap_s
+                 epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
           FROM t
         )
         SELECT conv_id,
@@ -768,8 +770,8 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT role) AS n_roles,
                arg_min(role, turn_idx) AS first_role,
                arg_max(role, turn_idx) AS last_role,
-               coalesce(round(avg(gap_s), 4), 0.0) AS mean_gap_s,
-               coalesce(round(max(gap_s), 4), 0.0) AS max_gap_s
+               coalesce(round(avg(gap_us) / 1000000, 4), 0.0) AS mean_gap_s,
+               coalesce(round(CAST(max(gap_us) AS DOUBLE) / 1000000, 4), 0.0) AS max_gap_s
         FROM g GROUP BY conv_id
     """
 

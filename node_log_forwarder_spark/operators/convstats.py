@@ -27,8 +27,13 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx")
-        ts = pdf["ts"]
-        gaps = ts.diff().dt.total_seconds().dropna()
+        # exact integer microsecond gaps (float epoch subtraction loses
+        # low bits and flips 4-decimal rounding vs the SQL oracle)
+        us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+        gaps_us = us.diff().dropna()
+        n = len(gaps_us)
+        mean_s = (float(gaps_us.sum()) / n) / 1e6 if n else 0.0
+        max_s = float(gaps_us.max()) / 1e6 if n else 0.0
         return pd.DataFrame(
             {
                 "conv_id": [pdf["conv_id"].iloc[0]],
@@ -36,13 +41,20 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
                 "n_roles": [pdf["role"].nunique()],
                 "first_role": [pdf["role"].iloc[0]],
                 "last_role": [pdf["role"].iloc[-1]],
-                "mean_gap_s": [round(float(gaps.mean()), 4) if len(gaps) else 0.0],
-                "max_gap_s": [round(float(gaps.max()), 4) if len(gaps) else 0.0],
+                "mean_gap_s": [mean_s],
+                "max_gap_s": [max_s],
             }
         )
 
-    return (
+    from pyspark.sql import functions as F
+
+    out = (
         transcripts.select("conv_id", "turn_idx", "role", "ts")
         .groupBy("conv_id")
         .applyInPandas(kernel, CONV_STATS_SCHEMA)
+    )
+    # round JVM-side: Spark round is HALF_UP like the SQL oracle's;
+    # Python's round() is banker's and diverges on exact .00005 ties
+    return out.withColumns(
+        {"mean_gap_s": F.round("mean_gap_s", 4), "max_gap_s": F.round("max_gap_s", 4)}
     )
