@@ -111,6 +111,19 @@ def start_windowed_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """At-least-once transports (the forwarder's retry path) can deliver
+    a turn twice; drop duplicates by (conv_id, turn_idx) with bounded
+    state — the watermark caps how long a key is remembered, so state
+    size is O(events within the watermark window), not O(stream)."""
+    keys = keys or ["conv_id", "turn_idx"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def start_foreach_batch(
     spark: SparkSession,
     stream: DataFrame,

@@ -91,6 +91,30 @@ def test_stream_restart_exactly_once(spark, transcripts, tmp_path):
     assert got == exp  # complete coverage, zero duplicates
 
 
+def test_stream_dedup_within_watermark(spark, transcripts, tmp_path):
+    """Duplicated deliveries (retry semantics) collapse to exactly one
+    row per (conv_id, turn_idx)."""
+    from node_log_forwarder_spark.streaming.stream import dedup_stream
+
+    inp = str(tmp_path / "dup_in")
+    # every turn delivered twice
+    transcripts.unionByName(transcripts).repartition(6).write.mode("overwrite").parquet(inp)
+    stream = read_transcript_stream(spark, inp, max_files_per_trigger=6)
+    deduped = dedup_stream(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "dup_out"))
+        .option("checkpointLocation", str(tmp_path / "dup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "dup_out"))
+    assert out.count() == transcripts.count()
+    assert out.select("conv_id", "turn_idx").distinct().count() == transcripts.count()
+
+
 def test_stream_windowed_counts_match_batch(spark, transcripts, tmp_path):
     inp = str(tmp_path / "in2")
     _write_input(transcripts, inp)
