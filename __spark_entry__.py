@@ -329,6 +329,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_exact"] = q_dedup_exact
 
+    # --- dedup: exact survivors (row-level: lowest doc_id per fingerprint) ----
+    def q_dedup_survivors(spark, sf):
+        from node_log_forwarder_spark.operators.dedup import exact_dedup
+
+        docs = _t(spark, sf, "documents")
+        return exact_dedup(docs).select("doc_id", "lang")
+    q["dedup_survivors"] = q_dedup_survivors
+
     # --- text: token counting -------------------------------------------------
     def q_token_count(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -848,6 +856,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, count(*) AS n_docs,
                count(DISTINCT {_FP}) AS n_unique
         FROM documents GROUP BY lang
+    """
+
+    sql["dedup_survivors"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id IN (
+          SELECT min(doc_id) FROM documents GROUP BY {_FP}
+        )
     """
 
     sql["token_count"] = f"""
