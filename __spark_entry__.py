@@ -243,6 +243,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["topk_users"] = q_topk_users
 
+    # --- rollup (grouping sets) ------------------------------------------------
+    def q_rollup_counts(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .rollup("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+                F.coalesce(F.col("day"), F.lit("<all>")).alias("day"),
+                "n",
+            )
+        )
+    q["rollup_counts"] = q_rollup_counts
+
+    # --- embedding vector math: L2 norms per label -----------------------------
+    def q_embedding_norms(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        sq = F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return emb.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.sqrt(sq)), 4).alias("avg_norm"),
+            F.round(F.max(F.sqrt(sq)), 4).alias("max_norm"),
+        )
+    q["embedding_norms"] = q_embedding_norms
+
     # --- ntile quantile-bucketing --------------------------------------------
     def q_ntile_buckets(spark, sf):
         from pyspark.sql import Window
@@ -584,6 +614,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_documents(docs, budget=200)
     q["pack_documents"] = q_pack_documents
 
+    # --- multimodal: frame sampling (1→N row expansion in mapInPandas, rows-only) -------
+    def q_multimodal_frames(spark, sf):
+        from node_log_forwarder_spark.operators.multimodal import sample_frames
+
+        docs = _t(spark, sf, "documents")
+        frames = sample_frames(attach_media(docs))
+        return frames.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(F.sum("frame_feature"), 2).alias("sum_feature"),
+        ).filter(F.col("doc_id") < 100)
+    q["multimodal_frames"] = q_multimodal_frames
+
     # --- multimodal: binary columns + mapInPandas (stubbed decode → rows-only) ----------
     def q_multimodal_features(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -800,6 +842,27 @@ def oracle_sql() -> dict[str, str]:
     sql["topk_users"] = """
         SELECT user_id, count(*) AS n FROM events
         GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+    """
+
+    sql["rollup_counts"] = """
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(day, '<all>') AS day, n
+        FROM (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+          FROM events GROUP BY ROLLUP (event_type, day)
+        )
+    """
+
+    sql["embedding_norms"] = """
+        WITH e AS (
+          SELECT label,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+          FROM embeddings
+        )
+        SELECT label, count(*) AS n,
+               round(avg(nrm), 4) AS avg_norm,
+               round(max(nrm), 4) AS max_norm
+        FROM e GROUP BY label
     """
 
     sql["ntile_buckets"] = """

@@ -23,6 +23,8 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = "doc_id long, media_type string, n_bytes int, header_hex string, feature double"
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary, frame_feature double"
+
 
 def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Synthesize an opaque binary payload + typed metadata from text —
@@ -81,3 +83,40 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame sampling for video/audio payloads: emit up to ``max_frames``
+    evenly spaced 'frames' per document — a 1→N row expansion done
+    inside mapInPandas (Arrow batch in, longer Arrow batch out), the
+    shape real ffmpeg/pyav frame extraction takes. REAL DECODE IS
+    STUBBED (no media libs in this container): a frame here is a byte
+    slice + its decode_impl feature; production swaps the slicer for
+    actual frame extraction without touching the Spark plumbing."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs, feats = [], [], [], []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if payload is None or len(payload) == 0:
+                    continue
+                n = min(max_frames, max(1, len(payload) // every_n_bytes))
+                for i in range(n):
+                    start = i * len(payload) // n
+                    frame = bytes(payload[start : start + every_n_bytes])
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    blobs.append(frame)
+                    feats.append(decode_impl(frame, mtype))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(blobs, dtype=object),
+                    "frame_feature": pd.Series(feats, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)

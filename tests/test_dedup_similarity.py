@@ -170,6 +170,23 @@ def test_quality_and_langid(spark):
     assert rows[1][0] > rows[3][0]
 
 
+def test_multimodal_frame_sampling(spark, docs):
+    from node_log_forwarder_spark.operators.multimodal import attach_media, sample_frames
+
+    frames = sample_frames(attach_media(docs), every_n_bytes=8, max_frames=4)
+    rows = frames.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc  # empty payload → zero frames
+    d0 = sorted(by_doc[0], key=lambda r: r["frame_idx"])
+    assert len(d0) == 4  # capped at max_frames
+    payload = DOCS[0][1].encode()
+    assert bytes(d0[0]["frame_bytes"]) == payload[:8]
+    assert d0[0]["frame_feature"] == float(sum(payload[:8]) % 997)
+    assert [r["frame_idx"] for r in d0] == [0, 1, 2, 3]
+
+
 def test_multimodal_plumbing(spark, docs):
     media = attach_media(docs)
     assert dict(media.dtypes)["payload"] == "binary"
