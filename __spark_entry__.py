@@ -189,6 +189,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["router_fanout_arrow"] = q_router_fanout_arrow
 
+    # --- library rules (apache/syslog/json) through the oracle gate ---------
+    def q_library_parse(spark, sf):
+        from node_log_forwarder_spark.config import LIBRARY_RULES
+
+        ev = _t(spark, sf, "events")
+        k = F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("int")
+        line = (
+            F.when(
+                F.col("event_type") == "view",
+                F.format_string(
+                    '10.0.0.%d - user%d [10/Oct/2000:13:55:36 -0700] "GET /p/%d HTTP/1.1" %d %d',
+                    k % 256, k % 50, k, 200 + k % 300, k * 13,
+                ),
+            )
+            .when(
+                F.col("event_type") == "error",
+                F.format_string(
+                    "<%d>1 2026-02-03T10:11:12Z host%d app %d ID%d - failure %d",
+                    k % 192, k % 9, k, k % 77, k,
+                ),
+            )
+            .otherwise(F.format_string('{"event": "%s", "k": %d}', F.col("event_type"), k))
+        )
+        parsed = parse_stage(ev.select(line.alias("text")), LIBRARY_RULES)
+        status_code = F.expr("try_cast(fields['status_code'] as int)")
+        return parsed.groupBy(
+            F.coalesce(F.col("rule_id"), F.lit("_miss")).alias("rule_id")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(status_code >= 400, 1).otherwise(0)).alias("n_4xx_plus"),
+        )
+    q["library_parse"] = q_library_parse
+
     # --- O9-O11 per-sink windowed aggregates (flagship) --------------------
     def q_pipeline_sink_counts(spark, sf):
         routed = _routed(spark, sf)
@@ -737,6 +770,37 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """
+
+    from node_log_forwarder_spark.config import LIBRARY_RULES as _LIB
+
+    lib_cases = " ".join(
+        f"WHEN regexp_matches(text, '{r.pattern.replace(chr(39), chr(39)*2)}') THEN '{r.rule_id}'"
+        for r in sorted(_LIB, key=lambda r: r.priority)
+    )
+    sql["library_parse"] = f"""
+        WITH e AS (
+          SELECT event_type, CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k FROM events
+        ),
+        l AS (
+          SELECT CASE
+            WHEN event_type = 'view' THEN printf(
+              '10.0.0.%d - user%d [10/Oct/2000:13:55:36 -0700] "GET /p/%d HTTP/1.1" %d %d',
+              k % 256, k % 50, k, 200 + k % 300, k * 13)
+            WHEN event_type = 'error' THEN printf(
+              '<%d>1 2026-02-03T10:11:12Z host%d app %d ID%d - failure %d',
+              k % 192, k % 9, k, k % 77, k)
+            ELSE printf('{{"event": "%s", "k": %d}}', event_type, k)
+          END AS text FROM e
+        ),
+        p AS (
+          SELECT CASE {lib_cases} ELSE NULL END AS rule_id,
+                 TRY_CAST(regexp_extract(text, '" (\\d{{3}}) ', 1) AS INT) AS status_code
+          FROM l
+        )
+        SELECT coalesce(rule_id, '_miss') AS rule_id, count(*) AS n,
+               CAST(sum(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_4xx_plus
+        FROM p GROUP BY 1
     """
 
     fanout = (
