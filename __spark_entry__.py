@@ -626,6 +626,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["vocab_topk"] = q_vocab_topk
 
+    # --- sketch: HLL approx-distinct (deterministic given data; engine-specific
+    #     estimates → rows-only; accuracy pytest-verified vs exact) -----------------------
+    def q_approx_distinct(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    q["approx_distinct"] = q_approx_distinct
+
     # --- skew: salted two-phase agg == plain agg ----------------------------------------
     def q_salted_agg(spark, sf):
         ev = _t(spark, sf, "events")

@@ -113,6 +113,15 @@ def test_pipeline_day_partitioning(spark, transcripts, tmp_path):
     assert "PartitionFilters" in plan and "day#" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_approx_distinct_within_tolerance(spark, transcripts):
+    """HLL sketch estimate within its configured rsd of the exact count."""
+    approx = transcripts.agg(
+        F.approx_count_distinct("conv_id", 0.02).alias("a")
+    ).first()["a"]
+    exact = transcripts.select("conv_id").distinct().count()
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd safety margin
+
+
 def test_observe_metrics(spark, transcripts):
     from node_log_forwarder_spark.operators.aggregate import observe_metrics
 
