@@ -44,9 +44,10 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        # Arrow transfer for the vectorized parse stage.
+        # Arrow transfer for the vectorized parse stage (20k/batch
+        # measured ~10% faster than the 10k default on the parse UDF).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
         # Keep scan partitions a sane size (matters for the 100 TB scan).
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.parquet.filterPushdown": "true",
