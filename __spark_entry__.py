@@ -1237,6 +1237,34 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY user_id
     """
 
-    # ann_lsh, multimodal_features: intentionally no SQL twin
-    # (approximate / stub-backed) → driver rows-only check.
+    # greedy packing as a recursive CTE — sequential fold per group,
+    # rn+1 self-join carries (pack_id, offset, used) state forward
+    sql["pack_documents"] = f"""
+        WITH RECURSIVE base AS (
+          SELECT lang, doc_id, CAST(len({_TOKENS}) AS INT) AS tc FROM documents
+        ), d AS (
+          SELECT lang, doc_id, tc,
+                 row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+          FROM base
+        ), packed AS (
+          SELECT lang, doc_id, tc, rn, CAST(0 AS BIGINT) AS pack_id,
+                 0 AS pack_offset, tc AS used
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.lang, d.doc_id, d.tc, d.rn,
+                 CASE WHEN p.used > 0 AND p.used + d.tc > 200
+                      THEN p.pack_id + 1 ELSE p.pack_id END,
+                 CASE WHEN p.used > 0 AND p.used + d.tc > 200
+                      THEN 0 ELSE p.pack_offset + 1 END,
+                 CASE WHEN p.used > 0 AND p.used + d.tc > 200
+                      THEN d.tc ELSE p.used + d.tc END
+          FROM d JOIN packed p ON d.lang = p.lang AND d.rn = p.rn + 1
+        )
+        SELECT lang AS group_key, doc_id, tc AS n_tokens, pack_id, pack_offset
+        FROM packed
+    """
+
+    # ann_lsh, multimodal_*, approx_distinct, cosine_near_dup_blocked:
+    # intentionally no SQL twin (approximate / stub-backed / engine-
+    # specific estimates) → driver rows-only check.
     return sql
