@@ -521,17 +521,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return conversation_stats(tr)
     q["conversation_stats"] = q_conversation_stats
 
-    # --- byte-equality invariant: per-sink sha256 over text in stable order -------------
+    # --- byte-equality invariant: per-sink Merkle sha256 over text in stable
+    #     (conv_id, turn_idx) order — three bounded-state levels, no reducer ever
+    #     holds a sink's full text (scale-safe; oracle is the same hash cascade) --------
     def q_sink_text_sha(spark, sf):
+        from node_log_forwarder_spark.operators.aggregate import merkle_text_sha
+
         exploded = explode_sinks(_routed(spark, sf))
-        ordered = F.array_sort(
-            F.collect_list(F.struct("conv_id", "turn_idx", "text"))
-        )
-        concat = F.concat_ws("", F.transform(ordered, lambda s: s.getField("text")))
-        return exploded.groupBy("sink_id").agg(
-            F.sha2(concat, 256).alias("text_sha"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+        return merkle_text_sha(exploded)
     q["sink_text_sha"] = q_sink_text_sha
 
     # --- sessionization: 30-min-gap sessions per user (lag + cumulative sum) ------------
@@ -1132,15 +1129,28 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 10
     """
 
+    # same three-level Merkle cascade as operators.aggregate.merkle_text_sha
     sql["sink_text_sha"] = (
         _PARSED
         + ","
         + _SINKS_EXPLODED
         + """
+        , c AS (
+          SELECT sink_id, conv_id,
+                 sha256(string_agg(text, '' ORDER BY turn_idx)) AS unit_sha,
+                 count(*) AS n
+          FROM sinks GROUP BY sink_id, conv_id
+        ), b AS (
+          SELECT sink_id,
+                 CAST(concat('0x', substr(md5(conv_id), 1, 2)) AS INT) % 256 AS bucket,
+                 sha256(string_agg(unit_sha, '' ORDER BY conv_id)) AS bucket_sha,
+                 sum(n) AS n
+          FROM c GROUP BY 1, 2
+        )
         SELECT sink_id,
-               sha256(string_agg(text, '' ORDER BY conv_id, turn_idx)) AS text_sha,
-               count(*) AS n_rows
-        FROM sinks GROUP BY sink_id
+               sha256(string_agg(bucket_sha, '' ORDER BY bucket)) AS text_sha,
+               CAST(sum(n) AS BIGINT) AS n_rows
+        FROM b GROUP BY sink_id
         """
     )
 
