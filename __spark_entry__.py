@@ -1069,14 +1069,17 @@ def oracle_sql() -> dict[str, str]:
 
     mh_cols = ",\n".join(mh(i) for i in range(8))
     band_selects = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_key FROM sigs"
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_key FROM reps"
         for b in range(4)
     )
+    _MH_NAMES = ", ".join(f"mh{i}" for i in range(8))
     sql["minhash_pairs"] = f"""
         WITH w_t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
         sh AS (SELECT DISTINCT doc_id, unnest({_NGRAM3}) AS shingle FROM w_t),
         hs AS (SELECT doc_id, {_H} AS h FROM sh),
         sigs AS (SELECT doc_id, {mh_cols} FROM hs GROUP BY doc_id),
+        -- identical signature vectors collapse to their min-id representative
+        reps AS (SELECT min(doc_id) AS doc_id, {_MH_NAMES} FROM sigs GROUP BY {_MH_NAMES}),
         bands AS ({band_selects})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -1192,7 +1195,7 @@ def oracle_sql() -> dict[str, str]:
 
     mh_cols8 = ",\n".join(mh(i) for i in range(8))
     band_selects_conv = "\nUNION ALL\n".join(
-        f"SELECT conv_id, {b} AS band_idx, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_key FROM sigs"
+        f"SELECT conv_id, {b} AS band_idx, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_key FROM reps"
         for b in range(4)
     )
     sql["conv_minhash_pairs"] = f"""
@@ -1203,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         sh AS (SELECT DISTINCT conv_id, unnest({_NGRAM3}) AS shingle FROM w_t),
         hs AS (SELECT conv_id, {_H} AS h FROM sh),
         sigs AS (SELECT conv_id, {mh_cols8} FROM hs GROUP BY conv_id),
+        reps AS (SELECT min(conv_id) AS conv_id, {_MH_NAMES} FROM sigs GROUP BY {_MH_NAMES}),
         bands AS ({band_selects_conv})
         SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
         FROM bands a JOIN bands b

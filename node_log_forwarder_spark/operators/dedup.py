@@ -86,9 +86,26 @@ def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 2
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 2,
+    collapse_identical: bool = True,
 ) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one LSH band."""
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band.
+
+    ``collapse_identical`` (default on — VERDICT r1 fix #5) first
+    groups docs with an IDENTICAL signature vector down to their
+    min-id representative, so a cluster of m exact duplicates
+    contributes one row per band bucket instead of m — without it,
+    m identical docs explode into m²/2 candidate pairs inside one
+    bucket. Identical-signature docs are by construction certain
+    near-dup candidates; exact-duplicate membership itself is the
+    job of ``exact_dedup``, not the pair list.
+    """
+    if collapse_identical:
+        mh_cols = [c for c in sigs.columns if c.startswith("mh")]
+        sigs = sigs.groupBy(*mh_cols).agg(F.min(id_col).alias(id_col))
     bdf = lsh_bands(sigs, id_col, bands, rows)
     a = bdf.alias("a")
     b = bdf.alias("b")
