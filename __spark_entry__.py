@@ -483,17 +483,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cosine_near_dup_pairs(emb, threshold=0.35)
     q["cosine_near_dup"] = q_cosine_near_dup
 
-    # same pairs via LSH blocking (scale path; subset of exact → rows-only)
+    # same pairs via banded SRP-LSH blocking (scale path). Invariant oracle
+    # (VERDICT r1 fix #2): n_exact_pairs is exact-checked against DuckDB;
+    # subset_ok (blocked ⊆ exact) and recall_ok (≥0.9, measured 0.975-1.0)
+    # are computed Spark-side and must both be TRUE like the oracle's literals.
     def q_cosine_near_dup_blocked(spark, sf):
         emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
-        return cosine_near_dup_pairs(emb, threshold=0.35, blocked=True)
+        e = cosine_near_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
+        bl = cosine_near_dup_pairs(
+            emb, threshold=0.35, blocked=True, expected_count=200
+        ).select("id_a", "id_b")
+        ne = e.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        nb = bl.agg(F.count(F.lit(1)).alias("_n_blocked"))
+        nx = bl.join(e, ["id_a", "id_b"], "left_anti").agg(
+            F.count(F.lit(1)).alias("_n_extra")
+        )
+        return ne.crossJoin(nb).crossJoin(nx).select(
+            "n_exact_pairs",
+            (F.col("_n_extra") == 0).alias("subset_ok"),
+            (F.col("_n_blocked") >= F.ceil(F.col("n_exact_pairs") * 0.9)).alias("recall_ok"),
+        )
     q["cosine_near_dup_blocked"] = q_cosine_near_dup_blocked
 
-    # --- similarity: LSH-bucketed ANN (no SQL twin → rows-only check) ------------------
+    # --- similarity: banded SRP ANN. Invariant oracle: the exact top-k sim mass is
+    #     exact-checked; recall_ok asserts |ANN∩exact| ≥ 7 of 10 (measured 9-10) -------
     def q_ann_lsh(spark, sf):
         emb = _t(spark, sf, "embeddings")
         query = emb.filter(F.col("vec_id") == 0)
-        return ann_lsh_topk(emb, query, k=10)
+        exact = cosine_topk(emb, query, k=10)
+        ann = ann_lsh_topk(emb, query, k=10)
+        mass = exact.agg(
+            F.lit(10).alias("k"), F.round(F.sum("sim"), 4).alias("sum_topk_sim")
+        )
+        overlap = ann.select("vec_id").join(exact.select("vec_id"), "vec_id").agg(
+            (F.count(F.lit(1)) >= 7).alias("recall_ok")
+        )
+        return mass.crossJoin(overlap)
     q["ann_lsh"] = q_ann_lsh
 
     # --- O11 received/matched tallies per rule ------------------------------------------
@@ -623,13 +648,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["vocab_topk"] = q_vocab_topk
 
-    # --- sketch: HLL approx-distinct (deterministic given data; engine-specific
-    #     estimates → rows-only; accuracy pytest-verified vs exact) -----------------------
+    # --- sketch: HLL approx-distinct. Invariant oracle: n and exact_users are
+    #     exact-checked; within_bound asserts |approx-exact| ≤ 3x the configured
+    #     rsd (HLL is deterministic given the data, so this is a stable check) ----------
     def q_approx_distinct(spark, sf):
         ev = _t(spark, sf, "events")
-        return ev.groupBy("event_type").agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.count(F.lit(1)).alias("n"),
+        return (
+            ev.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("user_id").alias("exact_users"),
+                F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+            )
+            .select(
+                "event_type",
+                "n",
+                "exact_users",
+                (
+                    F.abs(F.col("_approx") - F.col("exact_users"))
+                    <= F.col("exact_users") * 0.06
+                ).alias("within_bound"),
+            )
         )
     q["approx_distinct"] = q_approx_distinct
 
@@ -1278,7 +1317,39 @@ def oracle_sql() -> dict[str, str]:
         FROM packed
     """
 
-    # ann_lsh, multimodal_*, approx_distinct, cosine_near_dup_blocked:
-    # intentionally no SQL twin (approximate / stub-backed / engine-
-    # specific estimates) → driver rows-only check.
+    # Invariant oracles for the approximate operators (VERDICT r1 fix #2):
+    # the numeric columns are exact-checked; the *_ok booleans are computed
+    # Spark-side from the approximate result and must equal the oracle's
+    # literal TRUE — a wrong subset/recall/error-bound flips the hash.
+    sql["cosine_near_dup_blocked"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings WHERE vec_id < 200)
+        SELECT count(*) AS n_exact_pairs,
+               TRUE AS subset_ok, TRUE AS recall_ok
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) > 0.35
+    """
+
+    sql["ann_lsh"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        topk AS (
+          SELECT round(list_cosine_similarity(emb, qe), 4) AS sim
+          FROM e, q
+          ORDER BY list_cosine_similarity(emb, qe) DESC, vec_id
+          LIMIT 10
+        )
+        SELECT 10 AS k, round(sum(sim), 4) AS sum_topk_sim, TRUE AS recall_ok
+        FROM topk
+    """
+
+    sql["approx_distinct"] = """
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bound
+        FROM events GROUP BY event_type
+    """
+
+    # multimodal_*: intentionally no SQL twin (stub-backed decode —
+    # no media libs in the container) → driver rows-only check.
     return sql
