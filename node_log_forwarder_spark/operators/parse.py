@@ -52,19 +52,51 @@ def _native_rule_id(text: Column, rules: list[ParseRule]) -> Column:
     for r in _ordered(rules):
         cond = text.rlike(r.java_pattern)
         expr = F.when(cond, F.lit(r.rule_id)) if expr is None else expr.when(cond, F.lit(r.rule_id))
+    if expr is None:  # empty rule list: everything is a miss
+        return F.lit(None).cast("string")
     return expr.otherwise(F.lit(None).cast("string"))
 
 
+# US (unit separator, 0x1F) — vanishingly rare in log/transcript text.
+# Captures containing it would corrupt the split (documented trade-off;
+# the arrow engine is the fallback for such data).
+_FIELD_DELIM = "\x1f"
+
+
 def _native_fields(text: Column, rule_id: Column, rules: list[ParseRule]) -> Column:
+    """One regex evaluation per matched rule (VERDICT r1 fix #7).
+
+    For an anchored pattern, ``regexp_replace(text, pat, "$1\\x1f$2…")``
+    rewrites the whole line into its delimiter-joined captures in a
+    single pass; a ``split`` then yields all k groups — versus k
+    ``regexp_extract`` re-evaluations of the same pattern per row
+    (~k× the regex CPU on the 10^12-row hot path). Non-anchored
+    patterns (none in the shipped rule libraries) keep the per-capture
+    extract path, since replace would leave unmatched text around the
+    captures.
+    """
     expr = None
     for r in _ordered(rules):
-        kvs: list[Column] = []
-        for name in r.capture_names:
-            kvs.append(F.lit(name))
-            kvs.append(F.regexp_extract(text, r.java_pattern, r.group_index(name)))
-        m = F.create_map(*kvs) if kvs else F.create_map().cast("map<string,string>")
+        names = r.capture_names
+        if not names:
+            m = F.create_map().cast("map<string,string>")
+        elif r.pattern.startswith("^") and r.pattern.endswith("$"):
+            repl = _FIELD_DELIM.join(f"${r.group_index(n)}" for n in names)
+            arr = F.split(F.regexp_replace(text, r.java_pattern, repl),
+                          _FIELD_DELIM, len(names))
+            m = F.map_from_arrays(
+                F.array(*[F.lit(n) for n in names]), arr
+            )
+        else:
+            kvs: list[Column] = []
+            for name in names:
+                kvs.append(F.lit(name))
+                kvs.append(F.regexp_extract(text, r.java_pattern, r.group_index(name)))
+            m = F.create_map(*kvs)
         cond = rule_id == r.rule_id
         expr = F.when(cond, m) if expr is None else expr.when(cond, m)
+    if expr is None:
+        return F.create_map().cast("map<string,string>")
     return expr.otherwise(F.create_map().cast("map<string,string>"))
 
 
