@@ -34,10 +34,15 @@ def pack_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Assign each doc to a pack of ≤ budget tokens within its group."""
+    """Assign each doc to a pack of ≤ budget tokens within its group.
+
+    Output schema is pinned to PACK_SCHEMA: the id column surfaces as
+    ``doc_id`` and the group column as ``group_key`` regardless of the
+    input column names passed via ``id_col``/``group_col``.
+    """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
+        pdf = pdf.sort_values(id_col)
         pack_id, used, offset = 0, 0, 0
         out_pack, out_off = [], []
         for n in pdf["n_tokens"]:
@@ -50,7 +55,10 @@ def pack_documents(
             offset += 1
         return pd.DataFrame(
             {
-                "group_key": pdf[group_col].astype(str),
+                # preserve nulls (astype(str) would stringify None → "None")
+                "group_key": pdf[group_col].map(
+                    lambda v: None if pd.isna(v) else str(v)
+                ),
                 "doc_id": pdf[id_col],
                 "n_tokens": pdf["n_tokens"].astype("int32"),
                 "pack_id": out_pack,

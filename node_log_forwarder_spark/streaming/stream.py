@@ -131,12 +131,20 @@ def start_foreach_batch(
     checkpoint_dir: str,
 ) -> StreamingQuery:
     """foreachBatch mode: every micro-batch runs the BATCH writer —
-    byte-identical logic between live and replay runs."""
+    byte-identical logic between live and replay runs.
+
+    Idempotent on batch replay: each micro-batch writes under a
+    batch_id-scoped subdirectory with overwrite semantics, so a batch
+    reprocessed after a failure replaces its own output instead of
+    appending it twice (exactly-once at the file-sink level; readers
+    scan ``out_dir/sinks/batch_id=*``)."""
     from node_log_forwarder_spark.operators.route import write_sinks_partitioned
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         routed = streaming_routed(spark, batch_df)  # batch frame here
-        write_sinks_partitioned(routed, f"{out_dir}/sinks", mode="append")
+        write_sinks_partitioned(
+            routed, f"{out_dir}/sinks/batch_id={batch_id}", mode="overwrite"
+        )
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -99,12 +99,14 @@ def test_manifest_lineage_metrics(spark, transcripts, tmp_path):
     assert bad == 0
 
 
-@pytest.mark.parametrize("engine", ["native", "arrow"])
-def test_pipeline_engines_same_counts(spark, transcripts, tmp_path, engine):
-    out = str(tmp_path / f"eng_{engine}")
-    cfg = PipelineConfig(parse_engine=engine, hot_threshold=500, repartition_input=False)
-    res = run_pipeline(spark, transcripts, out, cfg)
-    if engine == "native":
-        test_pipeline_engines_same_counts.native = res["sink_counts"]
-    else:
-        assert res["sink_counts"] == test_pipeline_engines_same_counts.native
+def test_pipeline_engines_same_counts(spark, transcripts, tmp_path):
+    # both engines in one test: no cross-parametrize state, so -k filters
+    # and test reordering can't break it
+    counts = {}
+    for engine in ("native", "arrow"):
+        out = str(tmp_path / f"eng_{engine}")
+        cfg = PipelineConfig(
+            parse_engine=engine, hot_threshold=500, repartition_input=False
+        )
+        counts[engine] = run_pipeline(spark, transcripts, out, cfg)["sink_counts"]
+    assert counts["native"] == counts["arrow"]
