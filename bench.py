@@ -101,6 +101,31 @@ def main() -> None:
                  "conv_minhash_pairs", "conversation_stats", "vocab_topk"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
+    # ---- scaling-efficiency pair (north rule re-evidence, every round) ----
+    # 1-rep paired 8-vs-32-core measurement in fresh pinned JVMs over the
+    # same warmed input (the full 3-rep protocol lives in
+    # tools/run_scaling.py / BENCH/BASELINE.md). Measured at the protocol's
+    # 19.2M-turn size: smaller inputs are fixed-overhead-dominated (~1s of
+    # scheduling/codegen per run floor) and understate true scaling.
+    # Disable: NLF_BENCH_SCALING=0.
+    scaling = None
+    if os.environ.get("NLF_BENCH_SCALING", "1") != "0":
+        from tools.run_scaling import run_level, warm_input
+
+        sc_turns = int(os.environ.get("NLF_SCALING_TURNS", "19200000"))
+        log(f"scaling pair: parse→route at {sc_turns} turns, 8 vs 32 cores")
+        warm_input(sc_turns)
+        r8 = run_level(8, sc_turns)
+        r32 = run_level(32, sc_turns)
+        scaling = {
+            "n_turns": sc_turns,
+            "t8_sec": {e: round(r8[e], 2) for e in ("arrow", "native")},
+            "t32_sec": {e: round(r32[e], 2) for e in ("arrow", "native")},
+            "efficiency": {e: round((r8[e] / r32[e]) / 4, 3) for e in ("arrow", "native")},
+        }
+        scaling["pass_north_rule"] = scaling["efficiency"]["arrow"] >= 0.8
+        log(f"scaling: {json.dumps(scaling)}")
+
     total = round(sum(queries.values()), 3)
     thr_e2e = round(n_turns / queries["pipeline_e2e"], 1)
     thr_parse = round(n_turns / queries["parse_route_native"], 1)
@@ -118,6 +143,7 @@ def main() -> None:
             "arrow_vs_native_ratio": round(
                 queries["parse_route_arrow"] / max(queries["parse_route_native"], 1e-9), 2
             ),
+            "scaling": scaling,
         },
     }
     print(json.dumps(result), flush=True)
