@@ -9,11 +9,13 @@ queries()      — one DataFrame callable per implemented operator
                    token_count_bpe  → token_count (extra column),
                    ts_parse         → windowed_counts (same date_trunc op),
                    part_stats + supplier_nation → part_supplier_stats.
-oracle_sql()   — DuckDB twins, exact for 48/50. The approximate ops
-                 (ann_lsh, cosine_near_dup_blocked, approx_distinct) use
-                 invariant oracles: exact-checked numerics + *_ok booleans
-                 that the Spark side must prove TRUE. Only multimodal_*
-                 (stub-backed decode) remain rows-only.
+oracle_sql()   — DuckDB twins for ALL 50 keys: exact for 47, invariant
+                 oracles for the 3 approximate ops (ann_lsh,
+                 cosine_near_dup_blocked, approx_distinct — exact-checked
+                 numerics + *_ok booleans the Spark side must prove TRUE).
+                 multimodal_* are exact too: the stubbed decode is a
+                 deterministic byte-sum the SQL twin reproduces from the
+                 ASCII payload.
 
 Cross-engine notes: DuckDB regexp_replace needs the 'g' flag to match
 Spark's replace-all; regexp_extract returns '' on no-match in BOTH;
@@ -1354,6 +1356,47 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY event_type
     """
 
-    # multimodal_*: intentionally no SQL twin (stub-backed decode —
-    # no media libs in the container) → driver rows-only check.
+    # multimodal_*: the decode stub is a deterministic byte-sum
+    # (sum(payload[:64]) % 997) over the utf-8 payload, and the document
+    # text is pure ASCII (verified: octet_length == length at every sf) —
+    # so the DuckDB twin reproduces the bytes with ascii(substr(...)).
+    # These check the ENTIRE mapInPandas plumbing end-to-end; only the
+    # stubbed decode kernel itself awaits real media libs.
+    sql["multimodal_features"] = """
+        WITH m AS (
+          SELECT doc_id,
+                 (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+                 length(text) AS n_bytes,
+                 coalesce(list_sum(list_transform(
+                     generate_series(1, least(length(text), 64)),
+                     i -> ascii(substr(text, i, 1)))), 0) % 997 AS feature
+          FROM documents
+        )
+        SELECT media_type, count(*) AS n,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               round(sum(CAST(feature AS DOUBLE)), 2) AS sum_feature
+        FROM m GROUP BY media_type
+    """
+
+    sql["multimodal_frames"] = """
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS len,
+                 least(8, greatest(1, length(text) // 64)) AS n
+          FROM documents WHERE doc_id < 100
+        ), f AS (
+          SELECT doc_id, text, len, n,
+                 unnest(generate_series(0, n - 1)) AS i
+          FROM d
+        ), feat AS (
+          SELECT doc_id,
+                 coalesce(list_sum(list_transform(
+                     generate_series((i * len) // n + 1,
+                                     least((i * len) // n + 64, len)),
+                     p -> ascii(substr(text, p, 1)))), 0) % 997 AS frame_feature
+          FROM f
+        )
+        SELECT doc_id, count(*) AS n_frames,
+               round(sum(CAST(frame_feature AS DOUBLE)), 2) AS sum_feature
+        FROM feat GROUP BY doc_id
+    """
     return sql
