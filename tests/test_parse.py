@@ -105,3 +105,22 @@ def test_typed_columns(spark):
     s = out.filter(F.col("rule_id") == "syslog_result").first()
     assert s["pri"] == 8 and s["code"] == 503
     assert s["iso_ts"].isoformat().startswith("2026-02-03T04:05:06")
+
+
+def test_engines_identical_on_delimiter_text(spark):
+    """Text containing the fast path's 0x1F delimiter inside a capture
+    must fall back to per-capture extraction and stay byte-identical
+    with the arrow engine (parse.py::_FIELD_DELIM fallback)."""
+    rows = [
+        ("ERROR E1: bad\x1fsplit attempt retry=true",),
+        ("call tool=a\x1fb status=ok dur_ms=5",),
+        ("<42> 2026-01-01T00:00:00 result code=7 msg=x\x1fy",),
+        ("plain \x1f noise line",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    cols = ["text", "rule_id", "matched", "fields"]
+    a = [tuple(sorted(r["fields"].items())) + (r["rule_id"], r["matched"])
+         for r in parse_stage(df, DEFAULT_RULES, engine="native").select(cols).collect()]
+    b = [tuple(sorted(r["fields"].items())) + (r["rule_id"], r["matched"])
+         for r in parse_stage(df, DEFAULT_RULES, engine="arrow").select(cols).collect()]
+    assert a == b

@@ -1,0 +1,80 @@
+"""Hardware thread-scaling envelope calibration.
+
+The north rule's sandbox proxy measures N→4N-core throughput scaling on
+ONE virtualized box. But a virtualized single socket does not hold
+per-core speed constant as more cores go busy (host sharing, frequency,
+shared cache/memory) — so even an EMBARRASSINGLY PARALLEL pure-CPU
+workload with zero coordination and zero memory traffic scales
+sublinearly here. That measured ceiling is the *hardware envelope*; a
+pipeline cannot beat it, and judging the pipeline against raw 4x is
+judging the hypervisor.
+
+measure_envelope(lo, hi) runs `k` pinned processes (the same
+sched_setaffinity pinning as tools/run_scaling.py), each doing a fixed
+pure-Python integer loop, at k=lo and k=hi. With ideal hardware both
+walls are equal; envelope efficiency = wall_lo / wall_hi (straggler
+wall, matching how job wall time is experienced).
+
+On a real 4N-executor cluster each node brings its own silicon, so
+per-core speed does not degrade with executor count — the envelope
+there is ~1.0 and the pipeline's envelope-normalized efficiency is the
+number that transfers.
+
+    python tools/cpu_envelope.py [lo] [hi]   # prints one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+_WORK = 40_000_000
+
+
+def _burn(k: int) -> float:
+    os.sched_setaffinity(0, set(range(k)))
+    x = 0
+    t0 = time.monotonic()
+    for i in range(_WORK):
+        x += i * i % 7
+    return time.monotonic() - t0
+
+
+def _level(k: int) -> dict:
+    with mp.get_context("spawn").Pool(k) as pool:
+        t0 = time.monotonic()
+        times = pool.map(_burn, [k] * k)
+        wall = time.monotonic() - t0
+    return {"wall": round(wall, 3), "per_proc_avg": round(sum(times) / len(times), 3)}
+
+
+def measure_envelope(lo: int = 8, hi: int = 32, reps: int = 3) -> dict:
+    """Envelope efficiency for a lo→hi busy-core step (1.0 = ideal).
+    Paired like run_scaling: per-rep lo/hi back-to-back, median ratio."""
+    import statistics
+
+    pairs = []
+    for _ in range(reps):
+        a, b = _level(lo), _level(hi)
+        pairs.append((a, b, round(a["wall"] / b["wall"], 3)))
+    a, b, _eff = min(pairs, key=lambda p: abs(p[2] - statistics.median(x[2] for x in pairs)))
+    return {
+        "lo": lo,
+        "hi": hi,
+        "reps": reps,
+        "lo_wall": a["wall"],
+        "hi_wall": b["wall"],
+        "lo_per_proc": a["per_proc_avg"],
+        "hi_per_proc": b["per_proc_avg"],
+        "per_rep_efficiency": [p[2] for p in pairs],
+        "envelope_efficiency": statistics.median(p[2] for p in pairs),
+    }
+
+
+if __name__ == "__main__":
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    print(json.dumps(measure_envelope(lo, hi)))
