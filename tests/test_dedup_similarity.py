@@ -216,3 +216,25 @@ def test_multimodal_plumbing(spark, docs):
     assert rows[4]["n_bytes"] == 0 and rows[4]["feature"] == 0.0
     exp_feature = float(sum(DOCS[0][1].encode()[:64]) % 997)
     assert rows[0]["feature"] == exp_feature
+
+
+def test_srp_band_params_scaling_math():
+    """Pure-math invariants of the size-derived banded SRP parameters:
+    rows-per-band grows with corpus size (flat bucket occupancy), band
+    count delivers the recall target at the threshold similarity."""
+    import math
+
+    from node_log_forwarder_spark.operators.similarity import srp_band_params
+
+    r_small, b_small = srp_band_params(200, 0.35)
+    r_big, b_big = srp_band_params(2_000_000, 0.35)
+    assert r_big > r_small  # more planes as the corpus grows
+    # expected bucket occupancy stays bounded near the target
+    assert 2_000_000 / (2 ** r_big) <= 2 * 32
+    # the analytic recall at the threshold meets the target (pre-cap)
+    for n, thr in [(200, 0.35), (50_000, 0.5), (2_000_000, 0.9)]:
+        r, b = srp_band_params(n, thr)
+        s = 1 - math.acos(thr) / math.pi
+        recall = 1 - (1 - s**r) ** b
+        if b < 16:  # not clipped by max_bands
+            assert recall >= 0.95 - 1e-9, (n, thr, r, b, recall)
