@@ -69,3 +69,45 @@ def test_arrow_engine_is_arrow_not_row_python(spark, transcripts):
     plan = _plan(df)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_partition_invariance_of_key_operators(spark):
+    """Distributed correctness: operator output must not depend on the
+    physical partitioning of the input (1 partition vs many, different
+    orders). Guards against order-sensitive aggregation/hashing bugs."""
+    from node_log_forwarder_spark.operators.aggregate import merkle_text_sha
+    from node_log_forwarder_spark.operators.convstats import conversation_stats
+    from node_log_forwarder_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from node_log_forwarder_spark.sources.transcripts import synth_transcripts
+
+    tr = synth_transcripts(spark, 3000)
+    layouts = [tr.coalesce(1), tr.repartition(13), tr.repartition(5, "tool")]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for op in (
+        conversation_stats,
+        lambda d: merkle_text_sha(d.withColumn("sink_id", F.lit("all"))),
+        lambda d: lsh_candidate_pairs(
+            minhash_signatures(
+                d.groupBy("conv_id").agg(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                            lambda s: s.getField("text"),
+                        ),
+                    ).alias("text")
+                ),
+                id_col="conv_id",
+            ),
+            id_col="conv_id",
+        ),
+    ):
+        base = rows(op(layouts[0]))
+        for alt in layouts[1:]:
+            assert rows(op(alt)) == base
