@@ -110,3 +110,18 @@ def test_pipeline_engines_same_counts(spark, transcripts, tmp_path):
         )
         counts[engine] = run_pipeline(spark, transcripts, out, cfg)["sink_counts"]
     assert counts["native"] == counts["arrow"]
+
+
+def test_tallies_from_catchall_equal_reparse(spark, transcripts, tmp_path):
+    """The partitioned pipeline's tallies (read back from the catch-all
+    sink) are identical to an independent re-parse of the source."""
+    from node_log_forwarder_spark.config import DEFAULT_RULES
+    from node_log_forwarder_spark.operators.aggregate import match_miss_tallies
+    from node_log_forwarder_spark.operators.parse import parse_stage
+
+    out = str(tmp_path / "tal")
+    run_pipeline(spark, transcripts, out, PipelineConfig(hot_threshold=500))
+    written = spark.read.parquet(f"{out}/agg_tallies")
+    reparsed = match_miss_tallies(parse_stage(transcripts, DEFAULT_RULES), DEFAULT_RULES)
+    assert written.exceptAll(reparsed).count() == 0
+    assert reparsed.exceptAll(written).count() == 0
