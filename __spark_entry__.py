@@ -215,15 +215,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     k % 192, k % 9, k, k % 77, k,
                 ),
             )
+            .when(
+                F.col("event_type") == "click",
+                # logfmt with a quoted value containing a space
+                F.format_string(
+                    'level=info evt=click user="u %d" dur_ms=%d', k % 50, k % 900
+                ),
+            )
             .otherwise(F.format_string('{"event": "%s", "k": %d}', F.col("event_type"), k))
         )
         parsed = parse_stage(ev.select(line.alias("text")), LIBRARY_RULES)
         status_code = F.expr("try_cast(fields['status_code'] as int)")
+        from node_log_forwarder_spark.functions.text import logfmt_map
+
+        dur = F.when(
+            F.col("rule_id") == "logfmt",
+            F.element_at(logfmt_map(F.col("fields").getItem("kvline")), "dur_ms")
+            .cast("int"),
+        )
         return parsed.groupBy(
             F.coalesce(F.col("rule_id"), F.lit("_miss")).alias("rule_id")
         ).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(status_code >= 400, 1).otherwise(0)).alias("n_4xx_plus"),
+            F.coalesce(F.sum(dur), F.lit(0)).alias("sum_dur_ms"),
         )
     q["library_parse"] = q_library_parse
 
@@ -850,16 +865,20 @@ def oracle_sql() -> dict[str, str]:
             WHEN event_type = 'error' THEN printf(
               '<%d>1 2026-02-03T10:11:12Z host%d app %d ID%d - failure %d',
               k % 192, k % 9, k, k % 77, k)
+            WHEN event_type = 'click' THEN printf(
+              'level=info evt=click user="u %d" dur_ms=%d', k % 50, k % 900)
             ELSE printf('{{"event": "%s", "k": %d}}', event_type, k)
           END AS text FROM e
         ),
         p AS (
           SELECT CASE {lib_cases} ELSE NULL END AS rule_id,
-                 TRY_CAST(regexp_extract(text, '" (\\d{{3}}) ', 1) AS INT) AS status_code
+                 TRY_CAST(regexp_extract(text, '" (\\d{{3}}) ', 1) AS INT) AS status_code,
+                 TRY_CAST(regexp_extract(text, 'dur_ms=(\\d+)', 1) AS INT) AS dur_ms
           FROM l
         )
         SELECT coalesce(rule_id, '_miss') AS rule_id, count(*) AS n,
-               CAST(sum(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_4xx_plus
+               CAST(sum(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_4xx_plus,
+               CAST(coalesce(sum(CASE WHEN rule_id = 'logfmt' THEN dur_ms END), 0) AS BIGINT) AS sum_dur_ms
         FROM p GROUP BY 1
     """
 

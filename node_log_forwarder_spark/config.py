@@ -164,6 +164,17 @@ LIBRARY_RULES: list[ParseRule] = [
         field_types={"epid": "int", "tid": "int"},
     ),
     ParseRule(
+        rule_id="logfmt",
+        priority=135,
+        # logfmt lines: space-separated key=value pairs, values bare or
+        # double-quoted. Detection captures the whole kv line; pair
+        # extraction goes through functions.text.logfmt_map (two
+        # regexp_extract_all passes → map), mirroring how json_line
+        # defers payload decoding to from_json.
+        pattern=r'^(?P<kvline>[A-Za-z_][\w\.]*=(?:"[^"]*"|\S*)(?: [A-Za-z_][\w\.]*=(?:"[^"]*"|\S*))*)$',
+        field_types={},
+    ),
+    ParseRule(
         rule_id="json_line",
         priority=140,
         # detection only — payload decoding goes through from_json

@@ -101,3 +101,22 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as array<string>; docs with < n tokens
     yield an empty array."""
     return ngrams_from_tokens(tokens(col), n)
+
+
+_LOGFMT_PAIR = r'([A-Za-z_][\w\.]*)=("[^"]*"|\S*)'
+
+
+def logfmt_map(col: Column) -> Column:
+    """logfmt key=value pairs → map<string,string> with quoted values
+    unwrapped. Two vectorized regexp_extract_all passes (keys, values) +
+    map_from_arrays — pure native exprs, and DuckDB's regexp_extract_all
+    supports the same (pattern, group) form so the oracle twin is exact.
+    Duplicate keys: last one wins (map_from_arrays keeps the last entry
+    under spark.sql.mapKeyDedupPolicy=LAST_WIN; the shipped session
+    config pins it)."""
+    keys = F.regexp_extract_all(col, F.lit(_LOGFMT_PAIR), 1)
+    vals = F.transform(
+        F.regexp_extract_all(col, F.lit(_LOGFMT_PAIR), 2),
+        lambda v: F.regexp_replace(v, '^"|"$', ""),
+    )
+    return F.map_from_arrays(keys, vals)

@@ -51,6 +51,10 @@ def get_spark(
         # Keep scan partitions a sane size (matters for the 100 TB scan).
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.parquet.filterPushdown": "true",
+        # logfmt_map builds maps from extracted key/value arrays; logfmt
+        # semantics for a repeated key are last-one-wins (default
+        # EXCEPTION would fail the whole row)
+        "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("NLF_DRIVER_MEM", "8g"),
     }

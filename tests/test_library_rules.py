@@ -85,3 +85,35 @@ def test_json_line_decoding(spark):
     rows = {r["text"]: r["payload"] for r in decoded.collect()}
     assert rows['{"event": "login", "user": "alice"}']["user"] == "alice"
     assert rows["not json"] is None
+
+
+def test_logfmt_rule_and_map(spark):
+    from node_log_forwarder_spark.config import LIBRARY_RULES
+    from node_log_forwarder_spark.functions.text import logfmt_map
+    from node_log_forwarder_spark.operators.parse import parse_stage
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ('level=info evt=click user="u 7" dur_ms=91',),
+            ("a=1 b=2 a=3",),            # duplicate key: last wins
+            ("msg=",),                    # empty bare value
+            ("not a logfmt line",),      # miss
+            ('{"json": 1}',),            # json, not logfmt
+        ],
+        "text string",
+    )
+    parsed = parse_stage(df, LIBRARY_RULES)
+    rows = {r["text"]: r["rule_id"] for r in parsed.collect()}
+    assert rows['level=info evt=click user="u 7" dur_ms=91'] == "logfmt"
+    assert rows["a=1 b=2 a=3"] == "logfmt"
+    assert rows["msg="] == "logfmt"
+    assert rows["not a logfmt line"] is None
+    assert rows['{"json": 1}'] == "json_line"
+
+    m = {r["text"]: r["m"] for r in df.select("text", logfmt_map(F.col("text")).alias("m")).collect()}
+    assert m['level=info evt=click user="u 7" dur_ms=91'] == {
+        "level": "info", "evt": "click", "user": "u 7", "dur_ms": "91"
+    }
+    assert m["a=1 b=2 a=3"] == {"a": "3", "b": "2"}
+    assert m["msg="] == {"msg": ""}
