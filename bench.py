@@ -93,7 +93,10 @@ def main() -> None:
     timed("parse_route_native", lambda: _parse_route("native"))
     timed("parse_route_arrow", lambda: _parse_route("arrow"))
 
-    # operator micro-benchmarks over the driver tables
+    # operator micro-benchmarks over the driver tables. The driver-contract
+    # queries pin 8 shuffle partitions for oracle float determinism; here
+    # values aren't compared, so let them use the full machine.
+    os.environ["NLF_QUERY_SHUFFLE_PARTITIONS"] = str(max(2 * cpus, 16))
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
