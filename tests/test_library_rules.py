@@ -117,3 +117,48 @@ def test_logfmt_rule_and_map(spark):
     }
     assert m["a=1 b=2 a=3"] == {"a": "3", "b": "2"}
     assert m["msg="] == {"msg": ""}
+
+
+def test_logfmt_map_roundtrip_property(spark):
+    """Property: for generated kv pairs (bare or quoted values), the
+    rendered logfmt line is detected by the library rule and logfmt_map
+    recovers exactly the source mapping."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from node_log_forwarder_spark.config import LIBRARY_RULES
+    from node_log_forwarder_spark.functions.text import logfmt_map
+    from node_log_forwarder_spark.operators.parse import parse_stage
+    from pyspark.sql import functions as F
+
+    key = st.from_regex(r"[A-Za-z_][A-Za-z0-9_\.]{0,6}", fullmatch=True)
+    bare = st.from_regex(r"[A-Za-z0-9_\-/\.:]{0,8}", fullmatch=True)
+    quoted = st.from_regex(r"[A-Za-z0-9 \.,;]{0,12}", fullmatch=True)
+    pair = st.tuples(key, st.one_of(bare.map(lambda v: (v, v)),
+                                    quoted.map(lambda v: (f'"{v}"', v))))
+    cases: list[tuple[str, dict]] = []
+
+    @settings(max_examples=150, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(pair, min_size=1, max_size=6, unique_by=lambda p: p[0]))
+    def collect(pairs):
+        line = " ".join(f"{k}={rendered}" for k, (rendered, _) in pairs)
+        cases.append((line, {k: raw for k, (_, raw) in pairs}))
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, line) for i, (line, _) in enumerate(cases)], "i long, text string"
+    )
+    parsed = parse_stage(df, LIBRARY_RULES)
+    got = {
+        r["i"]: (r["rule_id"], r["m"])
+        for r in parsed.select(
+            "i", "rule_id", logfmt_map(F.col("text")).alias("m")
+        ).collect()
+    }
+    bad = [
+        (cases[i][0], got[i], cases[i][1])
+        for i in range(len(cases))
+        if got[i] != ("logfmt", cases[i][1])
+    ]
+    assert not bad, bad[:5]

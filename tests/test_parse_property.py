@@ -27,6 +27,14 @@ _near_rules = st.one_of(
     st.builds("<{}> {} result code={} msg={}".format, st.text(alphabet="0123456789", max_size=4),
               st.text(max_size=10), st.text(alphabet="0123456789", max_size=4), st.text(max_size=10)),
     st.text(max_size=40),
+    # include the native fast path's 0x1F field delimiter inside captures —
+    # must trigger the per-capture fallback and still match the oracle
+    st.builds(
+        "ERROR {}: bad{}payload retry={}".format,
+        st.text(alphabet="ABCx", min_size=1, max_size=4),
+        st.sampled_from(["\x1f", "\x1f\x1f", " \x1f "]),
+        st.sampled_from(["true", "false", "maybe"]),
+    ),
 )
 
 CORPUS: list[str] = []
