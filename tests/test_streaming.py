@@ -144,3 +144,27 @@ def test_stream_windowed_counts_match_batch(spark, transcripts, tmp_path):
     assert n_got > 0
     assert joined.filter(F.col("g.n_rows") != F.col("e.n_rows")).count() == 0
     assert joined.count() == n_got
+
+
+def test_foreach_batch_replay_idempotent(spark, transcripts, tmp_path):
+    """A micro-batch reprocessed after failure (same batch_id) must not
+    duplicate rows: the foreachBatch writer overwrites its own
+    batch_id-scoped directory (ADVICE r1 fix)."""
+    from node_log_forwarder_spark.streaming.stream import start_foreach_batch
+
+    inp = str(tmp_path / "in")
+    _write_input(transcripts, inp)
+    stream = read_transcript_stream(spark, inp, max_files_per_trigger=100)
+    out = str(tmp_path / "out")
+    q = start_foreach_batch(spark, stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    first = spark.read.parquet(f"{out}/sinks").count()
+
+    # simulate the engine replaying batch 0 after a failure: call the
+    # same writer logic again with the same batch_id
+    from node_log_forwarder_spark.operators.route import write_sinks_partitioned
+    from node_log_forwarder_spark.streaming.stream import streaming_routed
+
+    replay = streaming_routed(spark, spark.read.parquet(inp))
+    write_sinks_partitioned(replay, f"{out}/sinks/batch_id=0", mode="overwrite")
+    assert spark.read.parquet(f"{out}/sinks").count() == first
