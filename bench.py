@@ -105,26 +105,39 @@ def main() -> None:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
     # ---- scaling-efficiency pair (north rule re-evidence, every round) ----
-    # 1-rep paired 8-vs-32-core measurement in fresh pinned JVMs over the
-    # same warmed input (the full 3-rep protocol lives in
-    # tools/run_scaling.py / BENCH/BASELINE.md). Measured at the protocol's
-    # 19.2M-turn size: smaller inputs are fixed-overhead-dominated (~1s of
-    # scheduling/codegen per run floor) and understate true scaling.
-    # Disable: NLF_BENCH_SCALING=0.
+    # Paired 8-vs-32-core measurement in fresh pinned JVMs over the same
+    # warmed input (full steal-tracked protocol: tools/run_scaling.py /
+    # BENCH/BASELINE.md). Measured at the protocol's 19.2M-turn size:
+    # smaller inputs are fixed-overhead-dominated and understate true
+    # scaling. Disable: NLF_BENCH_SCALING=0.
     scaling = None
     if os.environ.get("NLF_BENCH_SCALING", "1") != "0":
         from tools.run_scaling import run_level, warm_input
 
         sc_turns = int(os.environ.get("NLF_SCALING_TURNS", "19200000"))
-        log(f"scaling pair: parse→route at {sc_turns} turns, 8 vs 32 cores")
-        warm_input(sc_turns)
-        r8 = run_level(8, sc_turns)
-        r32 = run_level(32, sc_turns)
+        sc_reps = int(os.environ.get("NLF_SCALING_REPS", "2"))
+        log(f"scaling pair: parse→route at {sc_turns} turns, 8 vs 32 cores, {sc_reps} paired reps")
+        pairs = []
+        for _ in range(sc_reps):
+            warm_input(sc_turns)
+            pairs.append((run_level(8, sc_turns), run_level(32, sc_turns)))
+        # best-of per level: min wall across reps — robust to the box's
+        # time-varying hypervisor steal (a single polluted minute must not
+        # flip the recorded verdict); per-rep ratios disclosed alongside
+        best8 = {e: min(p[0][e] for p in pairs) for e in ("arrow", "native")}
+        best32 = {e: min(p[1][e] for p in pairs) for e in ("arrow", "native")}
         scaling = {
             "n_turns": sc_turns,
-            "t8_sec": {e: round(r8[e], 2) for e in ("arrow", "native")},
-            "t32_sec": {e: round(r32[e], 2) for e in ("arrow", "native")},
-            "efficiency": {e: round((r8[e] / r32[e]) / 4, 3) for e in ("arrow", "native")},
+            "reps": sc_reps,
+            "t8_sec": {e: round(best8[e], 2) for e in ("arrow", "native")},
+            "t32_sec": {e: round(best32[e], 2) for e in ("arrow", "native")},
+            "per_rep_efficiency": {
+                e: [round((p[0][e] / p[1][e]) / 4, 3) for p in pairs]
+                for e in ("arrow", "native")
+            },
+            "efficiency": {
+                e: round((best8[e] / best32[e]) / 4, 3) for e in ("arrow", "native")
+            },
         }
         from tools.cpu_envelope import measure_envelope
 
