@@ -1,17 +1,27 @@
 """Similarity search over an embedding column (array<float>).
 
-* cosine_topk      — exact brute-force top-k vs a query vector. All
-                     arithmetic native (zip_with + aggregate in double),
-                     DuckDB twin: list_cosine_similarity.
-* ann_lsh_topk     — scale path: random-hyperplane LSH. Hyperplane
-                     coefficients derive deterministically from
-                     xxhash64(plane, dim) so every executor computes the
-                     same planes with zero driver-side state. Search
-                     probes only the query's bucket (and optionally its
-                     1-bit-flip neighbors), so the candidate set — not
-                     the whole corpus — is scored. At 100 TB the bucket
-                     column is a partition key: bucket pruning turns
-                     top-k into a single-partition scan.
+* cosine_topk        — exact brute-force top-k vs a query vector. All
+                       arithmetic native (zip_with + aggregate in
+                       double), DuckDB twin: list_cosine_similarity.
+* ann_lsh_topk       — scale path #1: banded sign-random-projection
+                       LSH + exact rerank. Hyperplane coefficients
+                       derive deterministically from
+                       xxhash64(plane, dim), so every executor computes
+                       the same planes with zero driver-side state; band
+                       parameters grow with corpus size
+                       (srp_band_params). At 100 TB the (band, bucket)
+                       columns are partition keys: the probe reads only
+                       the query's ~b buckets.
+* ivf_centroids /    — scale path #2: inverted-file ANN. A deterministic
+  ivf_assign /         Lloyd k-means coarse quantizer (seeded by id
+  ivf_topk             rank, no randomness) trains KB-scale centroids;
+                       vectors carry a row-local cluster id (the
+                       partition key at scale), and a query probes only
+                       the nprobe nearest clusters with exact cosine —
+                       the classic recall/cost dial, degenerating to
+                       exact search at nprobe=k.
+* cosine_near_dup_pairs — exact O(n²) baseline and banded-SRP blocked
+                       mode for near-duplicate pair mining.
 """
 
 from __future__ import annotations
@@ -239,6 +249,127 @@ def ann_lsh_topk(
     return (
         df.join(cand_ids, id_col)
         .crossJoin(qv)
+        .select(F.col(id_col), sim.alias("_raw_sim"))
+        .orderBy(F.col("_raw_sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("_raw_sim"), 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cluster-pruned probe
+# ---------------------------------------------------------------------------
+
+def _dist2_to_literal(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from a vector column to a Python-side centroid."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over the centroid list — one codegen'd expression, no UDF.
+
+    Built as array_position(dists, array_min(dists)) so each distance
+    sub-expression appears a CONSTANT number of times. (A when-chain
+    argmin embeds every previous step twice per comparison — an
+    exponentially growing expression tree that took Catalyst ~60s to
+    analyze at k=8, dim=64.)
+    """
+    dists = F.array(*[_dist2_to_literal(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_count: int | None = None,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer (Lloyd's k-means).
+
+    Seeds = k evenly spaced vectors in id-rank order (no randomness —
+    reproducible across runs and partitionings). Each iteration is one
+    assignment projection (pure codegen'd exprs, no UDF) + one
+    (cluster, dim) grouped mean via posexplode — the shuffle carries
+    (int, int, double) triples, never whole vectors. The returned
+    centroid table is k×dim ≈ KBs: broadcast-scale driver state, the
+    standard IVF shape (train once, reuse for every query).
+    """
+    from pyspark.sql import Window
+
+    n = expected_count if expected_count is not None else df.count()
+    k = max(1, min(k, n))
+    stride = max(1, n // k)
+    w = Window.orderBy(id_col)
+    seeds_df = (
+        df.select(id_col, vec_col)
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .filter((F.col("_rn") % stride == 0) & (F.col("_rn") < stride * k))
+        .orderBy("_rn")
+        .select(vec_col)
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds_df.collect()][:k]
+
+    for _ in range(iters):
+        assigned = df.select(
+            _nearest_centroid(F.col(vec_col), centroids).alias("_cid"),
+            F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
+        )
+        means = (
+            assigned.groupBy("_cid", "_pos")
+            .agg(F.avg(F.col("_val").cast("double")).alias("_m"))
+            .groupBy("_cid")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_dims"))
+            .collect()
+        )
+        new = {r["_cid"]: [d["_m"] for d in r["_dims"]] for r in means}
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Attach the nearest-centroid cluster id — row-local, so at scale
+    this column doubles as the partition/bucket key of the vector table
+    (cluster pruning = partition pruning, same as the SRP bucket)."""
+    return df.withColumn(out_col, _nearest_centroid(F.col(vec_col), centroids))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: exact-cosine top-k over only the ``nprobe`` clusters
+    whose centroids are nearest the query — the classic recall/cost dial
+    (nprobe=len(centroids) degenerates to exact search)."""
+    import math
+
+    qvec = [float(x) for x in query.select(vec_col).first()[0]]
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(centroids[i], qvec)) ,
+    )
+    probe = order[: max(1, nprobe)]
+    cand = ivf_assign(df, centroids, vec_col).filter(F.col("ivf_cluster").isin(probe))
+    qv = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    return (
+        cand.crossJoin(qv)
         .select(F.col(id_col), sim.alias("_raw_sim"))
         .orderBy(F.col("_raw_sim").desc(), F.col(id_col))
         .limit(k)

@@ -238,3 +238,38 @@ def test_srp_band_params_scaling_math():
         recall = 1 - (1 - s**r) ** b
         if b < 16:  # not clipped by max_bands
             assert recall >= 0.95 - 1e-9, (n, thr, r, b, recall)
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    """IVF coarse quantizer + cluster-pruned probe: deterministic across
+    partitionings, recall vs exact top-k high at moderate nprobe, and
+    exact-equivalent when probing every cluster."""
+    from node_log_forwarder_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = ivf_centroids(emb, k=8, iters=2, expected_count=500)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    # determinism: training on a different physical layout gives the
+    # same centroids (seeding is id-rank based, means are exact groupBys)
+    cents2 = ivf_centroids(emb.repartition(7), k=8, iters=2, expected_count=500)
+    assert all(
+        abs(a - b) < 1e-9 for ca, cb in zip(cents, cents2) for a, b in zip(ca, cb)
+    )
+    # every vector gets a cluster; clusters are reasonably balanced
+    sizes = (
+        ivf_assign(emb, cents).groupBy("ivf_cluster").count().collect()
+    )
+    assert sum(r["count"] for r in sizes) == 500
+    assert max(r["count"] for r in sizes) < 500  # not all in one cluster
+
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    probed = [r["vec_id"] for r in ivf_topk(emb, q, cents, k=10, nprobe=4).collect()]
+    assert len(set(exact) & set(probed)) >= 6  # recall@10 with half the clusters
+    # probing all clusters degenerates to the exact result
+    full = [r["vec_id"] for r in ivf_topk(emb, q, cents, k=10, nprobe=8).collect()]
+    assert full == exact
