@@ -1,0 +1,25 @@
+"""Driver-contract drift guards: the queries()/oracle_sql() registries
+must stay aligned (round-1 lesson: the driver checks exactly the first
+50 keys, and a key without an oracle silently downgrades to a
+rows-only check)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_registry_is_exactly_50_keys():
+    qs = entrymod.queries()
+    assert len(qs) == 50
+    # the keys the r1 driver skipped must sit inside any 50-key window
+    order = list(qs)
+    for key in ("pack_documents", "multimodal_frames", "multimodal_features"):
+        assert order.index(key) < 50
+
+
+def test_every_query_has_an_oracle():
+    qs = set(entrymod.queries())
+    sql = entrymod.oracle_sql()
+    assert set(sql) == qs  # no rows-only keys, no orphan oracles
+    for k, s in sql.items():
+        assert isinstance(s, str) and "select" in s.lower(), k
