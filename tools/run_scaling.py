@@ -154,9 +154,12 @@ def main() -> None:
     env = measure_envelope(lo, hi)
     summary["envelope"] = env
     for e in ("arrow", "native"):
-        summary[e]["efficiency_normalized"] = round(
+        # clamp at 1.0: a ratio above 1 only means the pure-CPU control
+        # sampled a noisier window than the pipeline's best rep — the
+        # meaningful statement is "at the hardware ceiling", not "above it"
+        summary[e]["efficiency_normalized"] = min(1.0, round(
             summary[e]["efficiency_best"] / env["envelope_efficiency"], 3
-        )
+        ))
     summary["pass"] = (
         summary["arrow"]["efficiency"] >= 0.8
         or summary["arrow"]["efficiency_best"] >= 0.8
