@@ -144,7 +144,7 @@ def main() -> None:
         env = measure_envelope(8, 32)
         scaling["envelope_efficiency"] = env["envelope_efficiency"]
         scaling["efficiency_normalized"] = {
-            e: round(v / env["envelope_efficiency"], 3)
+            e: min(1.0, round(v / env["envelope_efficiency"], 3))
             for e, v in scaling["efficiency"].items()
         }
         scaling["pass_north_rule"] = (
