@@ -111,12 +111,28 @@ def logfmt_map(col: Column) -> Column:
     unwrapped. Two vectorized regexp_extract_all passes (keys, values) +
     map_from_arrays — pure native exprs, and DuckDB's regexp_extract_all
     supports the same (pattern, group) form so the oracle twin is exact.
-    Duplicate keys: last one wins (map_from_arrays keeps the last entry
-    under spark.sql.mapKeyDedupPolicy=LAST_WIN; the shipped session
-    config pins it)."""
+    Duplicate keys: last one wins, enforced INSIDE the expression (a
+    positional filter keeps only each key's final occurrence) so the
+    result is independent of spark.sql.mapKeyDedupPolicy — under the
+    default EXCEPTION policy a duplicate key would otherwise throw in
+    externally-created sessions (ADVICE r2 low). Key lists per line are
+    tiny, so the O(k²) slice scan is row-local noise."""
     keys = F.regexp_extract_all(col, F.lit(_LOGFMT_PAIR), 1)
     vals = F.transform(
         F.regexp_extract_all(col, F.lit(_LOGFMT_PAIR), 2),
         lambda v: F.regexp_replace(v, '^"|"$', ""),
     )
-    return F.map_from_arrays(keys, vals)
+    # index i survives iff keys[i] does not reappear later (keep-last)
+    n = F.size(keys)
+    keep = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: ~F.array_contains(
+            F.slice(keys, i + F.lit(2), F.greatest(n - i - 1, F.lit(0))),
+            F.element_at(keys, i + F.lit(1)),
+        ),
+    )
+    keep = F.when(n > 0, keep).otherwise(F.array().cast("array<int>"))
+    return F.map_from_arrays(
+        F.transform(keep, lambda i: F.element_at(keys, i + F.lit(1))),
+        F.transform(keep, lambda i: F.element_at(vals, i + F.lit(1))),
+    )

@@ -86,6 +86,13 @@ def _native_rule_id(text: Column, rules: list[ParseRule]) -> Column:
 # the engines byte-identical on ALL inputs.
 _FIELD_DELIM = "\x1f"
 
+# Line terminators: '$' (both Java and Python) matches BEFORE a final
+# line terminator, so an anchored pattern can match 'x=1\n' while
+# regexp_replace leaves the trailing '\n' outside the replacement —
+# gluing it onto the last capture. Such rows take the per-capture slow
+# path instead (ADVICE r2, high). Covers \n \r NEL LS PS.
+_LINE_TERMINATORS = "[\\r\\n\u0085\u2028\u2029]"
+
 
 def _native_fields(text: Column, rule_id: Column, rules: list[ParseRule]) -> Column:
     """One regex evaluation per matched rule (VERDICT r1 fix #7).
@@ -95,7 +102,9 @@ def _native_fields(text: Column, rule_id: Column, rules: list[ParseRule]) -> Col
     single pass; a ``split`` then yields all k groups — versus k
     ``regexp_extract`` re-evaluations of the same pattern per row
     (~k× the regex CPU on the 10^12-row hot path). Rows containing the
-    delimiter itself, and non-anchored patterns (none in the shipped
+    delimiter itself OR any line terminator ('$' matches before a final
+    terminator, so replace would glue the '\\n' onto the last capture —
+    ADVICE r2 high), and non-anchored patterns (none in the shipped
     rule libraries — replace would leave unmatched text around the
     captures), take the per-capture extract path, so output is
     byte-identical to the arrow engine on every input.
@@ -116,7 +125,8 @@ def _native_fields(text: Column, rule_id: Column, rules: list[ParseRule]) -> Col
                 arr = F.split(F.regexp_replace(text, r.java_pattern, repl),
                               _FIELD_DELIM, len(names))
                 fast = F.map_from_arrays(F.array(*[F.lit(n) for n in names]), arr)
-                m = F.when(~text.contains(_FIELD_DELIM), fast).otherwise(slow)
+                safe = ~text.contains(_FIELD_DELIM) & ~text.rlike(_LINE_TERMINATORS)
+                m = F.when(safe, fast).otherwise(slow)
             else:
                 m = slow
         cond = rule_id == r.rule_id

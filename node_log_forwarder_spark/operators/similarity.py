@@ -94,7 +94,7 @@ def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    return bucket.cast("bigint")
 
 
 def srp_band_params(
@@ -117,7 +117,11 @@ def srp_band_params(
     import math
 
     s = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    r = max(2, math.ceil(math.log2(max(n, 2) / target_bucket_size)))
+    # Cap r at 62: the band bucket is a single bigint of sign bits, so
+    # plane bits beyond 62 would alias (ADVICE r2 low — at 10^12 rows
+    # r≈35 already overflowed the old 31-bit int bucket). Past the cap,
+    # buckets grow beyond target_bucket_size instead of corrupting.
+    r = min(62, max(2, math.ceil(math.log2(max(n, 2) / target_bucket_size))))
     p_band = s**r
     if p_band >= 1.0:
         b = 1
@@ -135,7 +139,15 @@ def srp_bands(
 ) -> DataFrame:
     """(id, band_idx, bucket): banded SRP signature — band i's bucket is
     the sign pattern of planes [i·r, (i+1)·r). Only (id, band, bucket)
-    int tuples ever shuffle; the vectors stay put."""
+    tuples ever shuffle; the vectors stay put. The bucket is a bigint —
+    one sign bit per plane — so rows_per_band must fit in 62 bits
+    (srp_band_params caps it; asserted here per ADVICE r2)."""
+    if rows_per_band > 62:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} exceeds the 62 sign bits a "
+            "bigint bucket can hold without aliasing"
+        )
+
     def _proj(plane: int):
         return F.aggregate(
             F.zip_with(
@@ -154,7 +166,7 @@ def srp_bands(
             proj = _proj(band * rows_per_band + p)
             bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
         entries.append(
-            F.struct(F.lit(band).alias("band_idx"), bucket.cast("int").alias("bucket"))
+            F.struct(F.lit(band).alias("band_idx"), bucket.cast("bigint").alias("bucket"))
         )
     return df.select(F.col(id_col), F.explode(F.array(*entries)).alias("e")).select(
         id_col, F.col("e.band_idx").alias("band_idx"), F.col("e.bucket").alias("bucket")

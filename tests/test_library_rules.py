@@ -118,6 +118,19 @@ def test_logfmt_rule_and_map(spark):
     assert m["a=1 b=2 a=3"] == {"a": "3", "b": "2"}
     assert m["msg="] == {"msg": ""}
 
+    # Session-config independence (ADVICE r2): the keep-last dedupe is
+    # done inside the expression, so duplicate keys must NOT throw even
+    # under the default EXCEPTION mapKeyDedupPolicy of an externally
+    # created session.
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+        dup = spark.createDataFrame([("a=1 b=2 a=3",)], "text string")
+        got = dup.select(logfmt_map(F.col("text")).alias("m")).first()["m"]
+        assert got == {"a": "3", "b": "2"}
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+
 
 def test_logfmt_map_roundtrip_property(spark):
     """Property: for generated kv pairs (bare or quoted values), the

@@ -116,6 +116,15 @@ def test_engines_identical_on_delimiter_text(spark):
         ("call tool=a\x1fb status=ok dur_ms=5",),
         ("<42> 2026-01-01T00:00:00 result code=7 msg=x\x1fy",),
         ("plain \x1f noise line",),
+        # Trailing line terminators (ADVICE r2, high): '$' matches
+        # before a final \n in BOTH engines, but the native fast path's
+        # regexp_replace would leave the \n glued onto the last capture
+        # — these rows must take the slow path.
+        ("ERROR X: boom retry=true\n",),
+        ("call tool=sql status=ok dur_ms=12\n",),
+        ("ERROR X: boom retry=true\r\n",),  # \r\n: no match in either engine under (?d)
+        ("ERROR X: mid\nline retry=true",),
+        ("ERROR X: boom retry=true\r",),    # \r alone: no match under (?d)
     ]
     df = spark.createDataFrame(rows, "text string")
     cols = ["text", "rule_id", "matched", "fields"]
@@ -124,3 +133,12 @@ def test_engines_identical_on_delimiter_text(spark):
     b = [tuple(sorted(r["fields"].items())) + (r["rule_id"], r["matched"])
          for r in parse_stage(df, DEFAULT_RULES, engine="arrow").select(cols).collect()]
     assert a == b
+    # and both agree with the pure-Python oracle on the newline rows
+    from tests.oracle import oracle_parse
+    got = {r["text"]: (r["rule_id"], dict(r["fields"]))
+           for r in parse_stage(df, DEFAULT_RULES, engine="native")
+           .select(cols).collect()}
+    for (text,) in rows:
+        assert got[text] == oracle_parse(text, DEFAULT_RULES), repr(text)
+    # the headline case from ADVICE: capture must be 'true', not 'true\n'
+    assert got["ERROR X: boom retry=true\n"][1]["retry"] == "true"
