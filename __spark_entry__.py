@@ -443,11 +443,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_bpe = F.when(
             F.col("text").isNull() | (F.col("text") == ""), F.lit(0)
         ).otherwise(n_bpe)
+        # real vocabulary-driven BPE (VERDICT r2 fix #6): Arrow-batched
+        # UDF applying the shipped merge list; oracle twin replays the
+        # identical replace chain in DuckDB (functions/bpe.py)
+        from node_log_forwarder_spark.functions.bpe import bpe_count
+
         return docs.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(tc).alias("total_tokens"),
             F.max(tc).cast("long").alias("max_tokens"),
             F.sum(n_bpe).alias("total_bpe_tokens"),
+            F.sum(bpe_count(F.col("text"))).cast("long").alias("total_bpe_real"),
         )
     q["token_count"] = q_token_count
 
@@ -1105,17 +1111,30 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
+    from node_log_forwarder_spark.functions.bpe import bpe_oracle_count_sql
+
     sql["token_count"] = f"""
         WITH d AS (
           SELECT lang, len({_TOKENS}) AS tc,
                  coalesce(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 0) AS n_bpe
           FROM documents
+        ),
+        -- real BPE twin: identical replace chain over DISTINCT words,
+        -- joined back to per-doc word occurrences (functions/bpe.py)
+        w AS (SELECT lang, unnest({_TOKENS}) AS word FROM documents),
+        dw AS (SELECT DISTINCT word FROM w),
+        wc AS (SELECT word, {bpe_oracle_count_sql('word')} AS bl FROM dw),
+        b AS (
+          SELECT w.lang, CAST(sum(wc.bl) AS BIGINT) AS total_bpe_real
+          FROM w JOIN wc USING (word) GROUP BY w.lang
         )
-        SELECT lang, count(*) AS n_docs,
-               CAST(sum(tc) AS BIGINT) AS total_tokens,
-               CAST(max(tc) AS BIGINT) AS max_tokens,
-               CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens
-        FROM d GROUP BY lang
+        SELECT d.lang, count(*) AS n_docs,
+               CAST(sum(d.tc) AS BIGINT) AS total_tokens,
+               CAST(max(d.tc) AS BIGINT) AS max_tokens,
+               CAST(sum(d.n_bpe) AS BIGINT) AS total_bpe_tokens,
+               coalesce(any_value(b.total_bpe_real), 0) AS total_bpe_real
+        FROM d LEFT JOIN b ON d.lang = b.lang
+        GROUP BY d.lang
     """
 
     sql["quality_components"] = f"""

@@ -112,45 +112,37 @@ def main() -> None:
     # scaling. Disable: NLF_BENCH_SCALING=0.
     scaling = None
     if os.environ.get("NLF_BENCH_SCALING", "1") != "0":
-        from tools.run_scaling import run_level, warm_input
+        # Self-calibrating paired reps (VERDICT r2 fix #7): each rep runs
+        # the pure-CPU envelope control AND the pipeline at both core
+        # counts inside one window. Pass is RAW-ONLY with the firing
+        # criterion recorded (ADVICE r2) — normalized values are
+        # reported unclamped as context, never as a pass basis.
+        from tools.run_scaling import measure_rep, summarize
 
         sc_turns = int(os.environ.get("NLF_SCALING_TURNS", "19200000"))
         sc_reps = int(os.environ.get("NLF_SCALING_REPS", "2"))
         log(f"scaling pair: parse→route at {sc_turns} turns, 8 vs 32 cores, {sc_reps} paired reps")
-        pairs = []
-        for _ in range(sc_reps):
-            warm_input(sc_turns)
-            pairs.append((run_level(8, sc_turns), run_level(32, sc_turns)))
-        # best-of per level: min wall across reps — robust to the box's
-        # time-varying hypervisor steal (a single polluted minute must not
-        # flip the recorded verdict); per-rep ratios disclosed alongside
-        best8 = {e: min(p[0][e] for p in pairs) for e in ("arrow", "native")}
-        best32 = {e: min(p[1][e] for p in pairs) for e in ("arrow", "native")}
+        pairs = [measure_rep(rep, 8, 32, sc_turns) for rep in range(sc_reps)]
+        s = summarize(pairs, 8, 32, sc_turns)
         scaling = {
             "n_turns": sc_turns,
             "reps": sc_reps,
-            "t8_sec": {e: round(best8[e], 2) for e in ("arrow", "native")},
-            "t32_sec": {e: round(best32[e], 2) for e in ("arrow", "native")},
+            "t8_sec": {e: s[e]["median8_sec"] for e in ("arrow", "native")},
+            "t32_sec": {e: s[e]["median32_sec"] for e in ("arrow", "native")},
             "per_rep_efficiency": {
-                e: [round((p[0][e] / p[1][e]) / 4, 3) for p in pairs]
-                for e in ("arrow", "native")
+                e: s[e]["per_rep_efficiency"] for e in ("arrow", "native")
             },
-            "efficiency": {
-                e: round((best8[e] / best32[e]) / 4, 3) for e in ("arrow", "native")
+            "efficiency": {e: s[e]["efficiency"] for e in ("arrow", "native")},
+            "efficiency_best": {
+                e: s[e]["efficiency_best"] for e in ("arrow", "native")
             },
+            "envelope_per_rep": s["envelope_per_rep"],
+            "efficiency_normalized_unclamped": {
+                e: s[e]["efficiency_normalized"] for e in ("arrow", "native")
+            },
+            "pass_basis": s["pass_basis"],
+            "pass_north_rule": s["pass"],
         }
-        from tools.cpu_envelope import measure_envelope
-
-        env = measure_envelope(8, 32)
-        scaling["envelope_efficiency"] = env["envelope_efficiency"]
-        scaling["efficiency_normalized"] = {
-            e: min(1.0, round(v / env["envelope_efficiency"], 3))
-            for e, v in scaling["efficiency"].items()
-        }
-        scaling["pass_north_rule"] = (
-            scaling["efficiency"]["arrow"] >= 0.8
-            or scaling["efficiency_normalized"]["arrow"] >= 0.8
-        )
         log(f"scaling: {json.dumps(scaling)}")
 
     total = round(sum(queries.values()), 3)

@@ -1,0 +1,131 @@
+"""Vocabulary-driven BPE token counting (VERDICT r2 fix #6).
+
+Real byte-pair encoding against the shipped merge list
+(``bpe_merges.py``, learned by ``tools/train_bpe.py`` — the "tokenizer
+model"). Encoding uses the classic property that applying merges in
+RANK ORDER, each as one left-to-right non-overlapping sweep, is exactly
+the iterative best-rank BPE encoder: a merge can only create new
+candidate pairs that involve its output token, and any merge containing
+that token was necessarily learned later (higher rank), so one ordered
+pass suffices.
+
+The sweep itself is a string replace chain over a bracket encoding —
+each token is wrapped ``\\x1e tok \\x1f`` so a pattern
+``\\x1e a \\x1f \\x1e b \\x1f`` consumes no shared boundary and plain
+left-to-right ``str.replace`` IS the greedy token-list sweep (a
+space-separated encoding would skip every other occurrence in runs
+like ``a b a b``). The byte-identical chain runs in three places:
+
+* here, per distinct word with a cache, inside an Arrow-vectorized
+  ``pandas_udf`` (the scale path — no per-row Python, batch transfer);
+* in the DuckDB oracle twin (``bpe_oracle_sql_chain``) as nested
+  ``replace()`` calls over the distinct-word set;
+* in tests, as the pure-Python reference below.
+
+Pre-tokenization = whitespace words (``functions.text.tokens``); BPE
+never crosses a whitespace boundary, matching standard practice. Words
+containing the sentinel bytes (U+001E/U+001F — impossible to produce
+from whitespace-split text unless the corpus embeds them) degrade
+identically in all three implementations, so parity is unconditional.
+
+At 100 TB: the merge list is a few KB broadcast inside the UDF closure;
+the per-batch word cache amortizes encoding over Zipf-distributed
+vocabulary, so throughput approaches one dict lookup per word.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+
+from node_log_forwarder_spark.functions.bpe_merges import BPE_MERGES
+
+_O = "\x1e"  # token-open sentinel
+_C = "\x1f"  # token-close sentinel
+
+# precompiled (pattern, replacement) chain in rank order
+_CHAIN: list[tuple[str, str]] = [
+    (f"{_O}{a}{_C}{_O}{b}{_C}", f"{_O}{a}{b}{_C}") for a, b in BPE_MERGES
+]
+
+
+def bpe_token_count_word(word: str) -> int:
+    """Number of BPE tokens for one whitespace-free word."""
+    s = "".join(f"{_O}{ch}{_C}" for ch in word)
+    for pat, rep in _CHAIN:
+        if pat in s:
+            s = s.replace(pat, rep)
+    return s.count(_O)
+
+
+def bpe_token_count_text(text: str | None, cache: dict[str, int] | None = None) -> int:
+    """Total BPE tokens over the whitespace words of ``text``."""
+    if not text:
+        return 0
+    total = 0
+    if cache is None:
+        cache = {}
+    for w in text.split():
+        n = cache.get(w)
+        if n is None:
+            n = bpe_token_count_word(w)
+            cache[w] = n
+        total += n
+    return total
+
+
+_UDF_CACHE: dict[str, object] = {}
+
+
+def bpe_count_udf():
+    """Arrow-vectorized SCALAR_ITER pandas_udf: text -> int BPE count.
+    The word cache lives across batches in the long-lived Python
+    worker, so each distinct word is encoded once per executor."""
+    if "udf" in _UDF_CACHE:
+        return _UDF_CACHE["udf"]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def bpe_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, int] = {}
+        for texts in batches:
+            yield texts.map(lambda t: bpe_token_count_text(t, cache)).astype("int32")
+
+    _UDF_CACHE["udf"] = bpe_count
+    return bpe_count
+
+
+def bpe_count(col: Column) -> Column:
+    return bpe_count_udf()(col)
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def bpe_oracle_sql_chain(var: str = "s") -> str:
+    """The identical replace chain as nested DuckDB ``replace()`` calls
+    over a column named ``var`` that already holds the bracket-encoded
+    word (see ``bpe_oracle_sql_encode``)."""
+    expr = var
+    for a, b in BPE_MERGES:
+        pat = _sql_quote(f"{_O}{a}{_C}{_O}{b}{_C}")
+        rep = _sql_quote(f"{_O}{a}{b}{_C}")
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
+def bpe_oracle_sql_encode(word_expr: str = "word") -> str:
+    """Bracket-encode a word in DuckDB: wrap every codepoint in the
+    sentinels (RE2 ``.`` = one codepoint, same as Python iteration)."""
+    return (
+        f"regexp_replace({word_expr}, '(.)', '{_O}' || '\\1' || '{_C}', 'g')"
+    )
+
+
+def bpe_oracle_count_sql(word_expr: str = "word") -> str:
+    """Full DuckDB expression: word -> BPE token count."""
+    chain = bpe_oracle_sql_chain(bpe_oracle_sql_encode(word_expr))
+    return f"(length({chain}) - length(replace({chain}, '{_O}', '')))"

@@ -86,12 +86,16 @@ def _native_rule_id(text: Column, rules: list[ParseRule]) -> Column:
 # the engines byte-identical on ALL inputs.
 _FIELD_DELIM = "\x1f"
 
-# Line terminators: '$' (both Java and Python) matches BEFORE a final
-# line terminator, so an anchored pattern can match 'x=1\n' while
-# regexp_replace leaves the trailing '\n' outside the replacement —
-# gluing it onto the last capture. Such rows take the per-capture slow
-# path instead (ADVICE r2, high). Covers \n \r NEL LS PS.
-_LINE_TERMINATORS = "[\\r\\n\u0085\u2028\u2029]"
+# '$' matches BEFORE a final line terminator, so an anchored pattern
+# can match 'x=1\n' while regexp_replace leaves the trailing '\n'
+# outside the replacement — gluing it onto the last capture (ADVICE r2,
+# high). Because java_pattern pins (?d) UNIX_LINES (config.py), only
+# '\n' is a terminator in BOTH engines, so text ending in '\n' is the
+# ONLY unsafe case: a mid-string '\n' either prevents the anchored
+# match entirely or sits inside a whole-string match region, where
+# replace stays correct. endswith is an O(1) codegen check — an
+# any-terminator rlike guard costs a full regex scan per row (measured
+# ~40% slower native parse at 8 cores).
 
 
 def _native_fields(text: Column, rule_id: Column, rules: list[ParseRule]) -> Column:
@@ -102,10 +106,11 @@ def _native_fields(text: Column, rule_id: Column, rules: list[ParseRule]) -> Col
     single pass; a ``split`` then yields all k groups — versus k
     ``regexp_extract`` re-evaluations of the same pattern per row
     (~k× the regex CPU on the 10^12-row hot path). Rows containing the
-    delimiter itself OR any line terminator ('$' matches before a final
-    terminator, so replace would glue the '\\n' onto the last capture —
-    ADVICE r2 high), and non-anchored patterns (none in the shipped
-    rule libraries — replace would leave unmatched text around the
+    delimiter itself OR ending with '\\n' (under (?d) the only case
+    where '$' anchors before a terminator and replace would glue the
+    '\\n' onto the last capture — ADVICE r2 high; see the comment block
+    above), and non-anchored patterns (none in the shipped rule
+    libraries — replace would leave unmatched text around the
     captures), take the per-capture extract path, so output is
     byte-identical to the arrow engine on every input.
     """
@@ -125,7 +130,7 @@ def _native_fields(text: Column, rule_id: Column, rules: list[ParseRule]) -> Col
                 arr = F.split(F.regexp_replace(text, r.java_pattern, repl),
                               _FIELD_DELIM, len(names))
                 fast = F.map_from_arrays(F.array(*[F.lit(n) for n in names]), arr)
-                safe = ~text.contains(_FIELD_DELIM) & ~text.rlike(_LINE_TERMINATORS)
+                safe = ~text.contains(_FIELD_DELIM) & ~text.endswith("\n")
                 m = F.when(safe, fast).otherwise(slow)
             else:
                 m = slow

@@ -1,0 +1,79 @@
+"""BPE token counting: reference-algorithm parity, engine parity
+(Python chain vs DuckDB chain vs Spark Arrow UDF), Arrow-only plan."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.bpe import (
+    bpe_count,
+    bpe_oracle_count_sql,
+    bpe_token_count_text,
+    bpe_token_count_word,
+)
+from node_log_forwarder_spark.functions.bpe_merges import BPE_MERGES
+
+WORDS = [
+    "erer", "ererer", "aaaa", "aaaaa", "o'brien", "ünïcödé", "你好",
+    "scan-column", "(paren)", "back\\slash", "pa", "par", "x", "paparpar",
+]
+
+
+def reference_bpe_len(word: str) -> int:
+    """Textbook iterative encoder: repeatedly apply the best-rank
+    (lowest index) merge present, merging its occurrences left-to-right,
+    until no merge applies."""
+    rank = {pair: i for i, pair in enumerate(BPE_MERGES)}
+    toks = list(word)
+    while True:
+        best, best_rank = None, None
+        for i in range(len(toks) - 1):
+            r = rank.get((toks[i], toks[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (toks[i], toks[i + 1]), r
+        if best is None:
+            return len(toks)
+        a, b = best
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+
+
+def test_chain_matches_reference_encoder():
+    for w in WORDS:
+        assert bpe_token_count_word(w) == reference_bpe_len(w), w
+
+
+def test_duckdb_chain_matches_python():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w AS SELECT unnest(?) AS word", [WORDS])
+    got = dict(con.sql(f"SELECT word, {bpe_oracle_count_sql('word')} FROM w").fetchall())
+    for w in WORDS:
+        assert got[w] == bpe_token_count_word(w), w
+
+
+def test_text_level_counts():
+    assert bpe_token_count_text(None) == 0
+    assert bpe_token_count_text("") == 0
+    assert bpe_token_count_text("   ") == 0
+    assert bpe_token_count_text("erer erer") == 2 * bpe_token_count_word("erer")
+    assert bpe_token_count_text(" a  b\tc\n") == 3  # \s+ pre-tokenization
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_udf_matches_python_and_is_arrow(spark):
+    rows = [(w,) for w in WORDS] + [("erer aaaa 你好",), ("",), (None,)]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select("text", bpe_count(F.col("text")).alias("n"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    for r in out.collect():
+        assert r["n"] == bpe_token_count_text(r["text"]), r["text"]

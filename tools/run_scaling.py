@@ -1,13 +1,28 @@
 """Scaling-efficiency evidence for the north rule's two-cluster-size
-criterion (BASELINE.md protocol), measured with a PAIRED design.
+criterion (BASELINE.md protocol), measured with a PAIRED + SELF-
+CALIBRATING design.
 
-Why paired: single-box background state (page cache, disk, thermal)
-drifts on ~minutes timescales; measuring all 8-core reps then all
-32-core reps lets that drift masquerade as (anti-)scaling. Here each
-rep spawns a FRESH 8-core-pinned JVM and a fresh 32-core JVM
-back-to-back over the same warmed input, computes the per-rep ratio,
-and the reported efficiency is the median of per-rep efficiencies —
-drift cancels within a pair.
+Why paired: single-box background state (page cache, disk, thermal,
+hypervisor steal) drifts on ~minutes timescales; measuring all 8-core
+reps then all 32-core reps lets that drift masquerade as
+(anti-)scaling. Here each rep spawns a FRESH 8-core-pinned JVM and a
+fresh 32-core JVM back-to-back over the same warmed input and computes
+a per-rep ratio — drift cancels within a pair.
+
+Why self-calibrating (VERDICT r2 fix #7): every rep ALSO runs the
+pure-CPU envelope control (tools/cpu_envelope.py — k pinned processes,
+fixed integer loop, zero coordination, zero memory traffic) at both
+core counts INSIDE the same window, so each rep carries its own
+hardware ceiling. A day-level envelope measured in a different window
+can normalize arbitrarily; an in-window one cannot.
+
+Reporting honesty (ADVICE r2): the PRIMARY headline is the raw median
+efficiency — the number the north rule gates on. ``pass`` is raw-only
+(median ≥ 0.8 or best-of ≥ 0.8, and ``pass_basis`` records which
+fired). Envelope-normalized values are reported UNCLAMPED as
+supplementary context (a value > 1 just means the control sampled a
+noisier slice of the window than the pipeline; it is printed as-is
+with that interpretation, never rounded down to 1.0).
 
 Per JVM: one cold run (dropped — Python-worker/codegen warmup) + one
 timed run per engine. Core pinning via sched_setaffinity (without it a
@@ -63,6 +78,8 @@ for engine in ("arrow", "native"):
 print(json.dumps(out))
 """
 
+ENGINES = ("arrow", "native")
+
 
 def _cpu_stat() -> tuple[int, int]:
     with open("/proc/stat") as f:
@@ -87,41 +104,43 @@ def warm_input(n_turns: int) -> None:
                     pass
 
 
-def main() -> None:
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 19_200_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-    assert hi == 4 * lo, "north rule pair must be N -> 4N"
-    # clear stray bench outputs so disk state is comparable across runs
-    for d in ("/tmp/nlf_scale_out", "/tmp/nlf_e2e", "/tmp/nlf_e2e_big", "/tmp/nlf_prof"):
-        shutil.rmtree(d, ignore_errors=True)
-    pairs: list[dict] = []
-    for rep in range(reps):
-        warm_input(n_turns)
-        s0, t0 = _cpu_stat()
-        r8 = run_level(lo, n_turns)
-        r32 = run_level(hi, n_turns)
-        s1, t1 = _cpu_stat()
-        pair = {
-            "rep": rep,
-            "t8": {e: round(r8[e], 2) for e in ("arrow", "native")},
-            "t32": {e: round(r32[e], 2) for e in ("arrow", "native")},
-            "eff": {
-                e: round((r8[e] / r32[e]) / 4, 3) for e in ("arrow", "native")
-            },
-            # hypervisor steal over the whole rep window: >0.5% marks a
-            # rep polluted by noisy neighbors (time-varying on this box)
-            "steal_pct": round(100 * (s1 - s0) / max(t1 - t0, 1), 2),
-        }
-        pairs.append(pair)
-        print(f"rep{rep}: {json.dumps(pair)}", file=sys.stderr, flush=True)
+def measure_rep(rep: int, lo: int, hi: int, n_turns: int) -> dict:
+    """One fully self-contained rep: in-window envelope control at both
+    levels + pipeline at both levels, all back-to-back."""
+    from tools.cpu_envelope import _level
 
-    summary: dict = {"n_turns": n_turns, "reps": reps,
+    warm_input(n_turns)
+    s0, t0 = _cpu_stat()
+    c_lo = _level(lo)
+    r_lo = run_level(lo, n_turns)
+    c_hi = _level(hi)
+    r_hi = run_level(hi, n_turns)
+    s1, t1 = _cpu_stat()
+    env_eff = round(c_lo["wall"] / c_hi["wall"], 3)
+    pair = {
+        "rep": rep,
+        "t8": {e: round(r_lo[e], 2) for e in ENGINES},
+        "t32": {e: round(r_hi[e], 2) for e in ENGINES},
+        "eff": {e: round((r_lo[e] / r_hi[e]) / 4, 3) for e in ENGINES},
+        # in-window hardware ceiling for THIS rep (VERDICT r2 fix #7)
+        "envelope": {"lo_wall": c_lo["wall"], "hi_wall": c_hi["wall"],
+                     "efficiency": env_eff},
+        "eff_normalized": {
+            e: round(((r_lo[e] / r_hi[e]) / 4) / env_eff, 3) for e in ENGINES
+        },
+        # hypervisor steal over the whole rep window: >0.5% marks a
+        # rep polluted by noisy neighbors (time-varying on this box)
+        "steal_pct": round(100 * (s1 - s0) / max(t1 - t0, 1), 2),
+    }
+    return pair
+
+
+def summarize(pairs: list[dict], lo: int, hi: int, n_turns: int) -> dict:
+    summary: dict = {"n_turns": n_turns, "reps": len(pairs),
                      "levels": [lo, hi], "pairs": pairs}
-    rows = []
-    for e in ("arrow", "native"):
+    for e in ENGINES:
         effs = [p["eff"][e] for p in pairs]
+        normed = [p["eff_normalized"][e] for p in pairs]
         med8 = statistics.median(p["t8"][e] for p in pairs)
         med32 = statistics.median(p["t32"][e] for p in pairs)
         best8 = min(p["t8"][e] for p in pairs)
@@ -132,45 +151,48 @@ def main() -> None:
             "thr8_turns_per_sec": round(n_turns / med8, 1),
             "thr32_turns_per_sec": round(n_turns / med32, 1),
             "per_rep_efficiency": effs,
+            # PRIMARY: raw median efficiency — the north-rule number
             "efficiency": statistics.median(effs),
             # best-of estimator: min wall per level — the standard
             # noise-robust benchmark statistic under time-varying steal
             "best8_sec": best8,
             "best32_sec": best32,
             "efficiency_best": round((best8 / best32) / 4, 3),
+            # supplementary, UNCLAMPED: per-rep in-window normalization
+            "per_rep_efficiency_normalized": normed,
+            "efficiency_normalized": statistics.median(normed),
         }
-        rows.append(
-            f"| {e} | {med8} | {med32} | {n_turns/med8:,.0f} | "
-            f"{n_turns/med32:,.0f} | {effs} | **{summary[e]['efficiency']}** |"
-        )
-    # hardware thread-scaling envelope: the same lo->hi step for an
-    # embarrassingly parallel pure-CPU control (no Spark, no memory
-    # traffic). The pipeline cannot beat this ceiling on one box; the
-    # envelope-normalized number is what transfers to a real 4N-executor
-    # cluster where per-core speed does not degrade with executor count.
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from tools.cpu_envelope import measure_envelope
-
-    env = measure_envelope(lo, hi)
-    summary["envelope"] = env
-    for e in ("arrow", "native"):
-        # clamp at 1.0: a ratio above 1 only means the pure-CPU control
-        # sampled a noisier window than the pipeline's best rep — the
-        # meaningful statement is "at the hardware ceiling", not "above it"
-        summary[e]["efficiency_normalized"] = min(1.0, round(
-            summary[e]["efficiency_best"] / env["envelope_efficiency"], 3
-        ))
-    summary["pass"] = (
-        summary["arrow"]["efficiency"] >= 0.8
-        or summary["arrow"]["efficiency_best"] >= 0.8
-        or summary["arrow"]["efficiency_normalized"] >= 0.8
+    summary["envelope_per_rep"] = [p["envelope"]["efficiency"] for p in pairs]
+    summary["envelope_median"] = statistics.median(
+        p["envelope"]["efficiency"] for p in pairs
     )
-    print(json.dumps(summary))
+    # Pass is RAW-ONLY (ADVICE r2: no normalized/clamped pass). Basis
+    # records which raw statistic cleared the gate.
+    arrow = summary["arrow"]
+    if arrow["efficiency"] >= 0.8:
+        summary["pass_basis"] = "raw_median"
+        summary["pass"] = True
+    elif arrow["efficiency_best"] >= 0.8:
+        summary["pass_basis"] = "raw_best_of"
+        summary["pass"] = True
+    else:
+        summary["pass_basis"] = "none (raw median and best-of both < 0.8)"
+        summary["pass"] = False
+    return summary
 
-    if (lo, hi) != (8, 32):
-        print("non-canonical level pair: skipping BENCH/BASELINE.md", file=sys.stderr)
-        return
-    os.makedirs("/root/repo/BENCH", exist_ok=True)
+
+def write_baseline_md(summary: dict, lo: int, hi: int, n_turns: int) -> None:
+    pairs = summary["pairs"]
+    rows = []
+    for e in ENGINES:
+        s = summary[e]
+        rows.append(
+            f"| {e} | {s['median8_sec']} | {s['median32_sec']} | "
+            f"{n_turns / s['median8_sec']:,.0f} | "
+            f"{n_turns / s['median32_sec']:,.0f} | "
+            f"{s['per_rep_efficiency']} | **{s['efficiency']}** |"
+        )
+    arrow = summary["arrow"]
     lines = [
         "# BENCH/BASELINE.md — measured throughput & scaling evidence",
         "",
@@ -186,7 +208,15 @@ def main() -> None:
         "reps (pairing cancels single-box background drift). Each JVM",
         "runs one cold pass (dropped) + one timed pass per engine.",
         "",
-        "| parse engine | median t8 (s) | median t32 (s) | thr_8 (turns/s) | thr_32 (turns/s) | per-rep efficiency | median efficiency |",
+        "## Headline (raw, the north-rule number)",
+        "",
+        f"Arrow-vectorized parse stage (the north-star configuration):",
+        f"raw median efficiency **{arrow['efficiency']}**, raw best-of",
+        f"**{arrow['efficiency_best']}** — "
+        f"**{'PASS' if summary['pass'] else 'FAIL'}** vs ≥0.8"
+        f" (basis: {summary['pass_basis']}).",
+        "",
+        "| parse engine | median t8 (s) | median t32 (s) | thr_8 (turns/s) | thr_32 (turns/s) | per-rep raw efficiency | median raw efficiency |",
         "| --- | --- | --- | --- | --- | --- | --- |",
         *rows,
         "",
@@ -194,41 +224,38 @@ def main() -> None:
         "noise-robust statistic under time-varying hypervisor steal;",
         "per-rep steal% recorded in the raw pairs below):",
         "",
-        "| parse engine | best t8 (s) | best t32 (s) | best-of efficiency |",
+        "| parse engine | best t8 (s) | best t32 (s) | best-of raw efficiency |",
         "| --- | --- | --- | --- |",
         *[
             f"| {e} | {summary[e]['best8_sec']} | {summary[e]['best32_sec']} "
             f"| **{summary[e]['efficiency_best']}** |"
-            for e in ("arrow", "native")
+            for e in ENGINES
         ],
         "",
-        "## Hardware envelope calibration (tools/cpu_envelope.py)",
+        "## In-window hardware envelope (supplementary, unclamped)",
         "",
-        "This box is a virtualized single socket: even an EMBARRASSINGLY",
-        "PARALLEL pure-CPU control (k pinned processes, fixed per-process",
-        "integer loop, zero coordination, zero memory traffic) does not",
-        "hold per-core speed constant as more cores go busy — per-process",
-        f"time {env['lo_per_proc']}s at {lo} busy cores vs",
-        f"{env['hi_per_proc']}s at {hi} busy cores; measured envelope",
-        f"efficiency **{env['envelope_efficiency']}**",
-        f"(per-rep {env['per_rep_efficiency']}). No workload can exceed",
-        "this ceiling here; on a real 4N-executor cluster each node brings",
-        "its own silicon (envelope ~1.0), so the envelope-NORMALIZED",
-        "pipeline efficiency is the number that transfers:",
+        "Every rep also runs the pure-CPU control (tools/cpu_envelope.py:",
+        "k pinned processes, fixed integer loop, zero coordination, zero",
+        "memory traffic) at both core counts INSIDE the same window, so",
+        "each rep carries its own hardware ceiling. This box is a",
+        "virtualized single socket; even the embarrassingly parallel",
+        "control scales sublinearly here. On a real 4N-executor cluster",
+        "each node brings its own silicon (envelope ~1.0), so the",
+        "normalized value estimates what transfers — reported UNCLAMPED",
+        "as context only; it is NOT a pass basis. A normalized value",
+        "above 1.0 means the control sampled a noisier slice of the",
+        "window than the pipeline did.",
         "",
-        "| parse engine | best-of efficiency | envelope | normalized |",
-        "| --- | --- | --- | --- |",
+        f"Per-rep envelope efficiency: {summary['envelope_per_rep']}",
+        f"(median {summary['envelope_median']}).",
+        "",
+        "| parse engine | per-rep normalized | median normalized |",
+        "| --- | --- | --- |",
         *[
-            f"| {e} | {summary[e]['efficiency_best']} | {env['envelope_efficiency']} "
-            f"| **{summary[e]['efficiency_normalized']}** |"
-            for e in ("arrow", "native")
+            f"| {e} | {summary[e]['per_rep_efficiency_normalized']} "
+            f"| {summary[e]['efficiency_normalized']} |"
+            for e in ENGINES
         ],
-        "",
-        "Headline (north-star configuration, Arrow-vectorized UDF parse",
-        f"stage): median **{summary['arrow']['efficiency']}**, best-of",
-        f"**{summary['arrow']['efficiency_best']}**, envelope-normalized",
-        f"**{summary['arrow']['efficiency_normalized']}** "
-        f"({'PASS' if summary['pass'] else 'FAIL'} vs ≥0.8).",
         "",
         f"Raw pairs: {json.dumps(pairs)}",
         "",
@@ -242,9 +269,34 @@ def main() -> None:
         "BASELINE.md.",
         "",
     ]
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines))
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 19_200_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    assert hi == 4 * lo, "north rule pair must be N -> 4N"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # clear stray bench outputs so disk state is comparable across runs
+    for d in ("/tmp/nlf_scale_out", "/tmp/nlf_e2e", "/tmp/nlf_e2e_big", "/tmp/nlf_prof"):
+        shutil.rmtree(d, ignore_errors=True)
+    pairs: list[dict] = []
+    for rep in range(reps):
+        pair = measure_rep(rep, lo, hi, n_turns)
+        pairs.append(pair)
+        print(f"rep{rep}: {json.dumps(pair)}", file=sys.stderr, flush=True)
+
+    summary = summarize(pairs, lo, hi, n_turns)
+    print(json.dumps(summary))
+    if (lo, hi) == (8, 32):
+        write_baseline_md(summary, lo, hi, n_turns)
+    else:
+        print("non-canonical level pair: skipping BENCH/BASELINE.md", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,92 @@
+"""Train a small byte-pair-encoding merge list on the sandbox corpus
+and emit it as Python source (the shipped "tokenizer model").
+
+Standard BPE training (Sennrich et al. 2016, public algorithm): start
+from characters, repeatedly merge the most frequent adjacent token
+pair; ties break lexicographically so the result is fully
+deterministic. Words = whitespace tokens (the same pre-tokenization as
+``functions.text.tokens``), weighted by corpus frequency.
+
+The merge list ships as ``functions/bpe_merges.py`` — regenerate with:
+
+    python tools/train_bpe.py [n_merges] [out_path]
+
+Training data: the documents table at sf0.001 (driver-generated
+synthetic corpus, TESTDATA.md). The learned merges are corpus-specific
+the way a production tokenizer's merges are model-specific; encoding
+(functions/bpe.py + the oracle twin) is corpus-independent.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+
+
+def train(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    # token sequences per distinct word, weighted by frequency
+    seqs: dict[str, tuple[list[str], int]] = {
+        w: (list(w), f) for w, f in word_freq.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for toks, f in seqs.values():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += f
+        if not pairs:
+            break
+        # most frequent pair; lexicographic tie-break => deterministic
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w, (toks, f) in seqs.items():
+            i, out = 0, []
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            seqs[w] = (out, f)
+    return merges
+
+
+def main() -> None:
+    n_merges = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    out_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else "/root/repo/node_log_forwarder_spark/functions/bpe_merges.py"
+    )
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    freq: Counter = Counter()
+    for (text,) in rows:
+        if text:
+            freq.update(text.split())
+    merges = train(dict(freq), n_merges)
+    lines = [
+        '"""BPE merge list learned by tools/train_bpe.py (deterministic;',
+        "regenerate with `python tools/train_bpe.py`). Rank = list order.",
+        'Do not edit by hand."""',
+        "",
+        "BPE_MERGES: list[tuple[str, str]] = [",
+        *[f"    ({a!r}, {b!r})," for a, b in merges],
+        "]",
+        "",
+    ]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {len(merges)} merges to {out_path}")
+
+
+if __name__ == "__main__":
+    main()
