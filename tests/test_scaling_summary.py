@@ -1,0 +1,51 @@
+"""tools/run_scaling.summarize: pass is raw-only, basis recorded,
+normalized values pass through unclamped (ADVICE r2)."""
+
+from __future__ import annotations
+
+from tools.run_scaling import summarize
+
+
+def _pair(rep, t8a, t32a, t8n, t32n, env):
+    return {
+        "rep": rep,
+        "t8": {"arrow": t8a, "native": t8n},
+        "t32": {"arrow": t32a, "native": t32n},
+        "eff": {
+            "arrow": round((t8a / t32a) / 4, 3),
+            "native": round((t8n / t32n) / 4, 3),
+        },
+        "envelope": {"lo_wall": env * 4.0, "hi_wall": 4.0, "efficiency": env},
+        "eff_normalized": {
+            "arrow": round(((t8a / t32a) / 4) / env, 3),
+            "native": round(((t8n / t32n) / 4) / env, 3),
+        },
+        "steal_pct": 0.0,
+    }
+
+
+def test_raw_median_pass():
+    pairs = [_pair(0, 33.0, 10.0, 30.0, 10.0, 0.9),
+             _pair(1, 34.0, 10.0, 30.0, 10.0, 0.9)]
+    s = summarize(pairs, 8, 32, 1000)
+    assert s["pass"] and s["pass_basis"] == "raw_median"
+    assert s["arrow"]["efficiency"] >= 0.8
+
+
+def test_best_of_pass_when_median_fails():
+    # one clean rep (0.85), one polluted rep (0.5) -> median 0.675 fails,
+    # best-of (min walls) = (34/10)/4 = 0.85 passes
+    pairs = [_pair(0, 34.0, 10.0, 30.0, 10.0, 0.9),
+             _pair(1, 34.0, 17.0, 30.0, 15.0, 0.7)]
+    s = summarize(pairs, 8, 32, 1000)
+    assert s["pass"] and s["pass_basis"] == "raw_best_of"
+
+
+def test_normalized_never_passes_or_clamps():
+    # raw 0.5 everywhere but envelope 0.45 -> normalized >1.0: must be
+    # reported unclamped AND must not flip the verdict
+    pairs = [_pair(0, 20.0, 10.0, 20.0, 10.0, 0.45)]
+    s = summarize(pairs, 8, 32, 1000)
+    assert not s["pass"]
+    assert "none" in s["pass_basis"]
+    assert s["arrow"]["efficiency_normalized"] > 1.0  # unclamped
