@@ -118,15 +118,24 @@ def warm_input(n_turns: int) -> None:
 
 def measure_rep(rep: int, lo: int, hi: int, n_turns: int) -> dict:
     """One fully self-contained rep: in-window envelope control at both
-    levels + pipeline at both levels, all back-to-back."""
+    levels + pipeline at both levels, all back-to-back. Level order
+    alternates per rep (ABBA) so slow background drift inside a rep
+    biases alternate reps in OPPOSITE directions and cancels in the
+    median instead of accumulating."""
     from tools.cpu_envelope import _level
 
     warm_input(n_turns)
     s0, t0 = _cpu_stat()
-    c_lo = _level(lo)
-    r_lo = run_level(lo, n_turns)
-    c_hi = _level(hi)
-    r_hi = run_level(hi, n_turns)
+    if rep % 2 == 0:
+        c_lo = _level(lo)
+        r_lo = run_level(lo, n_turns)
+        c_hi = _level(hi)
+        r_hi = run_level(hi, n_turns)
+    else:
+        c_hi = _level(hi)
+        r_hi = run_level(hi, n_turns)
+        c_lo = _level(lo)
+        r_lo = run_level(lo, n_turns)
     s1, t1 = _cpu_stat()
     env_eff = round(c_lo["wall"] / c_hi["wall"], 3)
     pair = {
@@ -196,6 +205,61 @@ def summarize(pairs: list[dict], lo: int, hi: int, n_turns: int) -> dict:
     return summary
 
 
+CAMPAIGN_PATH = "/root/repo/BENCH/campaign.jsonl"
+PROTOCOL = "v3-abba-min2"  # ABBA level order, min-of-2 timed passes,
+#                            in-window envelope, pre-compiled plans
+
+
+def append_campaign(summary: dict) -> dict:
+    """Append this run to the campaign log (one JSON line per run).
+    Every run is recorded — passing and failing windows alike — so the
+    headline can be a POOLED statistic with no window selection."""
+    line = {
+        "protocol": PROTOCOL,
+        "n_turns": summary["n_turns"],
+        "reps": summary["reps"],
+        "arrow_per_rep": summary["arrow"]["per_rep_efficiency"],
+        "native_per_rep": summary["native"]["per_rep_efficiency"],
+        "envelope_per_rep": summary["envelope_per_rep"],
+        "steal_per_rep": [p["steal_pct"] for p in summary["pairs"]],
+        "pass": summary["pass"],
+        "pass_basis": summary["pass_basis"],
+    }
+    os.makedirs(os.path.dirname(CAMPAIGN_PATH), exist_ok=True)
+    with open(CAMPAIGN_PATH, "a") as f:
+        f.write(json.dumps(line) + "\n")
+    return line
+
+
+def load_campaign() -> list[dict]:
+    try:
+        with open(CAMPAIGN_PATH) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
+    except FileNotFoundError:
+        return []
+
+
+def pooled_stats(runs: list[dict]) -> dict | None:
+    """Pooled per-rep medians over every same-protocol rep ever run —
+    the no-selection statistic (a single run samples one hypervisor
+    window; the pool samples all of them)."""
+    effs = [e for r in runs if r["protocol"].startswith("v3")
+            for e in r["arrow_per_rep"]]
+    if not effs:
+        return None
+    n_effs = [e for r in runs if r["protocol"].startswith("v3")
+              for e in r["native_per_rep"]]
+    envs = [e for r in runs if r["protocol"].startswith("v3")
+            for e in r["envelope_per_rep"]]
+    return {
+        "n_reps": len(effs),
+        "arrow_pooled_median": round(statistics.median(effs), 4),
+        "native_pooled_median": round(statistics.median(n_effs), 4),
+        "envelope_pooled_median": round(statistics.median(envs), 4),
+        "pass_pooled": statistics.median(effs) >= 0.8,
+    }
+
+
 def write_baseline_md(summary: dict, lo: int, hi: int, n_turns: int) -> None:
     pairs = summary["pairs"]
     rows = []
@@ -208,6 +272,38 @@ def write_baseline_md(summary: dict, lo: int, hi: int, n_turns: int) -> None:
             f"{s['per_rep_efficiency']} | **{s['efficiency']}** |"
         )
     arrow = summary["arrow"]
+    campaign = load_campaign()
+    pooled = pooled_stats(campaign)
+    campaign_lines: list[str] = []
+    if pooled:
+        campaign_lines = [
+            "## Campaign across windows (no selection — every run recorded)",
+            "",
+            "A single run samples ONE hypervisor window; per-rep raw",
+            "efficiency has swung 0.58-1.16 across windows with steal",
+            "0.08-1.7%. The no-selection statistic is the pooled per-rep",
+            f"median over all {pooled['n_reps']} protocol reps ever run",
+            "(BENCH/campaign.jsonl, failing windows included):",
+            "",
+            "| statistic | arrow | native | pure-CPU control |",
+            "| --- | --- | --- | --- |",
+            f"| pooled per-rep median | **{pooled['arrow_pooled_median']}** "
+            f"| {pooled['native_pooled_median']} "
+            f"| {pooled['envelope_pooled_median']} |",
+            "",
+            f"Pooled verdict vs ≥0.8: "
+            f"**{'PASS' if pooled['pass_pooled'] else 'FAIL'}**.",
+            "",
+            "| run | turns | per-rep arrow raw | per-rep envelope | per-rep steal% | window verdict |",
+            "| --- | --- | --- | --- | --- | --- |",
+            *[
+                f"| {i} | {r['n_turns']:,} | {r['arrow_per_rep']} "
+                f"| {r['envelope_per_rep']} | {r['steal_per_rep']} "
+                f"| {'PASS' if r['pass'] else 'FAIL'} ({r['pass_basis']}) |"
+                for i, r in enumerate(campaign)
+            ],
+            "",
+        ]
     lines = [
         "# BENCH/BASELINE.md — measured throughput & scaling evidence",
         "",
@@ -228,7 +324,8 @@ def write_baseline_md(summary: dict, lo: int, hi: int, n_turns: int) -> None:
         "planning runs before each timed clock starts — driver-side",
         "compile is cluster-size-independent.",
         "",
-        "## Headline (raw, the north-rule number)",
+        *campaign_lines,
+        "## Latest run (raw, the north-rule number for THIS window)",
         "",
         f"Arrow-vectorized parse stage (the north-star configuration):",
         f"raw median efficiency **{arrow['efficiency']}**, raw best-of",
@@ -314,6 +411,7 @@ def main() -> None:
     summary = summarize(pairs, lo, hi, n_turns)
     print(json.dumps(summary))
     if (lo, hi) == (8, 32):
+        append_campaign(summary)
         write_baseline_md(summary, lo, hi, n_turns)
     else:
         print("non-canonical level pair: skipping BENCH/BASELINE.md", file=sys.stderr)
