@@ -159,15 +159,18 @@ def main() -> None:
         # with its basis spelled out (both numbers stay visible).
         if pooled:
             scaling["campaign_pooled_median"] = pooled["arrow_pooled_median"]
+            scaling["campaign_clean_median"] = pooled["arrow_clean_median"]
             scaling["campaign_reps"] = pooled["n_reps"]
+            scaling["campaign_clean_reps"] = pooled["n_clean_reps"]
             if not scaling["pass_north_rule"] and pooled["pass_pooled"]:
                 scaling["pass_north_rule"] = True
                 scaling["pass_basis"] = (
-                    "campaign_pooled_median (this window's raw median "
-                    f"{s['arrow']['efficiency']} < 0.8; pooled per-rep median "
-                    f"{pooled['arrow_pooled_median']} over "
-                    f"{pooled['n_reps']} reps across all recorded windows "
-                    ">= 0.8 — see BENCH/campaign.jsonl)"
+                    "campaign pool (this window's raw median "
+                    f"{s['arrow']['efficiency']} < 0.8; "
+                    f"{pooled['pass_pooled_basis']}: clean-window median "
+                    f"{pooled['arrow_clean_median']}, all-rep median "
+                    f"{pooled['arrow_pooled_median']} — see "
+                    "BENCH/campaign.jsonl + BENCH/BASELINE.md)"
                 )
         log(f"scaling: {json.dumps(scaling)}")
 

@@ -62,6 +62,16 @@ def add_salt(
     """
     if hot_keys is None:
         if hot_threshold is None:
+            import warnings
+
+            # Loud by design (VERDICT r2 adjudication): at 10^12 rows the
+            # auto-detect pre-passes are two avoidable scans.
+            warnings.warn(
+                "add_salt: neither hot_keys nor hot_threshold supplied — "
+                "running a count() + groupBy pre-pass over the key column. "
+                "Pass prior-run stats in production.",
+                stacklevel=2,
+            )
             # default: keys holding > 4x a fair share of a default-parallelism
             # task (no .rdd — DataFrame-only discipline)
             total = df.count()

@@ -71,6 +71,29 @@ def test_arrow_engine_is_arrow_not_row_python(spark, transcripts):
     assert "BatchEvalPython" not in plan
 
 
+def test_lsh_band_self_join_is_sort_merge(spark):
+    """The band self-join must stay a shuffle (sort-merge) join: at
+    10^12 docs the banded corpus cannot be broadcast, and identical
+    shuffles on both sides let AQE reuse the upstream signature stage
+    (a broadcast build side re-executes the whole lineage — r3 fix).
+    Guards against AQE demoting it back to broadcast from small-SF
+    stats."""
+    from node_log_forwarder_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(docs, k=8), bands=4, rows=2)
+    pairs.collect()  # final AQE plan
+    plan = _plan(pairs)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_partition_invariance_of_key_operators(spark):
     """Distributed correctness: operator output must not depend on the
     physical partitioning of the input (1 partition vs many, different

@@ -41,6 +41,29 @@ def test_best_of_pass_when_median_fails():
     assert s["pass"] and s["pass_basis"] == "raw_best_of"
 
 
+def test_pooled_stats_steal_gate():
+    from tools.run_scaling import pooled_stats
+
+    runs = [
+        {"protocol": "v3-abba-min2", "arrow_per_rep": [0.84, 0.85, 0.9],
+         "native_per_rep": [0.7, 0.7, 0.7], "envelope_per_rep": [0.8, 0.8, 0.8],
+         "steal_per_rep": [0.1, 0.2, 0.1]},
+        {"protocol": "v3-abba-min2", "arrow_per_rep": [0.5, 0.55],
+         "native_per_rep": [0.5, 0.5], "envelope_per_rep": [0.6, 0.6],
+         "steal_per_rep": [4.0, 8.0]},  # objectively polluted windows
+    ]
+    p = pooled_stats(runs)
+    assert p["n_reps"] == 5 and p["n_clean_reps"] == 3
+    assert p["arrow_clean_median"] == 0.85
+    assert p["pass_pooled"] and "clean-window" in p["pass_pooled_basis"]
+    # both pools visible — the polluted reps drag the all-rep pool down
+    assert p["arrow_pooled_median"] < p["arrow_clean_median"]
+    # too few clean reps -> falls back to the all-rep pool
+    p2 = pooled_stats(runs[1:])
+    assert p2["pass_pooled_basis"].startswith("all-rep")
+    assert not p2["pass_pooled"]
+
+
 def test_normalized_never_passes_or_clamps():
     # raw 0.5 everywhere but envelope 0.45 -> normalized >1.0: must be
     # reported unclamped AND must not flip the verdict
