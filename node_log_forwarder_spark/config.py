@@ -164,6 +164,29 @@ LIBRARY_RULES: list[ParseRule] = [
         field_types={"epid": "int", "tid": "int"},
     ),
     ParseRule(
+        # kubernetes / glog header: I0816 12:34:56.789012 12345 file.go:123] msg
+        rule_id="klog",
+        priority=132,
+        pattern=(
+            r"^(?P<klevel>[IWEF])(?P<kdate>\d{4}) "
+            r"(?P<ktime>\d{2}:\d{2}:\d{2}\.\d{6})\s+(?P<kthread>\d+) "
+            r"(?P<kfile>[\w\.\-/]+):(?P<kline>\d+)\] (?P<kmsg>.*)$"
+        ),
+        field_types={"kthread": "int", "kline": "int"},
+    ),
+    ParseRule(
+        # ArcSight Common Event Format header:
+        # CEF:0|vendor|product|version|sigid|name|severity|extensions
+        rule_id="cef",
+        priority=133,
+        pattern=(
+            r"^CEF:(?P<cefver>\d+)\|(?P<vendor>[^|]*)\|(?P<product>[^|]*)\|"
+            r"(?P<pver>[^|]*)\|(?P<sigid>[^|]*)\|(?P<cname>[^|]*)\|"
+            r"(?P<severity>[^|]*)\|(?P<ext>.*)$"
+        ),
+        field_types={"cefver": "int"},
+    ),
+    ParseRule(
         rule_id="logfmt",
         priority=135,
         # logfmt lines: space-separated key=value pairs, values bare or

@@ -132,6 +132,37 @@ def test_logfmt_rule_and_map(spark):
         spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
 
 
+def test_klog_and_cef_rules(spark):
+    from node_log_forwarder_spark.config import LIBRARY_RULES
+    from node_log_forwarder_spark.operators.parse import parse_stage
+    from tests.oracle import oracle_parse
+
+    rows = [
+        ("I0816 12:34:56.789012 12345 server.go:123] started watcher",),
+        ("E0816 12:34:56.000001   99 main.go:7] oops",),
+        ("CEF:0|SomeVendor|WAF|1.2|4005|Blocked request|7|src=10.0.0.1 act=block",),
+        ("CEF:1|a||| | |0|",),  # empty/space header fields still parse
+        ("I081 12:34:56.789012 1 f.go:1] bad date -> miss",),
+        ("CEF|0|missing colon -> miss",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    parsed = parse_stage(df, LIBRARY_RULES)
+    got = {r["text"]: (r["rule_id"], dict(r["fields"])) for r in parsed.collect()}
+    assert got[rows[0][0]][0] == "klog"
+    assert got[rows[0][0]][1]["kfile"] == "server.go"
+    assert got[rows[0][0]][1]["kline"] == "123"
+    assert got[rows[1][0]][0] == "klog" and got[rows[1][0]][1]["klevel"] == "E"
+    assert got[rows[2][0]][0] == "cef"
+    assert got[rows[2][0]][1]["vendor"] == "SomeVendor"
+    assert got[rows[2][0]][1]["severity"] == "7"
+    assert got[rows[3][0]][0] == "cef" and got[rows[3][0]][1]["product"] == ""
+    assert got[rows[4][0]][0] is None
+    assert got[rows[5][0]][0] is None
+    # python oracle parity on every line
+    for (text,) in rows:
+        assert got[text] == oracle_parse(text, LIBRARY_RULES), text
+
+
 def test_logfmt_map_roundtrip_property(spark):
     """Property: for generated kv pairs (bare or quoted values), the
     rendered logfmt line is detected by the library rule and logfmt_map

@@ -35,6 +35,19 @@ _near_rules = st.one_of(
         st.sampled_from(["\x1f", "\x1f\x1f", " \x1f "]),
         st.sampled_from(["true", "false", "maybe"]),
     ),
+    # line terminators in every position (ADVICE r2 high): trailing '\n'
+    # is the '$'-anchors-before-final-newline case that must take the
+    # slow path; the others probe (?d) semantics end to end
+    st.builds(
+        "{}{}{}".format,
+        st.sampled_from([
+            "ERROR X: boom retry=true",
+            "call tool=sql status=ok dur_ms=7",
+            "free text",
+        ]),
+        st.sampled_from(["", "\n", "\r", "\r\n", "\n\n", "", " "]),
+        st.sampled_from(["", "tail", "\nmore"]),
+    ),
 )
 
 CORPUS: list[str] = []
