@@ -459,12 +459,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- text: quality components (integer-exact) ------------------------------
     def q_quality_components(spark, sf):
+        from node_log_forwarder_spark.functions.text import (
+            line_counts,
+            ngrams_from_tokens,
+            tokens as _tok,
+        )
+
         docs = _t(spark, sf, "documents")
-        return docs.groupBy("source").agg(
+        n_lines, n_dlines = line_counts(F.col("text"))
+        base = docs.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(token_count(F.col("text"))).alias("sum_tokens"),
             F.sum(punct_count(F.col("text"))).alias("sum_punct"),
             F.sum(stopword_count(F.col("text"))).alias("sum_stop"),
+            # r3 repetition components (Gopher/C4-style quality
+            # signals), integer-exact: duplicate-line fraction =
+            # 1 - sum_distinct_lines/sum_lines at read time
+            F.sum(n_lines).alias("sum_lines"),
+            F.sum(n_dlines).alias("sum_distinct_lines"),
+        )
+        # top-bigram repetition: per doc, occurrences of its most
+        # frequent word bigram + total bigrams (explode + two-level
+        # agg — the standard distributed shape; all counts exact ints)
+        bg = docs.select(
+            "source", "doc_id", _tok(F.col("text")).alias("_w")
+        ).select(
+            "source", "doc_id",
+            F.explode(ngrams_from_tokens(F.col("_w"), 2)).alias("g"),
+        )
+        per_doc = (
+            bg.groupBy("source", "doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("source", "doc_id")
+            .agg(F.max("c").alias("top_c"), F.sum("c").alias("tot_c"))
+        )
+        rep = per_doc.groupBy("source").agg(
+            F.sum("top_c").alias("sum_top_bigram"),
+            F.sum("tot_c").alias("sum_bigrams"),
+        )
+        return base.join(rep, "source", "left").select(
+            "source", "n_docs", "sum_tokens", "sum_punct", "sum_stop",
+            "sum_lines", "sum_distinct_lines",
+            F.coalesce(F.col("sum_top_bigram"), F.lit(0)).alias("sum_top_bigram"),
+            F.coalesce(F.col("sum_bigrams"), F.lit(0)).alias("sum_bigrams"),
         )
     q["quality_components"] = q_quality_components
 
@@ -1156,20 +1192,49 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY d.lang
     """
 
+    _LINES = ("list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), "
+              "x -> trim(x)), x -> x != '')")
     sql["quality_components"] = f"""
         WITH d AS (
           SELECT source,
                  len({_TOKENS}) AS tc,
                  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS pc,
                  len(list_filter({_TOKENS},
-                     t -> list_contains(['the','a','of','and','is'], t))) AS sc
+                     t -> list_contains(['the','a','of','and','is'], t))) AS sc,
+                 len({_LINES}) AS nl,
+                 len(list_distinct({_LINES})) AS ndl
           FROM documents
+        ),
+        base AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(tc) AS BIGINT) AS sum_tokens,
+                 CAST(sum(pc) AS BIGINT) AS sum_punct,
+                 CAST(sum(sc) AS BIGINT) AS sum_stop,
+                 CAST(sum(nl) AS BIGINT) AS sum_lines,
+                 CAST(sum(ndl) AS BIGINT) AS sum_distinct_lines
+          FROM d GROUP BY source
+        ),
+        bg AS (
+          SELECT source, doc_id, unnest({_NGRAM2}) AS g
+          FROM (SELECT source, doc_id, {_TOKENS} AS w FROM documents)
+        ),
+        per_gram AS (
+          SELECT source, doc_id, g, count(*) AS c FROM bg GROUP BY ALL
+        ),
+        per_doc AS (
+          SELECT source, doc_id, max(c) AS top_c, sum(c) AS tot_c
+          FROM per_gram GROUP BY source, doc_id
+        ),
+        rep AS (
+          SELECT source, CAST(sum(top_c) AS BIGINT) AS sum_top_bigram,
+                 CAST(sum(tot_c) AS BIGINT) AS sum_bigrams
+          FROM per_doc GROUP BY source
         )
-        SELECT source, count(*) AS n_docs,
-               CAST(sum(tc) AS BIGINT) AS sum_tokens,
-               CAST(sum(pc) AS BIGINT) AS sum_punct,
-               CAST(sum(sc) AS BIGINT) AS sum_stop
-        FROM d GROUP BY source
+        SELECT base.source, n_docs, sum_tokens, sum_punct, sum_stop,
+               sum_lines, sum_distinct_lines,
+               coalesce(sum_top_bigram, 0) AS sum_top_bigram,
+               coalesce(sum_bigrams, 0) AS sum_bigrams
+        FROM base LEFT JOIN rep ON base.source = rep.source
     """
 
     # language-ID: argmax of stopword hits, ties → earlier lang code wins

@@ -78,6 +78,27 @@ def lang_guess(col: Column) -> Column:
     return F.when(best_score > 0, guess).otherwise(F.lit("und"))
 
 
+def nonempty_lines(col: Column) -> Column:
+    """Trimmed, non-empty lines of a document as array<string> — the
+    unit for repetition-based quality filtering (Gopher/C4-style: a
+    high duplicate-line fraction marks boilerplate/templated text)."""
+    # explicit lambda: F.trim has an optional 2nd param, so passing it
+    # bare makes transform() feed the element INDEX as the trim chars
+    return F.filter(
+        F.transform(F.split(F.coalesce(col, F.lit("")), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def line_counts(col: Column) -> tuple[Column, Column]:
+    """(n_lines, n_distinct_lines) as exact ints. Duplicate-line
+    fraction = 1 - distinct/total; kept as two integer columns so
+    aggregations stay order-independent and oracle-exact (the float
+    division happens at read time, not in the engine)."""
+    lines = nonempty_lines(col)
+    return F.size(lines), F.size(F.array_distinct(lines))
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text."""

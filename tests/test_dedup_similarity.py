@@ -189,6 +189,32 @@ def test_quality_and_langid(spark):
     assert rows[1][0] > rows[3][0]
 
 
+def test_line_repetition_counts(spark):
+    """Gopher/C4-style repetition components: duplicate-line counts are
+    exact ints; blank/whitespace-only lines don't count; null/empty
+    text yields (0, 0)."""
+    from node_log_forwarder_spark.functions.text import line_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello\nworld\nhello\n\n   \nhello"),  # 4 lines, 2 distinct
+            (2, "a\nb\nc"),                             # no repetition
+            (3, ""),
+            (4, None),
+            (5, "  x  \nx"),                            # trim before dedupe
+        ],
+        "doc_id long, text string",
+    )
+    n, d = line_counts(F.col("text"))
+    rows = {r["doc_id"]: (r["n"], r["d"]) for r in
+            df.select("doc_id", n.alias("n"), d.alias("d")).collect()}
+    assert rows[1] == (4, 2)
+    assert rows[2] == (3, 3)
+    assert rows[3] == (0, 0)
+    assert rows[4] == (0, 0)
+    assert rows[5] == (2, 1)
+
+
 def test_multimodal_frame_sampling(spark, docs):
     from node_log_forwarder_spark.operators.multimodal import attach_media, sample_frames
 
