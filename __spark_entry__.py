@@ -516,9 +516,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- text: document fingerprinting ------------------------------------------
     def q_fingerprint(spark, sf):
+        # fingerprint + PII redaction audit in one key (50-key cap):
+        # redacted_fp is the fingerprint AFTER the pinned redaction
+        # chain (functions/redact.py — native regexp_replace only), and
+        # n_redactions counts matches across all classes; the DuckDB
+        # twin applies the byte-identical chain.
+        from node_log_forwarder_spark.functions.redact import (
+            redact_pii,
+            redaction_counts,
+        )
+
         docs = _t(spark, sf, "documents")
+        counts = redaction_counts(F.col("text"))
+        n_red = None
+        for c in counts.values():
+            n_red = c if n_red is None else n_red + c
         return docs.select(
-            F.col("doc_id"), fingerprint(F.col("text")).alias("fp")
+            F.col("doc_id"),
+            fingerprint(F.col("text")).alias("fp"),
+            fingerprint(redact_pii(F.col("text"))).alias("redacted_fp"),
+            n_red.cast("int").alias("n_redactions"),
         ).filter(F.col("doc_id") < 100)
     q["fingerprint"] = q_fingerprint
 
@@ -1260,8 +1277,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, lang_guess, count(*) AS n FROM r GROUP BY 1, 2
     """
 
+    from node_log_forwarder_spark.functions.redact import (
+        REDACTIONS,
+        redact_oracle_sql,
+        redaction_count_oracle_sql,
+    )
+
+    _red = redact_oracle_sql("text")
+    _fp_red = f"md5(lower(trim(regexp_replace({_red}, '\\s+', ' ', 'g'))))"
+    _n_red = " + ".join(
+        redaction_count_oracle_sql(name) for name, _, _ in REDACTIONS
+    )
     sql["fingerprint"] = f"""
-        SELECT doc_id, {_FP} AS fp FROM documents WHERE doc_id < 100
+        SELECT doc_id, {_FP} AS fp,
+               {_fp_red} AS redacted_fp,
+               CAST({_n_red} AS INT) AS n_redactions
+        FROM documents WHERE doc_id < 100
     """
 
     from node_log_forwarder_spark.operators.dedup import (

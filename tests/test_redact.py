@@ -1,0 +1,60 @@
+"""PII redaction chain: placeholder substitution, precision cases,
+Spark-vs-DuckDB parity of the identical chain."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.redact import (
+    redact_oracle_sql,
+    redact_pii,
+    redaction_counts,
+)
+
+CASES = [
+    ("mail me at alice.smith+x@example.co.uk today", "mail me at <EMAIL> today"),
+    ("server 10.0.0.1 and 192.168.255.254 up", "server <IP> and <IP> up"),
+    ("ssn 123-45-6789 on file", "ssn <SSN> on file"),
+    ("call (555) 123-4567 or +1-555-123-4567", "call <PHONE> or <PHONE>"),
+    ("card 4111 1111 1111 1111 declined", "card <CC> declined"),
+    # precision: bare digit runs, versions, and timestamps survive
+    ("build 20260816 v1.2.3 at 12:34:56", "build 20260816 v1.2.3 at 12:34:56"),
+    ("pi is 3.14159 and 1.2.3.4.5 is not an ip", "pi is 3.14159 and <IP>.5 is not an ip"),
+    ("", ""),
+]
+
+
+def test_redaction_cases(spark):
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(CASES)], "i long, text string")
+    got = {r["i"]: r["red"] for r in df.select("i", redact_pii(F.col("text")).alias("red")).collect()}
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, (CASES[i][0], got[i])
+
+
+def test_redaction_duckdb_parity(spark):
+    texts = [t for t, _ in CASES] + [
+        "a@b.cc 1.2.3.4 123-45-6789 555-123-4567 4444 4444 4444 4444",
+        "email-in-email a@b.cc@c.dd edge",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got_spark = {r["i"]: r["red"] for r in df.select("i", redact_pii(F.col("text")).alias("red")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(range(len(?))) AS i, unnest(?) AS text",
+                [texts, texts])
+    got_duck = dict(con.sql(f"SELECT i, {redact_oracle_sql('text')} FROM t").fetchall())
+    for i in range(len(texts)):
+        assert got_spark[i] == got_duck[i], (texts[i], got_spark[i], got_duck[i])
+
+
+def test_redaction_counts(spark):
+    df = spark.createDataFrame(
+        [("a@b.cc wrote to c@d.ee from 1.2.3.4, ssn 123-45-6789",)], "text string"
+    )
+    counts = redaction_counts(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in counts.items()]).first()
+    assert row["email"] == 2
+    assert row["ipv4"] == 1
+    assert row["ssn"] == 1
+    assert row["phone"] == 0
+    assert row["cc16"] == 0
