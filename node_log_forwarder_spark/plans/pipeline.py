@@ -70,6 +70,11 @@ class PipelineConfig:
     # genuinely needs whole conversations co-located on a task (e.g.
     # per-conversation ordered exports, conv_id-bucketed sink tables).
     repartition_input: bool = False
+    # Scrub PII from the text column BEFORE parsing/routing
+    # (functions/redact.py — native regexp_replace chain, fuses into the
+    # scan stage). Off by default: the forwarder contract is
+    # byte-identical delivery; turn on for training-data exports.
+    redact_text: bool = False
 
 
 def build_routed(
@@ -79,6 +84,10 @@ def build_routed(
 ) -> DataFrame:
     """The logical plan for scan→parse→enrich→route (no action)."""
     df = transcripts
+    if cfg.redact_text:
+        from node_log_forwarder_spark.functions.redact import redact_pii
+
+        df = df.withColumn("text", redact_pii(F.col("text")))
     if cfg.repartition_input:
         df = add_salt(
             df, hot_threshold=cfg.hot_threshold, n_salts=cfg.n_salts

@@ -39,6 +39,27 @@ def test_run_pipeline_end_to_end(spark, transcripts, tmp_path):
     assert 0 < res["stage_metrics"]["rows_matched"] < n
 
 
+def test_run_pipeline_redacted_export(spark, transcripts, tmp_path):
+    """redact_text=True scrubs PII before parse/route; routed counts are
+    unchanged for the synthetic corpus (no rule captures PII-shaped
+    text) and the written sink table carries placeholders."""
+    out = str(tmp_path / "outred")
+    pii_line = "contact alice@example.com from 10.1.2.3"
+    extra = spark.createDataFrame(
+        [("conv_pii", 0, "user", pii_line, "none",
+          transcripts.select("ts").first()["ts"])],
+        transcripts.schema,
+    )
+    tr = transcripts.unionByName(extra)
+    cfg = PipelineConfig(hot_threshold=500, redact_text=True)
+    res = run_pipeline(spark, tr, out, cfg)
+    assert res["stage_metrics"]["rows_in"] == tr.count()
+    sinks = read_table(spark, f"{out}/sinks")
+    row = sinks.filter(F.col("conv_id") == "conv_pii").select("text").first()
+    assert row["text"] == "contact <EMAIL> from <IP>"
+    assert sinks.filter(F.col("text").contains("alice@example.com")).count() == 0
+
+
 def test_run_pipeline_per_sink_writer(spark, transcripts, tmp_path):
     out = str(tmp_path / "outps")
     cfg = PipelineConfig(hot_threshold=500, writer="per_sink", repartition_input=False)
