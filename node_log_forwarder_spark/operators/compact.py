@@ -1,0 +1,89 @@
+"""Small-file compaction for partitioned sink tables.
+
+Streaming micro-batches and per-task dynamic-partition writes both
+accumulate tiny parquet files; at 10^12 rows an uncompacted sink table
+turns every downstream scan into millions of file opens. Compaction
+rewrites a table (or a pruned subset of its partitions) into
+target-sized files:
+
+* file sizing via AQE ``REBALANCE`` on the partition columns — the
+  runtime coalesces small partitions AND splits skewed ones, so one hot
+  (sink, day) cell cannot become a single giant task;
+* ``maxRecordsPerFile`` derived from a sampled bytes-per-row estimate,
+  capping any single output file near ``target_file_bytes``;
+* rewrite lands in a sibling directory then swaps in (parquet mode —
+  Iceberg users run the same logical plan through
+  ``rewrite_data_files``; the swap is a metadata commit there).
+
+Row-identical by construction: the plan is scan → rebalance → write,
+no filters, no projections.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def plan_compaction(
+    df: DataFrame,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sampled_row_bytes: float | None = None,
+) -> tuple[DataFrame, int]:
+    """(rebalanced frame, max_records_per_file) for a compacting write."""
+    if sampled_row_bytes is None:
+        # cheap driver-side estimate: average serialized row width over a
+        # bounded sample (1k rows) — only used to cap records/file
+        sample = df.limit(1000).select(
+            F.sum(F.length(F.to_json(F.struct("*")))).alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        sampled_row_bytes = (sample["b"] or 1) / max(sample["n"] or 1, 1)
+    max_records = max(1000, int(target_file_bytes / max(sampled_row_bytes, 1.0)))
+    out = df.hint("rebalance", *partition_cols) if partition_cols else df.hint("rebalance")
+    return out, max_records
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact a parquet table in place (write-aside + atomic-ish swap).
+    Returns {files_before, files_after, rows}."""
+
+    def _count_files(p: str) -> int:
+        n = 0
+        for root, _dirs, files in os.walk(p):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before = _count_files(path)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    out, max_records = plan_compaction(df, partition_cols, target_file_bytes)
+    tmp = path.rstrip("/") + "__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = out.write.mode("overwrite").option("maxRecordsPerFile", max_records)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    # verify row preservation BEFORE the swap — a failed rewrite must
+    # never destroy the source
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch: {rows} -> {rows_after}; source untouched"
+        )
+    old = path.rstrip("/") + "__precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"files_before": before, "files_after": _count_files(path), "rows": rows}
