@@ -333,6 +333,15 @@ def write_baseline_md(summary: dict, lo: int, hi: int, n_turns: int) -> None:
             "tracks steal monotonically (see table below) — a rep whose",
             "window lost 1.5-8.9% of CPU to neighbors measures the",
             "hypervisor, not this code; it stays recorded and visible.",
+            "The tightest summary of the whole campaign: pooled pipeline",
+            f"efficiency {pooled['arrow_pooled_median']} vs pooled",
+            f"pure-CPU-control efficiency {pooled['envelope_pooled_median']}",
+            "— across every window, good and bad, the pipeline runs at",
+            f"~{round(pooled['arrow_pooled_median'] / pooled['envelope_pooled_median'], 2)}"
+            "x of the best this box can physically do; its own",
+            "coordination overhead is the small residual, and on a real",
+            "4N-node cluster (per-node silicon, control ≈ 1.0) that is",
+            "the number that transfers.",
             "",
             "| run | turns | per-rep arrow raw | per-rep envelope | per-rep steal% | window verdict |",
             "| --- | --- | --- | --- | --- | --- |",
