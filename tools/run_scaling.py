@@ -329,11 +329,16 @@ def write_baseline_md(summary: dict, lo: int, hi: int, n_turns: int) -> None:
             "",
             f"Pooled verdict vs ≥0.8: "
             f"**{'PASS' if pooled['pass_pooled'] else 'FAIL'}** "
-            f"(basis: {pooled['pass_pooled_basis']}). Per-rep efficiency",
-            "tracks steal monotonically (see table below) — a rep whose",
-            "window lost 1.5-8.9% of CPU to neighbors measures the",
-            "hypervisor, not this code; it stays recorded and visible.",
-            "The tightest summary of the whole campaign: pooled pipeline",
+            f"(basis: {pooled['pass_pooled_basis']}). High-steal reps",
+            "(1.5-8.9% of CPU lost to neighbors) are reliably degraded —",
+            "they measure the hypervisor, not this code — but steal is",
+            "not the whole story: some zero-steal windows ALSO slow the",
+            "pure-CPU control to ~0.75 (host frequency/SMT contention",
+            "that steal accounting cannot see), and the pipeline tracks",
+            "the control in those windows too. That is why the in-window",
+            "control exists, and why the pipeline-vs-control ratio is",
+            "the most meaningful cross-window number:",
+            "pooled pipeline",
             f"efficiency {pooled['arrow_pooled_median']} vs pooled",
             f"pure-CPU-control efficiency {pooled['envelope_pooled_median']}",
             "— across every window, good and bad, the pipeline runs at",
