@@ -1,0 +1,65 @@
+"""URL/domain extraction + blocklist filtering (C4-style web ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.urls import (
+    blocklist_filter,
+    extract_hosts,
+    extract_urls,
+    registrable_domain,
+)
+
+
+def test_extract_urls_and_hosts(spark):
+    rows = [
+        (1, "see https://Example.COM/path?q=1 and http://sub.site.org:8080/x"),
+        (2, "no urls here"),
+        (3, "dup https://a.io/1 https://a.io/2"),
+        (4, None),
+        (5, "trailing punctuation https://b.net/page."),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: (list(r["u"]), list(r["h"]))
+        for r in df.select(
+            "i",
+            extract_urls(F.col("text")).alias("u"),
+            extract_hosts(F.col("text")).alias("h"),
+        ).collect()
+    }
+    assert got[1][1] == ["example.com", "sub.site.org"]
+    assert got[2] == ([], [])
+    assert got[3][1] == ["a.io"]  # distinct hosts
+    assert got[4] == ([], [])
+    assert got[5][1] == ["b.net"]
+
+
+def test_registrable_domain(spark):
+    df = spark.createDataFrame(
+        [("www.news.example.com",), ("a.io",), ("localhost",)], "h string"
+    )
+    got = [r[0] for r in df.select(registrable_domain(F.col("h"))).collect()]
+    assert got == ["example.com", "a.io", "localhost"]
+
+
+def test_blocklist_filter(spark):
+    rows = [
+        (1, "read https://spam.example.com/buy now"),
+        (2, "fine doc citing https://arxiv.org/abs/1234.5678"),
+        (3, "plain text"),
+        (4, "mixed https://ok.net/x and https://tracker.example.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            blocklist_filter(df, ["example.com"]).select("doc_id").collect()}
+    assert kept == {2, 3}
+    rejected = {r["doc_id"] for r in
+                blocklist_filter(df, ["example.com"], keep=False)
+                .select("doc_id").collect()}
+    assert rejected == {1, 4}
+    # plan stays UDF-free / shuffle-free
+    plan = blocklist_filter(df, ["example.com"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
