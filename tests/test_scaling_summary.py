@@ -45,10 +45,10 @@ def test_pooled_stats_steal_gate():
     from tools.run_scaling import pooled_stats
 
     runs = [
-        {"protocol": "v3-abba-min2", "arrow_per_rep": [0.84, 0.85, 0.9],
+        {"protocol": "v3-abba-min2", "n_turns": 19_200_000, "arrow_per_rep": [0.84, 0.85, 0.9],
          "native_per_rep": [0.7, 0.7, 0.7], "envelope_per_rep": [0.8, 0.8, 0.8],
          "steal_per_rep": [0.1, 0.2, 0.1]},
-        {"protocol": "v3-abba-min2", "arrow_per_rep": [0.5, 0.55],
+        {"protocol": "v3-abba-min2", "n_turns": 19_200_000, "arrow_per_rep": [0.5, 0.55],
          "native_per_rep": [0.5, 0.5], "envelope_per_rep": [0.6, 0.6],
          "steal_per_rep": [4.0, 8.0]},  # objectively polluted windows
     ]

@@ -255,7 +255,10 @@ def pooled_stats(runs: list[dict]) -> dict | None:
     def reps(field):
         out = []
         for r in runs:
-            if not r["protocol"].startswith("v3"):
+            # same-protocol AND protocol-size reps only: small-input
+            # runs are fixed-overhead-dominated and would pollute the
+            # pool if someone benches with NLF_SCALING_TURNS lowered
+            if not r["protocol"].startswith("v3") or r["n_turns"] < 19_200_000:
                 continue
             steals = r.get("steal_per_rep") or [None] * len(r[field])
             out.extend(zip(r[field], steals))
@@ -265,8 +268,7 @@ def pooled_stats(runs: list[dict]) -> dict | None:
     if not arrow:
         return None
     native = reps("native_per_rep")
-    envs = [e for r in runs if r["protocol"].startswith("v3")
-            for e in r["envelope_per_rep"]]
+    envs = [e for e, _ in reps("envelope_per_rep")]
     clean = [e for e, s in arrow if s is not None and s <= STEAL_CLEAN_PCT]
     stats = {
         "n_reps": len(arrow),
