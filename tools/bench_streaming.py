@@ -1,0 +1,84 @@
+"""Streaming-mode throughput evidence: drive the Structured Streaming
+twin (readStream → parse → enrich → route → partitioned file sink with
+exactly-once checkpointing) over a warmed transcripts directory and
+report sustained turns/sec.
+
+    python tools/bench_streaming.py [n_turns] [n_files] [cpus]
+
+The input is split into ``n_files`` parquet files consumed with
+``maxFilesPerTrigger`` so the run covers multiple micro-batches (the
+realistic regime: per-batch planning overhead included, not one giant
+batch). Prints ONE JSON line:
+
+    {"metric": "streaming parse→route→sink throughput", "value": N,
+     "unit": "turns_per_sec", ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from node_log_forwarder_spark.session import get_spark
+    from node_log_forwarder_spark.sources.transcripts import synth_transcripts
+    from node_log_forwarder_spark.streaming.stream import (
+        read_transcript_stream,
+        start_sink_writer,
+        streaming_routed,
+    )
+
+    spark = get_spark(
+        app_name="nlf-stream-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    input_dir = f"/tmp/nlf_bench/stream_input_{n_turns}_{n_files}"
+    if not os.path.exists(input_dir + "/_SUCCESS"):
+        synth_transcripts(spark, n_turns).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
+
+    out = "/tmp/nlf_bench/stream_out"
+    ckpt = "/tmp/nlf_bench/stream_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # 4 files per trigger -> n_files/4 micro-batches
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger=4)
+    routed = streaming_routed(spark, stream)
+    t0 = time.monotonic()
+    q = start_sink_writer(routed, out, ckpt)  # availableNow: drain + stop
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+
+    rows_out = spark.read.parquet(out).count()
+    n_batches = len(
+        [f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")]
+    )
+    result = {
+        "metric": "streaming parse→route→sink throughput",
+        "value": round(n_turns / wall, 1),
+        "unit": "turns_per_sec",
+        "wall_sec": round(wall, 2),
+        "n_turns": n_turns,
+        "rows_delivered": rows_out,
+        "micro_batches": n_batches,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
