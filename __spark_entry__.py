@@ -321,16 +321,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- embedding vector math: L2 norms per label -----------------------------
     def q_embedding_norms(spark, sf):
+        # + int8 quantization audit (r3): per-vector symmetric quant
+        # (operators/similarity.py::quantize_embedding); sum_q_l1 is an
+        # exact integer reproduced bit-for-bit by the DuckDB twin
+        # (identical IEEE op order + trunc, no round-half ambiguity)
+        from node_log_forwarder_spark.operators.similarity import (
+            quantize_embedding,
+        )
+
         emb = _t(spark, sf, "embeddings")
         sq = F.aggregate(
             F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+        qvec, _scale = quantize_embedding(F.col("embedding"))
+        q_l1 = F.aggregate(
+            F.transform(qvec, lambda v: F.abs(v).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
         return emb.groupBy("label").agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg(F.sqrt(sq)), 4).alias("avg_norm"),
             F.round(F.max(F.sqrt(sq)), 4).alias("max_norm"),
+            F.sum(q_l1).alias("sum_q_l1"),
+            F.max(F.array_max(F.transform(qvec, lambda v: F.abs(v)))).alias("max_abs_q"),
         )
     q["embedding_norms"] = q_embedding_norms
 
@@ -1113,13 +1129,29 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_norms"] = """
         WITH e AS (
           SELECT label,
-                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm,
+                 list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx,
+                 CAST(embedding AS DOUBLE[]) AS emb
           FROM embeddings
+        ),
+        qe AS (
+          SELECT label, nrm,
+                 CASE WHEN mx = 0 THEN 0
+                      ELSE list_sum(list_transform(emb,
+                           x -> abs(CAST(trunc((x * 127.0) / mx) AS BIGINT))))
+                 END AS q_l1,
+                 CASE WHEN mx = 0 THEN 0
+                      ELSE list_max(list_transform(emb,
+                           x -> abs(CAST(trunc((x * 127.0) / mx) AS INT))))
+                 END AS max_q
+          FROM e
         )
         SELECT label, count(*) AS n,
                round(avg(nrm), 4) AS avg_norm,
-               round(max(nrm), 4) AS max_norm
-        FROM e GROUP BY label
+               round(max(nrm), 4) AS max_norm,
+               CAST(sum(q_l1) AS BIGINT) AS sum_q_l1,
+               CAST(max(max_q) AS INT) AS max_abs_q
+        FROM qe GROUP BY label
     """
 
     sql["ntile_buckets"] = """

@@ -74,6 +74,34 @@ def cosine_topk(
     )
 
 
+def quantize_embedding(vec: Column, bits: int = 8) -> tuple[Column, Column]:
+    """Symmetric per-vector integer quantization: (qvec array<int>,
+    scale double) with x_i ≈ q_i * scale, |q_i| ≤ 2^(bits-1)-1.
+
+    The storage-scale operator for embedding tables (int8 cuts a
+    10^12-vector store 4x vs float32 and the dequantized cosine is
+    recall-equivalent for near-dup work — pytest measures ≥9/10
+    top-10 overlap). Determinism across engines: q is
+    trunc((x*qmax)/mx) with that exact IEEE operation order, so the
+    DuckDB twin reproduces every component bit-for-bit; truncation
+    avoids engine-specific round-half semantics. Zero vectors get
+    q=0, scale=0."""
+    qmax = float(2 ** (bits - 1) - 1)
+    mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        vec,
+        lambda x: F.when(mx == 0.0, F.lit(0)).otherwise(
+            ((x.cast("double") * F.lit(qmax)) / mx).cast("int")
+        ),
+    )
+    scale = F.when(mx == 0.0, F.lit(0.0)).otherwise(mx / F.lit(qmax))
+    return q, scale
+
+
+def dequantize_embedding(qvec: Column, scale: Column) -> Column:
+    return F.transform(qvec, lambda q: q.cast("double") * scale)
+
+
 def _plane_coeff(plane: int, dim_idx: Column) -> Column:
     """Deterministic pseudo-random coefficient in [-1, 1)."""
     h = F.xxhash64(F.lit(plane), dim_idx)

@@ -189,6 +189,32 @@ def test_quality_and_langid(spark):
     assert rows[1][0] > rows[3][0]
 
 
+def test_quantized_cosine_recall(spark):
+    """int8 quantization (storage-scale path): dequantized cosine must
+    recover >=9 of the exact top-10 neighbors, saturation bounded."""
+    from node_log_forwarder_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 0)
+    exact = {r[0] for r in cosine_topk(emb, query, k=10).select("vec_id").collect()}
+    qvec, scale = quantize_embedding(F.col("embedding"))
+    deq = emb.select(
+        "vec_id", dequantize_embedding(qvec, scale).alias("embedding")
+    )
+    dq_query = deq.filter(F.col("vec_id") == 0)
+    approx = {r[0] for r in cosine_topk(deq, dq_query, k=10).select("vec_id").collect()}
+    assert len(exact & approx) >= 9
+    # |q| never exceeds the int8 symmetric max
+    sat = emb.select(
+        F.max(F.array_max(F.transform(qvec, lambda v: F.abs(v)))).alias("m")
+    ).first()["m"]
+    assert sat <= 127
+
+
 def test_line_repetition_counts(spark):
     """Gopher/C4-style repetition components: duplicate-line counts are
     exact ints; blank/whitespace-only lines don't count; null/empty
