@@ -141,6 +141,75 @@ def lsh_candidate_pairs(
     )
 
 
+def build_dedup_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """(fingerprint index, LSH band index) for a corpus — the persisted
+    state of INCREMENTAL dedup. At 10^12 docs these are written once as
+    tables bucketed by ``fp`` / ``(band_idx, band_key)``; each new batch
+    joins against them instead of recomputing the corpus."""
+    fp_index = df.select(
+        F.col(id_col).alias("corpus_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    band_index = lsh_bands(
+        minhash_signatures(df, id_col=id_col, text_col=text_col, k=k),
+        id_col=id_col, bands=bands, rows=rows,
+    ).withColumnRenamed(id_col, "corpus_id")
+    return fp_index, band_index
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    fp_index: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an existing corpus index without
+    touching corpus text: (novel_docs, dup_report).
+
+    Stage 1 — exact: anti-join the batch's fingerprints against the
+    fingerprint index (shuffle carries only 32-char hashes).
+    Stage 2 — near: MinHash/LSH band join of the exact-survivors
+    against the corpus band index; any shared band marks a near-dup
+    candidate (verify with ngram_jaccard downstream if the use case
+    needs certainty).
+
+    The dup_report has (doc_id, kind ∈ {exact, near}, corpus_id) — one
+    row per (new doc, matching corpus doc) pair for exact, one per
+    candidate for near. The batch side is typically << corpus side, so
+    Spark broadcasts the batch's fingerprints/bands into the index scan
+    — the corpus index never shuffles."""
+    batch_fp = new_df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    exact_hits = batch_fp.join(fp_index, "fp").select(
+        id_col, F.lit("exact").alias("kind"), "corpus_id"
+    )
+    exact_ids = exact_hits.select(id_col).distinct()
+    survivors = new_df.join(exact_ids, id_col, "left_anti")
+    batch_bands = lsh_bands(
+        minhash_signatures(survivors, id_col=id_col, text_col=text_col, k=k),
+        id_col=id_col, bands=bands, rows=rows,
+    )
+    near_hits = (
+        batch_bands.join(band_index, ["band_idx", "band_key"])
+        .select(id_col, F.lit("near").alias("kind"), "corpus_id")
+        .distinct()
+    )
+    near_ids = near_hits.select(id_col).distinct()
+    novel = survivors.join(near_ids, id_col, "left_anti")
+    return novel, exact_hits.unionByName(near_hits)
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,

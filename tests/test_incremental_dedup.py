@@ -1,0 +1,74 @@
+"""Incremental dedup: a new batch against a persisted corpus index —
+exact dups, near-dups, and novel docs classified without recomputing
+(or even reading) corpus text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.dedup import (
+    build_dedup_index,
+    incremental_dedup,
+)
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "pyspark engines shuffle data across many executors"),
+    (2, "completely unrelated corpus document about weather patterns"),
+]
+NEW = [
+    (100, "the quick brown fox jumps over the lazy dog"),       # exact dup of 0
+    (101, "the quick brown fox jumps over the lazy cat"),       # near-dup of 0
+    (102, "a genuinely novel document about cooking recipes"),  # novel
+    (103, "  the QUICK brown fox jumps over the lazy dog  "),   # normalized-exact dup of 0
+]
+
+
+def test_incremental_dedup_classification(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    new = spark.createDataFrame(NEW, "doc_id long, text string")
+    fp_index, band_index = build_dedup_index(corpus)
+    novel, report = incremental_dedup(new, fp_index, band_index)
+
+    novel_ids = {r["doc_id"] for r in novel.select("doc_id").collect()}
+    rep = {(r["doc_id"], r["kind"], r["corpus_id"]) for r in report.collect()}
+
+    assert (100, "exact", 0) in rep
+    assert (103, "exact", 0) in rep  # fingerprint normalizes case/ws
+    assert any(d == 101 and k == "near" for d, k, _ in rep)
+    assert novel_ids == {102}
+    # exact dups are not re-signed: no near rows for them
+    assert not any(d in (100, 103) and k == "near" for d, k, _ in rep)
+
+
+def test_incremental_dedup_empty_batch(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    new = spark.createDataFrame([], "doc_id long, text string")
+    fp_index, band_index = build_dedup_index(corpus)
+    novel, report = incremental_dedup(new, fp_index, band_index)
+    assert novel.count() == 0 and report.count() == 0
+
+
+def test_incremental_dedup_index_reuse_is_text_free(spark):
+    """The production property: the per-batch plan must not reference
+    corpus TEXT at all — only the (id, fp) and (id, band) indexes."""
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    fp_index, band_index = build_dedup_index(corpus)
+    # persist indexes as tables, as prod would
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    fp_index.write.mode("overwrite").parquet(f"{d}/fp")
+    band_index.write.mode("overwrite").parquet(f"{d}/bands")
+    fp2 = spark.read.parquet(f"{d}/fp")
+    bands2 = spark.read.parquet(f"{d}/bands")
+    new = spark.createDataFrame(NEW, "doc_id long, text string")
+    novel, report = incremental_dedup(new, fp2, bands2)
+    assert {r["doc_id"] for r in novel.select("doc_id").collect()} == {102}
+    # ReadSchema of the index scans never includes a text column
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "/fp" in line:
+            assert "text" not in line
+        if "ReadSchema" in line and "/bands" in line:
+            assert "text" not in line
