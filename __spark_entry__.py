@@ -61,6 +61,11 @@ from node_log_forwarder_spark.sources.transcripts import (
 
 SF0001 = "/root/testdata/sf0.001"
 
+# pinned per-lang acceptance rates for the mixture-sampling audit column
+# in sample_hash (operators/sampling.py); shared by query and oracle.
+# Powers of two => the u < rate comparison is bit-deterministic.
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.125, "zh": 0.0625}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC so date_trunc/hour windows agree with DuckDB's naive
@@ -775,13 +780,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- deterministic hash sampling (reproducible train/val splits at any scale) -------
     def q_sample_hash(spark, sf):
+        from node_log_forwarder_spark.operators.sampling import hash_uniform
+
         docs = _t(spark, sf, "documents")
         # ~10% deterministic sample: first 2 md5 hex chars of the doc key
         bucket = F.conv(F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int")
-        return (
-            docs.filter(bucket < 26)  # 26/256 ≈ 10.2%
-            .groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("n_sampled"))
+        # + curriculum mixture audit (r3): per-lang deterministic
+        # downsampling via an md5 uniform; counts are exact ints and
+        # the DuckDB twin replays the identical arithmetic
+        u = hash_uniform(F.col("doc_id"), "mix")
+        rate = None
+        for g, r in sorted(_MIX_RATES.items()):
+            cond = F.col("lang") == g
+            rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+        rate = rate.otherwise(F.lit(0.0))
+        return docs.groupBy("lang").agg(
+            F.sum((bucket < 26).cast("long")).alias("n_sampled"),
+            F.sum((u < rate).cast("long")).alias("n_mixture"),
         )
     q["sample_hash"] = q_sample_hash
 
@@ -1493,10 +1508,20 @@ def oracle_sql() -> dict[str, str]:
          AND a.conv_id < b.conv_id
     """
 
-    sql["sample_hash"] = """
-        SELECT lang, count(*) AS n_sampled FROM documents
-        WHERE CAST(concat('0x', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 2)) AS INT) < 26
-        GROUP BY lang
+    _mix_case = "CASE " + " ".join(
+        f"WHEN lang = '{g}' THEN {r}" for g, r in sorted(_MIX_RATES.items())
+    ) + " ELSE 0.0 END"
+    sql["sample_hash"] = f"""
+        WITH d AS (
+          SELECT lang,
+                 CAST(concat('0x', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 2)) AS INT) AS bucket,
+                 CAST(concat('0x', substr(md5(concat('mix|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+          FROM documents
+        )
+        SELECT lang,
+               CAST(sum(CASE WHEN bucket < 26 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN u < {_mix_case} THEN 1 ELSE 0 END) AS BIGINT) AS n_mixture
+        FROM d GROUP BY lang
     """
 
     sql["vocab_topk"] = f"""

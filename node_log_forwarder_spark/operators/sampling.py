@@ -1,0 +1,82 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Hash-based acceptance — no RNG state, no seed plumbing: a doc's
+inclusion is a pure function of (salt, doc key), so samples are
+reproducible at any scale and parallelism, stable under re-runs and
+retries, and composable (a doc's train/val split never flips when the
+corpus grows). The acceptance test is a filter over native expressions;
+it pushes toward the scan and costs one md5 per row.
+
+``mixture_sample`` is the curriculum/mixture knob: per-group acceptance
+rates (e.g. {"en": 1.0, "fr": 0.25}) reweight a corpus toward a target
+domain mix. ``mixture_rates`` computes those rates from observed counts
+and a target mix (driver-side arithmetic over |groups| numbers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# md5-derived uniform in [0, 1): first 8 hex chars / 2^32 — identical
+# arithmetic in Spark (conv) and DuckDB (0x-cast), like dedup.shingle_hash
+_DENOM = float(1 << 32)
+
+
+def hash_uniform(key: Column, salt: str) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(_DENOM)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ~fraction sample keyed on ``key_col``."""
+    return df.filter(hash_uniform(F.col(key_col), salt) < F.lit(float(fraction)))
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic downsampling: keep a row iff its hash
+    uniform < its group's acceptance rate. Groups absent from ``rates``
+    get ``default_rate`` (0.0 = drop unknown domains, the safe default
+    for a curated mix)."""
+    rate = None
+    for g, r in sorted(rates.items()):
+        cond = F.col(group_col) == g
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
+    return df.filter(hash_uniform(F.col(key_col), salt) < rate)
+
+
+def mixture_rates(
+    counts: dict[str, int], target: dict[str, float]
+) -> dict[str, float]:
+    """Acceptance rates achieving ``target`` proportions from observed
+    ``counts``, scaled so the best-represented group keeps rate 1.0
+    (maximal data retention; groups missing from target get 0)."""
+    feasible = {
+        g: counts[g] / target[g]
+        for g in target
+        if target.get(g, 0) > 0 and counts.get(g, 0) > 0
+    }
+    if not feasible:
+        return {g: 0.0 for g in counts}
+    # total output size limited by the scarcest group relative to target
+    total_out = min(feasible.values())
+    return {
+        g: min(1.0, (target.get(g, 0.0) * total_out) / counts[g])
+        if counts.get(g, 0) > 0
+        else 0.0
+        for g in counts
+    }

@@ -1,0 +1,56 @@
+"""Deterministic hash sampling + mixture reweighting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.sampling import (
+    hash_sample,
+    hash_uniform,
+    mixture_rates,
+    mixture_sample,
+)
+
+
+def test_hash_sample_deterministic_and_stable_under_growth(spark):
+    df1 = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    df2 = spark.range(20_000).withColumnRenamed("id", "doc_id")  # corpus grew
+    s1 = {r[0] for r in hash_sample(df1, 0.1).select("doc_id").collect()}
+    s1b = {r[0] for r in hash_sample(df1, 0.1).select("doc_id").collect()}
+    s2 = {r[0] for r in hash_sample(df2, 0.1).select("doc_id").collect()}
+    assert s1 == s1b                       # rerun-stable
+    assert s1 == {x for x in s2 if x < 10_000}  # membership never flips on growth
+    assert 800 <= len(s1) <= 1200          # ~10%
+
+
+def test_disjoint_salts_give_disjoint_splits(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    u = hash_uniform(F.col("doc_id"), "split")
+    train = df.filter(u < 0.9)
+    val = df.filter(u >= 0.9)
+    assert train.count() + val.count() == 10_000
+    assert train.join(val, "doc_id").count() == 0
+
+
+def test_mixture_sample_hits_target_mix(spark):
+    rows = [(i, "en" if i % 10 < 8 else "fr") for i in range(50_000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    counts = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # want a 50/50 en/fr mix from an 80/20 corpus
+    rates = mixture_rates(counts, {"en": 0.5, "fr": 0.5})
+    assert rates["fr"] == 1.0  # scarce group fully kept
+    out = mixture_sample(df, rates, group_col="lang")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    ratio = got["en"] / max(got["fr"], 1)
+    assert 0.9 <= ratio <= 1.1  # ~50/50 within hash noise
+    # unknown groups are dropped by default
+    df2 = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
+    assert mixture_sample(df2, rates, group_col="lang").count() == 0
+
+
+def test_mixture_rates_math():
+    rates = mixture_rates({"a": 100, "b": 100}, {"a": 0.75, "b": 0.25})
+    assert rates["a"] == 1.0
+    assert abs(rates["b"] - 1.0 / 3.0) < 1e-12
+    assert mixture_rates({"a": 10}, {}) == {"a": 0.0}
+    assert mixture_rates({"a": 10, "b": 0}, {"a": 1.0, "b": 0.5})["b"] == 0.0
