@@ -119,6 +119,7 @@ def main() -> None:
         # reported unclamped as context, never as a pass basis.
         from tools.run_scaling import (
             append_campaign,
+            current_commit,
             load_campaign,
             measure_rep,
             pooled_stats,
@@ -131,7 +132,7 @@ def main() -> None:
         pairs = [measure_rep(rep, 8, 32, sc_turns) for rep in range(sc_reps)]
         s = summarize(pairs, 8, 32, sc_turns)
         append_campaign(s)
-        pooled = pooled_stats(load_campaign())
+        pooled = pooled_stats(load_campaign(), commit=current_commit())
         scaling = {
             "n_turns": sc_turns,
             "reps": sc_reps,
@@ -162,14 +163,24 @@ def main() -> None:
             scaling["campaign_clean_median"] = pooled["arrow_clean_median"]
             scaling["campaign_reps"] = pooled["n_reps"]
             scaling["campaign_clean_reps"] = pooled["n_clean_reps"]
-            if not scaling["pass_north_rule"] and pooled["pass_pooled"]:
+            scaling["campaign_current_commit_reps"] = pooled["n_current_commit_reps"]
+            scaling["campaign_current_commit_median"] = pooled[
+                "arrow_current_commit_median"
+            ]
+            # ADVICE r3: the pooled campaign may only override a failing
+            # in-window gate when the CURRENT commit has contributed
+            # >=MIN_CURRENT_COMMIT_REPS reps whose own median clears 0.8
+            # — accumulated history alone can't mask a regression.
+            if not scaling["pass_north_rule"] and pooled["pass_override_eligible"]:
                 scaling["pass_north_rule"] = True
                 scaling["pass_basis"] = (
                     "campaign pool (this window's raw median "
                     f"{s['arrow']['efficiency']} < 0.8; "
                     f"{pooled['pass_pooled_basis']}: clean-window median "
                     f"{pooled['arrow_clean_median']}, all-rep median "
-                    f"{pooled['arrow_pooled_median']} — see "
+                    f"{pooled['arrow_pooled_median']}; current-commit "
+                    f"median {pooled['arrow_current_commit_median']} over "
+                    f"{pooled['n_current_commit_reps']} reps — see "
                     "BENCH/campaign.jsonl + BENCH/BASELINE.md)"
                 )
         log(f"scaling: {json.dumps(scaling)}")

@@ -22,11 +22,13 @@ like ``a b a b``). The byte-identical chain runs in three places:
   ``replace()`` calls over the distinct-word set;
 * in tests, as the pure-Python reference below.
 
-Pre-tokenization = whitespace words (``functions.text.tokens``); BPE
-never crosses a whitespace boundary, matching standard practice. Words
-containing the sentinel bytes (U+001E/U+001F — impossible to produce
-from whitespace-split text unless the corpus embeds them) degrade
-identically in all three implementations, so parity is unconditional.
+Pre-tokenization = whitespace words split on ``[ \\t\\n\\f\\r]+`` — the
+common subset of Python/RE2/Java whitespace classes, so the UDF, the
+DuckDB twin (RE2 ``\\s+``) and ``functions.text.tokens`` (Java ``\\s+``)
+agree on every input that contains none of U+000B or Unicode-only
+spaces; BPE never crosses a whitespace boundary, matching standard
+practice. Words containing the sentinel bytes (U+001E/U+001F) degrade
+identically in all three implementations.
 
 At 100 TB: the merge list is a few KB broadcast inside the UDF closure;
 the per-batch word cache amortizes encoding over Zipf-distributed
@@ -35,6 +37,7 @@ vocabulary, so throughput approaches one dict lookup per word.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -60,6 +63,13 @@ def bpe_token_count_word(word: str) -> int:
     return s.count(_O)
 
 
+# Pre-tokenizer split set = the common subset of Python str.split()
+# (Unicode), RE2 \s (ASCII, no \x0B), and Java \s (ASCII incl. \x0B)
+# whitespace classes (ADVICE r3: str.split() alone diverges from the
+# DuckDB twin on U+00A0/U+2028/vertical-tab input).
+_WS = re.compile(r"[ \t\n\f\r]+")
+
+
 def bpe_token_count_text(text: str | None, cache: dict[str, int] | None = None) -> int:
     """Total BPE tokens over the whitespace words of ``text``."""
     if not text:
@@ -67,7 +77,9 @@ def bpe_token_count_text(text: str | None, cache: dict[str, int] | None = None) 
     total = 0
     if cache is None:
         cache = {}
-    for w in text.split():
+    for w in _WS.split(text):
+        if not w:
+            continue
         n = cache.get(w)
         if n is None:
             n = bpe_token_count_word(w)

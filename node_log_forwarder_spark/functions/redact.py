@@ -72,7 +72,10 @@ def redaction_counts(col: Column) -> dict[str, Column]:
     Each count is computed on the text with all PRIOR redactions
     applied, mirroring the chain's left-to-right semantics."""
     counts: dict[str, Column] = {}
-    cur = col
+    # NULL text counts as zero matches (ADVICE r3: without the guard,
+    # F.size(regexp_extract_all(NULL)) yields null/-1 while the DuckDB
+    # twin coalesces to 0).
+    cur = F.coalesce(col, F.lit(""))
     for name, pat, rep in REDACTIONS:
         counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
         cur = F.regexp_replace(cur, pat, rep)

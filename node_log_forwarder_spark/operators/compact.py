@@ -53,9 +53,19 @@ def compact_table(
     path: str,
     partition_cols: list[str],
     target_file_bytes: int = 128 * 1024 * 1024,
+    keep_backup: bool = True,
 ) -> dict:
-    """Compact a parquet table in place (write-aside + atomic-ish swap).
-    Returns {files_before, files_after, rows}."""
+    """Compact a parquet table in place (write-aside + swap).
+    Returns {files_before, files_after, rows, backup_path}.
+
+    The swap is two ``os.rename`` calls and is NOT atomic (ADVICE r3):
+    readers may see a missing ``path`` during the swap window, and a
+    crash between the renames leaves the table at ``<path>__precompact``
+    (recover by renaming it back). By default the pre-compaction backup
+    is KEPT after a successful swap so a corrupt-but-row-count-equal
+    rewrite still has a rollback path; pass ``keep_backup=False`` (or
+    call ``drop_backup``) once the caller has validated the rewrite.
+    Iceberg deployments get a real atomic metadata commit instead."""
 
     def _count_files(p: str) -> int:
         n = 0
@@ -85,5 +95,20 @@ def compact_table(
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
+    if not keep_backup:
+        shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": before,
+        "files_after": _count_files(path),
+        "rows": rows,
+        "backup_path": old if keep_backup else None,
+    }
+
+
+def drop_backup(path: str) -> bool:
+    """Delete the ``__precompact`` backup after caller-side validation.
+    Returns True if a backup existed."""
+    old = path.rstrip("/") + "__precompact"
+    existed = os.path.isdir(old)
     shutil.rmtree(old, ignore_errors=True)
-    return {"files_before": before, "files_after": _count_files(path), "rows": rows}
+    return existed

@@ -77,3 +77,22 @@ def test_spark_udf_matches_python_and_is_arrow(spark):
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
     for r in out.collect():
         assert r["n"] == bpe_token_count_text(r["text"]), r["text"]
+
+
+def test_pretokenizer_common_whitespace_subset():
+    """ADVICE r3: the UDF pre-tokenizer splits on [ \\t\\n\\f\\r]+ — the
+    Python/RE2/Java common subset — so NBSP/U+2028 (Unicode-only) and
+    U+000B (Java-only) do NOT split words, exactly like the DuckDB twin
+    on the same input minus \\x0B (absent from the corpus)."""
+    # Unicode spaces stay inside the word (str.split() would split them)
+    assert bpe_token_count_text("a b") == bpe_token_count_word("a b")
+    assert bpe_token_count_text("a b") == bpe_token_count_word("a b")
+    # vertical tab also stays inside the word (RE2-compatible choice)
+    assert bpe_token_count_text("a\x0bb") == bpe_token_count_word("a\x0bb")
+    # the five real separators do split
+    assert (
+        bpe_token_count_text("pa \t\n\f\rpar")
+        == bpe_token_count_word("pa") + bpe_token_count_word("par")
+    )
+    # leading/trailing separators yield no phantom empty words
+    assert bpe_token_count_text("  pa  ") == bpe_token_count_word("pa")

@@ -8,7 +8,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from node_log_forwarder_spark.operators.compact import compact_table
+from node_log_forwarder_spark.operators.compact import compact_table, drop_backup
 
 
 def _parquet_files(p):
@@ -44,6 +44,13 @@ def test_compact_partitioned_sink(spark, tmp_path):
     assert sorted(
         str(r["sink_id"]) for r in after_df.select("sink_id").distinct().collect()
     ) == ["0", "1", "2"]
+    # ADVICE r3: the pre-compaction backup is retained as the rollback
+    # path until the caller validates, then dropped explicitly
+    assert res["backup_path"] and os.path.isdir(res["backup_path"])
+    assert spark.read.parquet(res["backup_path"]).count() == 20_000
+    assert drop_backup(path) is True
+    assert not os.path.isdir(res["backup_path"])
+    assert drop_backup(path) is False
 
 
 def test_compact_respects_target_file_size(spark, tmp_path):

@@ -58,3 +58,18 @@ def test_redaction_counts(spark):
     assert row["ssn"] == 1
     assert row["phone"] == 0
     assert row["cc16"] == 0
+
+
+def test_redaction_counts_null_text(spark):
+    """ADVICE r3: NULL text must count as zero matches (the DuckDB twin
+    coalesces to 0; without the guard Spark yields null/-1)."""
+    df = spark.createDataFrame([(None,), ("a@b.cc",)], "text string")
+    counts = redaction_counts(F.col("text"))
+    rows = df.select(*[v.alias(k) for k, v in counts.items()]).collect()
+    assert rows[0]["email"] == 0 and rows[0]["phone"] == 0
+    assert rows[1]["email"] == 1
+
+
+def test_redact_pii_null_passthrough(spark):
+    df = spark.createDataFrame([(None,)], "text string")
+    assert df.select(redact_pii(F.col("text")).alias("r")).first()["r"] is None

@@ -64,6 +64,40 @@ def test_pooled_stats_steal_gate():
     assert not p2["pass_pooled"]
 
 
+def test_pooled_override_requires_current_commit_reps():
+    """ADVICE r3: a pool that passes on history alone may NOT override a
+    failing in-window gate unless the current commit contributed >=3
+    reps whose own median also clears 0.8."""
+    from tools.run_scaling import pooled_stats
+
+    hist = {"protocol": "v3-abba-min2", "n_turns": 19_200_000,
+            "commit": "old1234", "arrow_per_rep": [0.84, 0.85, 0.9],
+            "native_per_rep": [0.8, 0.8, 0.8],
+            "envelope_per_rep": [0.8, 0.8, 0.8],
+            "steal_per_rep": [0.1, 0.2, 0.1]}
+    # history passes, but zero reps from the current commit -> ineligible
+    p = pooled_stats([hist], commit="new5678")
+    assert p["pass_pooled"] and not p["pass_override_eligible"]
+    assert p["n_current_commit_reps"] == 0
+    # current commit contributes 3 good reps -> eligible
+    cur_good = dict(hist, commit="new5678",
+                    arrow_per_rep=[0.82, 0.86, 0.88])
+    p2 = pooled_stats([hist, cur_good], commit="new5678")
+    assert p2["pass_override_eligible"]
+    assert p2["n_current_commit_reps"] == 3
+    # current commit contributes 3 REGRESSED reps -> pool may still pass
+    # on history, but the override stays off
+    cur_bad = dict(hist, commit="new5678",
+                   arrow_per_rep=[0.5, 0.52, 0.55],
+                   steal_per_rep=[9.0, 9.0, 9.0])
+    p3 = pooled_stats([hist, cur_bad], commit="new5678")
+    assert p3["pass_pooled"] and not p3["pass_override_eligible"]
+    # legacy lines without a commit field never count as current
+    legacy = {k: v for k, v in hist.items() if k != "commit"}
+    p4 = pooled_stats([legacy], commit="new5678")
+    assert p4["n_current_commit_reps"] == 0 and not p4["pass_override_eligible"]
+
+
 def test_normalized_never_passes_or_clamps():
     # raw 0.5 everywhere but envelope 0.45 -> normalized >1.0: must be
     # reported unclamped AND must not flip the verdict

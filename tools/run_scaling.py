@@ -210,12 +210,27 @@ PROTOCOL = "v3-abba-min2"  # ABBA level order, min-of-2 timed passes,
 #                            in-window envelope, pre-compiled plans
 
 
+def current_commit() -> str | None:
+    """Short git HEAD of /root/repo, for tagging campaign reps with the
+    code version that produced them (ADVICE r3: a pool that ignores code
+    version could let a scaling regression hide behind history)."""
+    try:
+        out = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        )
+        return out.stdout.strip() or None
+    except Exception:
+        return None
+
+
 def append_campaign(summary: dict) -> dict:
     """Append this run to the campaign log (one JSON line per run).
     Every run is recorded — passing and failing windows alike — so the
     headline can be a POOLED statistic with no window selection."""
     line = {
         "protocol": PROTOCOL,
+        "commit": current_commit(),
         "n_turns": summary["n_turns"],
         "reps": summary["reps"],
         "arrow_per_rep": summary["arrow"]["per_rep_efficiency"],
@@ -247,18 +262,27 @@ def load_campaign() -> list[dict]:
 STEAL_CLEAN_PCT = 0.5
 
 
-def pooled_stats(runs: list[dict]) -> dict | None:
+# Minimum reps that must come from the CURRENT code version before the
+# pooled campaign statistic may override a failing in-window gate
+# (ADVICE r3: without this, a commit that regresses scaling could keep
+# passing on accumulated history until the pooled median drifts).
+MIN_CURRENT_COMMIT_REPS = 3
+
+
+def pooled_stats(runs: list[dict], commit: str | None = None) -> dict | None:
     """Pooled per-rep medians over every same-protocol rep ever run —
     the no-selection statistic (a single run samples one hypervisor
     window; the pool samples all of them) — plus the steal-gated pool
     restricted to reps whose window was objectively clean."""
-    def reps(field):
+    def reps(field, current_only=False):
         out = []
         for r in runs:
             # same-protocol AND protocol-size reps only: small-input
             # runs are fixed-overhead-dominated and would pollute the
             # pool if someone benches with NLF_SCALING_TURNS lowered
             if not r["protocol"].startswith("v3") or r["n_turns"] < 19_200_000:
+                continue
+            if current_only and (commit is None or r.get("commit") != commit):
                 continue
             steals = r.get("steal_per_rep") or [None] * len(r[field])
             out.extend(zip(r[field], steals))
@@ -270,6 +294,7 @@ def pooled_stats(runs: list[dict]) -> dict | None:
     native = reps("native_per_rep")
     envs = [e for e, _ in reps("envelope_per_rep")]
     clean = [e for e, s in arrow if s is not None and s <= STEAL_CLEAN_PCT]
+    current = reps("arrow_per_rep", current_only=True)
     stats = {
         "n_reps": len(arrow),
         "arrow_pooled_median": round(statistics.median(e for e, _ in arrow), 4),
@@ -278,6 +303,10 @@ def pooled_stats(runs: list[dict]) -> dict | None:
         "n_clean_reps": len(clean),
         "steal_clean_pct": STEAL_CLEAN_PCT,
         "arrow_clean_median": round(statistics.median(clean), 4) if clean else None,
+        "n_current_commit_reps": len(current),
+        "arrow_current_commit_median": (
+            round(statistics.median(e for e, _ in current), 4) if current else None
+        ),
     }
     # pass: prefer the steal-gated pool when it has enough reps to mean
     # something (>=3); otherwise fall back to the all-rep pool
@@ -291,6 +320,15 @@ def pooled_stats(runs: list[dict]) -> dict | None:
     else:
         stats["pass_pooled"] = stats["arrow_pooled_median"] >= 0.8
         stats["pass_pooled_basis"] = "all-rep pool (too few clean reps)"
+    # override eligibility (ADVICE r3): history alone can't carry a
+    # pass — the current code version must contribute enough reps, and
+    # their own median must not contradict the pool's verdict.
+    stats["pass_override_eligible"] = bool(
+        stats["pass_pooled"]
+        and len(current) >= MIN_CURRENT_COMMIT_REPS
+        and stats["arrow_current_commit_median"] is not None
+        and stats["arrow_current_commit_median"] >= 0.8
+    )
     return stats
 
 
