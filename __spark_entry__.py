@@ -443,12 +443,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_exact"] = q_dedup_exact
 
-    # --- dedup: exact survivors (row-level: lowest doc_id per fingerprint) ----
+    # --- dedup: exact survivors (row-level: lowest doc_id per fingerprint)
+    #     + INCREMENTAL-dedup audit (VERDICT r3 fix #4: drives
+    #     operators/dedup.incremental_dedup through the driver oracle
+    #     gate within the 50-key cap). The corpus is docs with
+    #     doc_id % 5 != 0; the "new batch" is doc_id % 5 == 0; each
+    #     surviving row carries its incremental classification:
+    #     corpus (not in the batch) / exact (fingerprint hit against the
+    #     corpus index) / near (shares an LSH band with a corpus doc) /
+    #     novel (neither). The driver hash gates the near/novel/corpus
+    #     paths on real data; the exact path can't fire here (the
+    #     testdata documents table has zero exact-dup groups — verified
+    #     at sf0.01) and is covered by tests/test_incremental_dedup.py's
+    #     duplicate-bearing fixture instead. -----------------------------------
     def q_dedup_survivors(spark, sf):
-        from node_log_forwarder_spark.operators.dedup import exact_dedup
+        from node_log_forwarder_spark.operators.dedup import (
+            build_dedup_index,
+            exact_dedup,
+            incremental_dedup,
+        )
 
         docs = _t(spark, sf, "documents")
-        return exact_dedup(docs).select("doc_id", "lang")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        fp_idx, band_idx = build_dedup_index(corpus)
+        _novel, report = incremental_dedup(batch, fp_idx, band_idx)
+        # exact beats near (a doc can't be both: exact hits are removed
+        # before the band stage); multiple corpus matches collapse
+        status = report.groupBy("doc_id").agg(
+            F.max(F.when(F.col("kind") == "exact", 2).otherwise(1)).alias("_s")
+        )
+        cls = batch.select("doc_id").join(status, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.col("_s") == 2, F.lit("exact"))
+            .when(F.col("_s") == 1, F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("inc_status"),
+        )
+        surv = exact_dedup(docs).select("doc_id", "lang")
+        return surv.join(cls, "doc_id", "left").select(
+            "doc_id",
+            "lang",
+            F.coalesce("inc_status", F.lit("corpus")).alias("inc_status"),
+        )
     q["dedup_survivors"] = q_dedup_survivors
 
     # --- text: token counting — whitespace + BPE-ish regex tokens in one pass
@@ -1223,12 +1260,8 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY lang
     """
 
-    sql["dedup_survivors"] = f"""
-        SELECT doc_id, lang FROM documents
-        WHERE doc_id IN (
-          SELECT min(doc_id) FROM documents GROUP BY {_FP}
-        )
-    """
+    # (dedup_survivors is defined after the minhash machinery below —
+    #  its incremental-dedup audit replays the LSH band join in SQL)
 
     from node_log_forwarder_spark.functions.bpe import bpe_oracle_count_sql
 
@@ -1377,6 +1410,47 @@ def oracle_sql() -> dict[str, str]:
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
+    """
+
+    # exact-dedup survivors + incremental-dedup audit: replay
+    # build_dedup_index + incremental_dedup (fingerprint anti-join, then
+    # MinHash/LSH band join of the exact-survivor batch against the
+    # corpus band index — no reps collapse, mirroring lsh_bands applied
+    # directly to signatures in operators/dedup.py:199-204)
+    _band_from = lambda src: "\n            UNION ALL ".join(  # noqa: E731
+        f"SELECT doc_id, {b} AS band_idx,"
+        f" md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_key FROM {src}"
+        for b in range(4)
+    )
+    sql["dedup_survivors"] = f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+        batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        cfp AS (SELECT doc_id AS corpus_id, {_FP} AS fp FROM corpus),
+        bfp AS (SELECT doc_id, {_FP} AS fp FROM batch),
+        exact_ids AS (SELECT DISTINCT b.doc_id FROM bfp b JOIN cfp c USING (fp)),
+        bsurv AS (SELECT * FROM batch
+                  WHERE doc_id NOT IN (SELECT doc_id FROM exact_ids)),
+        cw AS (SELECT doc_id, {_TOKENS} AS w FROM corpus),
+        csh AS (SELECT DISTINCT doc_id, unnest({_NGRAM3}) AS shingle FROM cw),
+        chs AS (SELECT doc_id, {_H} AS h FROM csh),
+        csig AS (SELECT doc_id, {mh_cols} FROM chs GROUP BY doc_id),
+        cband AS ({_band_from('csig')}),
+        bw AS (SELECT doc_id, {_TOKENS} AS w FROM bsurv),
+        bsh AS (SELECT DISTINCT doc_id, unnest({_NGRAM3}) AS shingle FROM bw),
+        bhs AS (SELECT doc_id, {_H} AS h FROM bsh),
+        bsig AS (SELECT doc_id, {mh_cols} FROM bhs GROUP BY doc_id),
+        bband AS ({_band_from('bsig')}),
+        near_ids AS (SELECT DISTINCT b.doc_id FROM bband b JOIN cband c
+                     ON b.band_idx = c.band_idx AND b.band_key = c.band_key),
+        status AS (SELECT doc_id, 'exact' AS inc_status FROM exact_ids
+                   UNION ALL SELECT doc_id, 'near' FROM near_ids),
+        surv AS (SELECT doc_id, lang FROM documents
+                 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {_FP}))
+        SELECT s.doc_id, s.lang,
+               coalesce(st.inc_status,
+                        CASE WHEN s.doc_id % 5 = 0 THEN 'novel'
+                             ELSE 'corpus' END) AS inc_status
+        FROM surv s LEFT JOIN status st ON s.doc_id = st.doc_id
     """
 
     sql["ngram_jaccard"] = f"""
