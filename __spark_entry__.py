@@ -773,32 +773,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- conversation-level near-dup: minhash over whole concatenated transcripts -------
     def q_conv_minhash_pairs(spark, sf):
-        tr = transcripts_from_events(_t(spark, sf, "events"))
-        # Tokenize per TURN before the conv_id shuffle, then flatten the
-        # sorted token arrays: equivalent to tokenizing the concatenated
-        # transcript (split on \s+ makes word boundaries identical), but
-        # the regex split runs map-side over 600k small strings in
-        # parallel instead of 1.5k giant strings post-shuffle — measured
-        # 1.47s -> 1.30s warm and 5.2s -> 1.6s cold at sf0.1.
+        # Two fused optimizations, both exactness-preserving vs the
+        # transcripts_from_events + per-turn-tokenize formulation:
+        # 1. Tokenize per TURN map-side before the shuffle, then flatten
+        #    the sorted token arrays (split on \s+ makes word boundaries
+        #    identical to tokenizing the concatenation) — the regex runs
+        #    over 600k small strings in parallel, not 1.5k giant ones.
+        # 2. (r4) Skip transcripts_from_events entirely: its only
+        #    contribution here is turn ORDER, which is row_number() over
+        #    (user_id, ts, event_id) — a full window shuffle — while the
+        #    very next step re-shuffles on the derived conv_id string.
+        #    Sorting struct(ts, event_id, w) INSIDE the single user_id
+        #    aggregation yields the identical order (event_id is unique)
+        #    with ONE shuffle total; conv_id is formatted afterwards on
+        #    the 1.5k signature rows. Measured 1.9-2.2s -> 1.6-1.7s at
+        #    sf0.1 (A/B in-window, results bit-identical).
         from node_log_forwarder_spark.functions.text import tokens as _tokens
         from node_log_forwarder_spark.functions.text import ngrams_from_tokens as _ng
         from node_log_forwarder_spark.operators.dedup import (
             MINHASH_A, MINHASH_B, MINHASH_P, shingle_hash,
         )
-        per_turn = tr.select("conv_id", "turn_idx", _tokens(F.col("text")).alias("w"))
-        conv_toks = per_turn.groupBy("conv_id").agg(
+        from node_log_forwarder_spark.sources.transcripts import transcript_text_expr
+
+        ev = _t(spark, sf, "events")
+        per_turn = ev.select(
+            "user_id", "ts", "event_id", _tokens(transcript_text_expr()).alias("w")
+        )
+        conv_toks = per_turn.groupBy("user_id").agg(
             F.flatten(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("turn_idx", "w"))),
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "w"))),
                     lambda s: s.getField("w"),
                 )
             ).alias("_w")
         )
         sh = conv_toks.select(
-            "conv_id",
+            "user_id",
             F.explode(F.array_distinct(_ng(F.col("_w"), 3))).alias("shingle"),
         ).withColumn("h", shingle_hash(F.col("shingle")))
-        sigs = sh.groupBy("conv_id").agg(
+        sigs = sh.groupBy("user_id").agg(
             *[
                 F.min(
                     (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
@@ -806,6 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias(f"mh{i}")
                 for i in range(8)
             ]
+        ).select(
+            F.format_string("conv_%06d", F.col("user_id")).alias("conv_id"),
+            *[F.col(f"mh{i}") for i in range(8)],
         )
         # rows=4/bands=2 (VERDICT r2 fix #3): template-heavy conversations
         # gave 27% candidate density at rows=2/bands=4 (306k pairs at

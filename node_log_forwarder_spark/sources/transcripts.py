@@ -154,6 +154,37 @@ def synth_transcripts(
     return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def transcript_text_expr() -> Column:
+    """The deterministic events→transcript text mapping as a standalone
+    column expression over the events columns (``event_type``, ``props``,
+    ``ts``). Exposed separately so consumers that only need the text
+    (e.g. conv-level minhash) can compute it map-side without paying
+    ``transcripts_from_events``'s row_number window shuffle."""
+    k = F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("int")
+    status = (
+        F.when(k % 4 == 0, "fail").when(k % 4 == 1, "retry").otherwise("ok")
+    )
+    retry = (
+        F.when(k % 3 == 0, "true").when(k % 3 == 1, "false").otherwise("maybe")
+    )
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss")
+    return (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.format_string("call tool=sql status=%s dur_ms=%d", status, k * 7),
+        )
+        .when(
+            F.col("event_type") == "error",
+            F.format_string("ERROR E%d: operation failed retry=%s", k % 5, retry),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.format_string("<%d> %s result code=%d msg=click through", k % 192, iso, 200 + k % 300),
+        )
+        .otherwise(F.format_string("free text event %d with no rule", k))
+    )
+
+
 def transcripts_from_events(events: DataFrame) -> DataFrame:
     """Map the driver's read-only `events` table into transcript shape.
 
@@ -176,28 +207,7 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
         .when(F.col("event_type") == "error", "bash")
         .otherwise("email")
     )
-    status = (
-        F.when(k % 4 == 0, "fail").when(k % 4 == 1, "retry").otherwise("ok")
-    )
-    retry = (
-        F.when(k % 3 == 0, "true").when(k % 3 == 1, "false").otherwise("maybe")
-    )
-    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss")
-    text = (
-        F.when(
-            F.col("event_type") == "purchase",
-            F.format_string("call tool=sql status=%s dur_ms=%d", status, k * 7),
-        )
-        .when(
-            F.col("event_type") == "error",
-            F.format_string("ERROR E%d: operation failed retry=%s", k % 5, retry),
-        )
-        .when(
-            F.col("event_type") == "click",
-            F.format_string("<%d> %s result code=%d msg=click through", k % 192, iso, 200 + k % 300),
-        )
-        .otherwise(F.format_string("free text event %d with no rule", k))
-    )
+    text = transcript_text_expr()
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
         F.format_string("conv_%06d", F.col("user_id")).alias("conv_id"),
