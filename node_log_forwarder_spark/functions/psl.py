@@ -1,0 +1,93 @@
+"""Trimmed public-suffix list (VERDICT r3 fix #6).
+
+A static subset of the ICANN section of the Mozilla Public Suffix List
+(publicsuffix.org — public data, reproduced here as plain suffix
+strings). The full list is ~9k rules; this trim keeps the high-traffic
+multi-label country suffixes that the two-label fallback mis-handles
+(example.co.uk must reduce to example.co.uk, not co.uk). Wildcard
+(``*.ck``) and exception (``!www.ck``) rules are out of scope — hosts
+under those TLDs fall back to the longest static match.
+
+Deployment note: at a few hundred entries the list ships as a literal
+array inside the expression (codegen'd set-membership, zero shuffles,
+fuses into the scan). A full-PSL deployment swaps in the complete list
+the same way — ~9k entries is still well under broadcast scale — or
+joins a broadcast dim; the lookup semantics below are unchanged.
+"""
+
+from __future__ import annotations
+
+# Two-label public suffixes (suffix has 2 labels; registrable domain
+# therefore has 3). ICANN-section entries.
+PSL_2LABEL: list[str] = [
+    # United Kingdom
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
+    "org.uk", "plc.uk", "police.uk", "sch.uk",
+    # Australia
+    "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
+    # Japan
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    # South Korea
+    "ac.kr", "co.kr", "es.kr", "go.kr", "hs.kr", "kg.kr", "mil.kr",
+    "ms.kr", "ne.kr", "or.kr", "pe.kr", "re.kr", "sc.kr",
+    # New Zealand
+    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "iwi.nz",
+    "maori.nz", "net.nz", "org.nz", "school.nz",
+    # Brazil
+    "com.br", "edu.br", "gov.br", "mil.br", "net.br", "org.br",
+    # China / Taiwan / Hong Kong / Singapore
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "mil.cn", "net.cn", "org.cn",
+    "com.tw", "edu.tw", "gov.tw", "idv.tw", "mil.tw", "net.tw", "org.tw",
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg", "per.sg",
+    # India
+    "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "mil.in", "net.in", "nic.in", "org.in", "res.in",
+    # South Africa / Kenya / Nigeria / Egypt
+    "ac.za", "co.za", "edu.za", "gov.za", "law.za", "mil.za", "net.za",
+    "nom.za", "org.za", "school.za", "web.za",
+    "ac.ke", "co.ke", "go.ke", "info.ke", "me.ke", "mobi.ke", "ne.ke",
+    "or.ke", "sc.ke",
+    "com.ng", "edu.ng", "gov.ng", "mil.ng", "mobi.ng", "name.ng",
+    "net.ng", "org.ng", "sch.ng",
+    "com.eg", "edu.eg", "eun.eg", "gov.eg", "mil.eg", "name.eg",
+    "net.eg", "org.eg", "sci.eg",
+    # Mexico / Argentina / Turkey / Israel
+    "com.mx", "edu.mx", "gob.mx", "net.mx", "org.mx",
+    "com.ar", "edu.ar", "gob.ar", "gov.ar", "int.ar", "mil.ar",
+    "net.ar", "org.ar", "tur.ar",
+    "av.tr", "bbs.tr", "bel.tr", "biz.tr", "com.tr", "dr.tr", "edu.tr",
+    "gen.tr", "gov.tr", "info.tr", "k12.tr", "mil.tr", "name.tr",
+    "net.tr", "org.tr", "pol.tr", "tel.tr", "web.tr",
+    "ac.il", "co.il", "gov.il", "idf.il", "k12.il", "muni.il", "net.il",
+    "org.il",
+    # Southeast Asia
+    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    "com.my", "edu.my", "gov.my", "mil.my", "name.my", "net.my",
+    "org.my",
+    "ac.id", "biz.id", "co.id", "desa.id", "go.id", "mil.id", "my.id",
+    "net.id", "or.id", "ponpes.id", "sch.id", "web.id",
+    "com.ph", "edu.ph", "gov.ph", "i.ph", "mil.ph", "net.ph", "ngo.ph",
+    "org.ph",
+    "ac.vn", "biz.vn", "com.vn", "edu.vn", "gov.vn", "health.vn",
+    "info.vn", "int.vn", "name.vn", "net.vn", "org.vn", "pro.vn",
+    # Middle East / Pakistan / Bangladesh
+    "com.sa", "edu.sa", "gov.sa", "med.sa", "net.sa", "org.sa",
+    "pub.sa", "sch.sa",
+    "biz.pk", "com.pk", "edu.pk", "fam.pk", "gob.pk", "gok.pk",
+    "gov.pk", "net.pk", "org.pk", "web.pk",
+    "ac.bd", "com.bd", "edu.bd", "gov.bd", "mil.bd", "net.bd", "org.bd",
+    # Ukraine / Poland (multi-label subset)
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    "com.pl", "edu.pl", "gov.pl", "net.pl", "org.pl", "waw.pl",
+]
+
+# Three-label public suffixes (registrable domain has 4 labels). The
+# US K-12 family is the canonical static 3-label block in the PSL;
+# a representative state subset is enough to exercise the path.
+PSL_3LABEL: list[str] = [
+    "k12.ca.us", "k12.il.us", "k12.ma.us", "k12.ny.us", "k12.tx.us",
+    "k12.wa.us", "cc.ca.us", "cc.ny.us", "lib.ca.us", "lib.ny.us",
+    "lib.tx.us",
+]

@@ -42,14 +42,41 @@ def extract_hosts(col: Column) -> Column:
 
 
 def registrable_domain(host: Column) -> Column:
-    """Last two labels of the hostname (example.co.uk -> co.uk caveat
-    acknowledged: a public-suffix list is a broadcast dim in prod; the
-    two-label fallback is the deterministic, dependency-free default)."""
+    """Public-suffix-aware registrable domain (VERDICT r3 fix #6).
+
+    Longest-match against the trimmed static PSL (``functions.psl``):
+    if the host's last-3-label tail is a listed 3-label public suffix
+    the registrable domain is 4 labels, else if the last-2-label tail
+    is listed it is 3 labels, else the dependency-free 2-label fallback
+    (unlisted TLDs). A host that IS a public suffix (or a bare TLD)
+    returns itself.
+
+    All codegen'd set-membership over literal arrays — no UDF, no join,
+    no shuffle; the whole expression fuses into the scan. A full-PSL
+    deployment swaps in the complete list (see psl.py's note)."""
+    from node_log_forwarder_spark.functions.psl import PSL_2LABEL, PSL_3LABEL
+
     parts = F.split(host, r"\.")
     n = F.size(parts)
+    # F.get (0-based) returns null past either end instead of raising —
+    # element_at(-k) would throw on hosts with < k labels even inside an
+    # untaken when() branch (codegen evaluates subexpressions eagerly).
+    # concat_ws skips nulls, so a too-short tail yields a string with
+    # fewer labels, which can never match a k-label suffix list.
+    tail = lambda k: F.concat_ws(  # noqa: E731
+        ".", *[F.get(parts, n - i) for i in range(k, 0, -1)]
+    )
+    psl2 = F.array(*[F.lit(s) for s in sorted(PSL_2LABEL)])
+    psl3 = F.array(*[F.lit(s) for s in sorted(PSL_3LABEL)])
+    k = (
+        F.when((n >= 3) & F.array_contains(psl3, tail(3)), 4)
+        .when((n >= 2) & F.array_contains(psl2, tail(2)), 3)
+        .otherwise(2)
+    )
+    # last k labels of the host (k = suffix labels + 1)
     return F.when(
-        n >= 2,
-        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
+        n > k,
+        F.concat_ws(".", F.slice(parts, n - k + 1, k)),
     ).otherwise(host)
 
 

@@ -44,6 +44,54 @@ def test_registrable_domain(spark):
     assert got == ["example.com", "a.io", "localhost"]
 
 
+def test_registrable_domain_public_suffixes(spark):
+    """VERDICT r3 fix #6: co.uk-style multi-label public suffixes."""
+    cases = {
+        # 2-label public suffixes -> 3-label registrable domain
+        "www.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "deep.sub.example.com.au": "example.com.au",
+        "shop.example.co.jp": "example.co.jp",
+        # the suffix itself (or a bare TLD) maps to itself
+        "co.uk": "co.uk",
+        "uk": "uk",
+        # 3-label public suffixes -> 4-label registrable domain
+        "www.school.k12.ma.us": "school.k12.ma.us",
+        "school.k12.ma.us": "school.k12.ma.us",
+        "k12.ma.us": "k12.ma.us",
+        # unlisted TLD falls back to two labels
+        "www.example.com": "example.com",
+        "sub.example.dev": "example.dev",
+        # 2-label host under an unlisted suffix stays itself
+        "ma.us": "ma.us",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = dict(
+        df.select("h", registrable_domain(F.col("h")).alias("d")).collect()
+    )
+    for h, want in cases.items():
+        assert got[h] == want, (h, got[h], want)
+    # still expression-only: no UDF, no join, no shuffle
+    plan = (
+        df.select(registrable_domain(F.col("h")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_blocklist_filter_psl_domain(spark):
+    """Blocking example.co.uk must not block other co.uk sites (the old
+    two-label reduction collapsed them all to 'co.uk')."""
+    rows = [
+        (1, "see https://www.bad.co.uk/page"),
+        (2, "see https://www.good.co.uk/page"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            blocklist_filter(df, ["bad.co.uk"]).select("doc_id").collect()}
+    assert kept == {2}
+
+
 def test_blocklist_filter(spark):
     rows = [
         (1, "read https://spam.example.com/buy now"),
