@@ -58,6 +58,50 @@ def test_run_pipeline_redacted_export(spark, transcripts, tmp_path):
     row = sinks.filter(F.col("conv_id") == "conv_pii").select("text").first()
     assert row["text"] == "contact <EMAIL> from <IP>"
     assert sinks.filter(F.col("text").contains("alice@example.com")).count() == 0
+    # per-(window, sink) redaction audit table (VERDICT r3 fix #7):
+    # the one PII row routes to archive_all + _unmatched, so each of
+    # those sinks audits exactly 1 email + 1 ipv4; nothing else in the
+    # synthetic corpus is PII-shaped, so every other class is zero.
+    audit = read_table(spark, f"{out}/agg_redactions")
+    per_sink = {
+        r["sink_id"]: r
+        for r in audit.groupBy("sink_id").agg(
+            *[F.sum(f"{c}_redactions").alias(c)
+              for c in ("email", "ipv4", "ssn", "phone", "cc16")]
+        ).collect()
+    }
+    for sink in ("archive_all", "_unmatched"):
+        assert per_sink[sink]["email"] == 1 and per_sink[sink]["ipv4"] == 1
+        assert per_sink[sink]["ssn"] == 0 and per_sink[sink]["phone"] == 0
+    totals = audit.agg(
+        F.sum("email_redactions"), F.sum("ipv4_redactions"),
+        F.sum("ssn_redactions"), F.sum("phone_redactions"),
+        F.sum("cc16_redactions"),
+    ).first()
+    assert tuple(totals) == (2, 2, 0, 0, 0)
+    # audit rows tie back to delivery volume
+    assert audit.agg(F.sum("n_rows")).first()[0] == sinks.count()
+
+
+def test_per_sink_writer_redaction_audit(spark, transcripts, tmp_path):
+    """The per_sink writer branch produces the same audit table."""
+    out = str(tmp_path / "outpsred")
+    pii_line = "ssn 123-45-6789 call (555) 123-4567"
+    extra = spark.createDataFrame(
+        [("conv_pii2", 0, "user", pii_line, "none",
+          transcripts.select("ts").first()["ts"])],
+        transcripts.schema,
+    )
+    tr = transcripts.unionByName(extra)
+    cfg = PipelineConfig(hot_threshold=500, writer="per_sink",
+                         redact_text=True, repartition_input=False)
+    run_pipeline(spark, tr, out, cfg)
+    audit = read_table(spark, f"{out}/agg_redactions")
+    totals = audit.agg(
+        F.sum("ssn_redactions"), F.sum("phone_redactions"),
+        F.sum("email_redactions"),
+    ).first()
+    assert tuple(totals) == (2, 2, 0)  # archive_all + _unmatched
 
 
 def test_run_pipeline_per_sink_writer(spark, transcripts, tmp_path):
@@ -103,6 +147,60 @@ def test_resume_with_salted_repartition(spark, transcripts, tmp_path):
     assert len(r1["processed_buckets"]) + len(r2["processed_buckets"]) == 8
     m = read_table(spark, f"{out}/manifest")
     assert m.agg(F.sum("rows_in")).first()[0] == transcripts.count()
+
+
+def test_resume_with_post_commit_compaction(spark, transcripts, tmp_path):
+    """compact_sinks=True (VERDICT r3 fix #8): each committed batch's
+    sink table is compacted in place — identical rows, fewer files,
+    backup dropped after the post-swap re-verification — and resume
+    semantics are unchanged."""
+    import os
+
+    def _parquet_files(p):
+        return [
+            os.path.join(root, f)
+            for root, _d, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        ]
+
+    out = str(tmp_path / "res_compact")
+    cfg = PipelineConfig(
+        hot_threshold=500, n_buckets=8, repartition_input=False,
+        compact_sinks=True,
+    )
+    r1 = run_resumable(spark, transcripts, out, run_id="r1", cfg=cfg,
+                       fail_after_buckets=3)
+    r2 = run_resumable(spark, transcripts, out, run_id="r2", cfg=cfg)
+    assert len(r1["processed_buckets"]) + len(r2["processed_buckets"]) == 8
+    # identical rows vs an uncompacted reference run
+    ref = str(tmp_path / "res_ref")
+    run_resumable(spark, transcripts, ref, run_id="r1",
+                  cfg=PipelineConfig(hot_threshold=500, n_buckets=8,
+                                     repartition_input=False))
+    def _read_batches(root):
+        import functools
+
+        dirs = [d for d in sorted(os.listdir(root))
+                if not d.endswith("__precompact")]
+        return functools.reduce(
+            lambda a, b: a.unionByName(b),
+            [read_table(spark, os.path.join(root, d)) for d in dirs],
+        )
+
+    got = _read_batches(f"{out}/sinks")
+    want = _read_batches(f"{ref}/sinks")
+    assert got.count() == want.count()
+    key = [F.col("sink_id"), F.col("conv_id"), F.col("turn_idx")]
+    assert (
+        got.groupBy(*key).count().exceptAll(want.groupBy(*key).count()).count()
+        == 0
+    )
+    # compaction actually collapsed files (each batch write is many
+    # tasks x sinks) and left no lingering backups
+    assert len(_parquet_files(f"{out}/sinks")) < len(_parquet_files(f"{ref}/sinks"))
+    assert not [d for d in os.listdir(f"{out}/sinks")
+                if d.endswith("__precompact")]
 
 
 def test_manifest_lineage_metrics(spark, transcripts, tmp_path):
