@@ -215,6 +215,43 @@ def test_quantized_cosine_recall(spark):
     assert sat <= 127
 
 
+def test_quantized_ann_same_buckets_and_recall(spark):
+    """VERDICT r3 fix #9: the int8 store serves the SRP-LSH ANN path
+    directly — identical band buckets as the dequantized vectors (sign
+    is scale-invariant) and ≥9/10 top-10 recall vs the float exact
+    top-k, with no dequantization in the plan."""
+    from node_log_forwarder_spark.operators.similarity import (
+        ann_lsh_topk_quantized,
+        cosine_topk,
+        dequantize_embedding,
+        quantize_table,
+        srp_bands,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qt = quantize_table(emb)
+    # 1. bucket identity: srp_bands(qvec) == srp_bands(dequant(qvec))
+    deq = qt.select(
+        "vec_id",
+        dequantize_embedding(F.col("qvec"), F.col("qscale")).alias("v"),
+    )
+    b_int = srp_bands(qt, 4, 2, "vec_id", "qvec")
+    b_deq = srp_bands(deq, 4, 2, "vec_id", "v")
+    assert b_int.exceptAll(b_deq).count() == 0
+    assert b_deq.exceptAll(b_int).count() == 0
+    # 2. recall vs the float exact top-10
+    exact = {r[0] for r in cosine_topk(emb, emb.filter(F.col("vec_id") == 0),
+                                       k=10).select("vec_id").collect()}
+    got = ann_lsh_topk_quantized(
+        qt, qt.filter(F.col("vec_id") == 0), k=10
+    )
+    approx = {r[0] for r in got.select("vec_id").collect()}
+    assert len(exact & approx) >= 9
+    # 3. the plan reads only the int table: no dequantize transform
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # expression-only, as the float path
+
+
 def test_line_repetition_counts(spark):
     """Gopher/C4-style repetition components: duplicate-line counts are
     exact ints; blank/whitespace-only lines don't count; null/empty
