@@ -434,12 +434,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return p.unionByName(s_)
     q["part_supplier_stats"] = q_part_supplier_stats
 
-    # --- dedup: exact ---------------------------------------------------------
+    # --- dedup: exact + train/eval decontamination audit (r4) -----------------
+    #     eval set = doc_id % 97 == 0; n_contaminated counts non-eval docs
+    #     per lang sharing >=1 word 3-gram with any eval doc
+    #     (operators/decontaminate.py — broadcast semi-join, corpus never
+    #     shuffles). DuckDB twin replays the gram join exactly.
     def q_dedup_exact(spark, sf):
+        from node_log_forwarder_spark.operators.decontaminate import (
+            contaminated_ids,
+        )
+
         docs = _t(spark, sf, "documents")
-        return docs.groupBy("lang").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct(fingerprint(F.col("text"))).alias("n_unique"),
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        tr = docs.filter(F.col("doc_id") % 97 != 0)
+        per_lang = (
+            tr.join(contaminated_ids(tr, ev), "doc_id", "left_semi")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        )
+        return (
+            docs.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct(fingerprint(F.col("text"))).alias("n_unique"),
+            )
+            .join(per_lang, "lang", "left")
+            .select(
+                "lang", "n_docs", "n_unique",
+                F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            )
         )
     q["dedup_exact"] = q_dedup_exact
 
@@ -1271,9 +1294,19 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["dedup_exact"] = f"""
-        SELECT lang, count(*) AS n_docs,
-               count(DISTINCT {_FP}) AS n_unique
-        FROM documents GROUP BY lang
+        WITH ev AS (SELECT {_TOKENS} AS w FROM documents WHERE doc_id % 97 = 0),
+        eg AS (SELECT DISTINCT unnest({_NGRAM3}) AS gram FROM ev),
+        tr AS (SELECT doc_id, lang, {_TOKENS} AS w FROM documents
+               WHERE doc_id % 97 != 0),
+        tg AS (SELECT DISTINCT doc_id, unnest({_NGRAM3}) AS gram FROM tr),
+        hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram)),
+        cont AS (SELECT lang, count(*) AS n_contaminated
+                 FROM tr JOIN hits USING (doc_id) GROUP BY lang)
+        SELECT d.lang, count(*) AS n_docs,
+               count(DISTINCT {_FP}) AS n_unique,
+               coalesce(any_value(cont.n_contaminated), 0) AS n_contaminated
+        FROM documents d LEFT JOIN cont ON d.lang = cont.lang
+        GROUP BY d.lang
     """
 
     # (dedup_survivors is defined after the minhash machinery below —

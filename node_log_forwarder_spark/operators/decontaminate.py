@@ -1,0 +1,107 @@
+"""Train/eval decontamination for training-data pipelines.
+
+Benchmark contamination — training documents that textually overlap an
+evaluation set — is the canonical silent-leakage failure at corpus
+scale. The standard public recipe (GPT-3 appendix C / Dolma / FineWeb
+decontamination) is n-gram overlap: a training doc is contaminated if
+it shares at least one word n-gram with any eval doc.
+
+Spark-first shape, sized for a 10^12-row corpus vs a 10^4-row eval set:
+
+* the eval set's DISTINCT n-grams are a broadcast-sized frame (eval
+  sets are small by definition — MMLU-scale is ~10^5 grams);
+* training docs explode to DISTINCT (doc, gram) pairs map-side and
+  semi-join the broadcast gram set — the corpus never shuffles, no
+  pair blowup (a doc collapses back to one row via the semi-join);
+* the flag query is therefore scan → explode → broadcast-semi-join →
+  distinct doc ids: one wide stage, zero corpus shuffles.
+
+Every step has an exact DuckDB twin (word split + n-gram construction
+mirror ``functions.text``), so the driver value-hash gates it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.text import ngrams_from_tokens, tokens
+
+
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (id, gram) pairs; docs with < n tokens contribute none.
+    Tokens are materialized in their own projection first (one regex
+    split per row — the HOF ngram chain would otherwise re-split ~n
+    times, see minhash_signatures)."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    return toks.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_from_tokens(F.col("_w"), n))).alias("gram"),
+    )
+
+
+def eval_gram_set(
+    eval_df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """The eval set's distinct n-grams — the broadcast side."""
+    toks = eval_df.select(tokens(F.col(text_col)).alias("_w"))
+    return toks.select(
+        F.explode(F.array_distinct(ngrams_from_tokens(F.col("_w"), n))).alias("gram")
+    ).distinct()
+
+
+def contaminated_ids(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct ids of training docs sharing ≥1 word n-gram with any
+    eval doc. The eval gram set is explicitly broadcast; the training
+    side streams through the semi-join without shuffling."""
+    grams = eval_gram_set(eval_df, text_col=text_col, n=n)
+    return (
+        _doc_grams(train_df, id_col, text_col, n)
+        .join(F.broadcast(grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    keep: bool = True,
+) -> DataFrame:
+    """Drop contaminated training docs (``keep=False`` returns the
+    rejected side for auditing)."""
+    hits = contaminated_ids(train_df, eval_df, id_col, text_col, n)
+    how = "left_anti" if keep else "left_semi"
+    return train_df.join(hits, id_col, how)
+
+
+def contamination_oracle_sql(
+    tokens_expr: str,
+    ngram_expr: str,
+    eval_pred: str,
+    n: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: distinct contaminated ids of non-eval docs, where
+    ``eval_pred`` selects the eval subset from the same table and
+    ``tokens_expr``/``ngram_expr`` are the engine-portable token/ngram
+    macros from __spark_entry__ (ngram_expr must reference a token list
+    column named ``w``)."""
+    return f"""
+        WITH ev AS (SELECT {tokens_expr} AS w FROM {table} WHERE {eval_pred}),
+        eg AS (SELECT DISTINCT unnest({ngram_expr}) AS gram FROM ev),
+        tr AS (SELECT {id_col}, {tokens_expr} AS w FROM {table}
+               WHERE NOT ({eval_pred})),
+        tg AS (SELECT DISTINCT {id_col}, unnest({ngram_expr}) AS gram FROM tr)
+        SELECT DISTINCT tg.{id_col} FROM tg JOIN eg USING (gram)
+    """

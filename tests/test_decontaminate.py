@@ -1,0 +1,81 @@
+"""Train/eval decontamination: exact n-gram overlap semantics, plan
+shape (broadcast semi-join, corpus never shuffles), audit side."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.decontaminate import (
+    contaminated_ids,
+    contamination_oracle_sql,
+    decontaminate,
+)
+
+ROWS = [
+    # eval set (ids 100, 101)
+    (100, "the quick brown fox jumps"),
+    (101, "lorem ipsum dolor sit amet"),
+    # training docs
+    (1, "a doc about the quick brown dog"),        # shares 'the quick brown'
+    (2, "totally unrelated text with no overlap"),
+    (3, "ends with dolor sit amet exactly"),       # shares 'dolor sit amet'
+    (4, "quick brown fox but only two-token overlaps do not count x"),
+    (5, "short doc"),                              # < 3 tokens of overlap
+    (6, ""),                                       # empty
+]
+
+
+def _frames(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    ev = df.filter(F.col("doc_id") >= 100)
+    tr = df.filter(F.col("doc_id") < 100)
+    return tr, ev
+
+
+def test_contaminated_ids_exact(spark):
+    tr, ev = _frames(spark)
+    got = {r[0] for r in contaminated_ids(tr, ev).collect()}
+    # doc 4 contains 'quick brown fox' — a 3-gram of eval doc 100
+    assert got == {1, 3, 4}
+
+
+def test_decontaminate_keep_and_audit(spark):
+    tr, ev = _frames(spark)
+    kept = {r["doc_id"] for r in decontaminate(tr, ev).collect()}
+    assert kept == {2, 5, 6}
+    rejected = {r["doc_id"] for r in decontaminate(tr, ev, keep=False).collect()}
+    assert rejected == {1, 3, 4}
+
+
+def test_plan_broadcast_semi_join_no_corpus_shuffle(spark):
+    tr, ev = _frames(spark)
+    plan = (
+        contaminated_ids(tr, ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the only exchanges allowed are the broadcast build side and the
+    # final distinct over ids — never a sort-merge of the corpus grams
+    assert "SortMergeJoin" not in plan
+
+
+def test_duckdb_oracle_parity(spark):
+    tr, ev = _frames(spark)
+    got = sorted(r[0] for r in contaminated_ids(tr, ev).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT unnest(?) AS doc_id, unnest(?) AS text",
+        [[r[0] for r in ROWS], [r[1] for r in ROWS]],
+    )
+    toks = (
+        "CASE WHEN trim(text) = '' THEN [] "
+        "ELSE string_split_regex(trim(text), '\\s+') END"
+    )
+    ng3 = (
+        "list_transform(generate_series(1, greatest(len(w) - 2, 0)),"
+        " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+    )
+    sql = contamination_oracle_sql(toks, ng3, "doc_id >= 100")
+    want = sorted(r[0] for r in con.sql(sql).fetchall())
+    assert got == want
