@@ -134,3 +134,39 @@ def test_partition_invariance_of_key_operators(spark):
         base = rows(op(layouts[0]))
         for alt in layouts[1:]:
             assert rows(op(alt)) == base
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """write_bucketed (r4): two tables bucketed+sorted on the join key
+    join with zero Exchange and zero Sort on either side — the
+    co-located fact-fact join primitive for recurring 100-TB joins."""
+    from node_log_forwarder_spark.catalog import write_bucketed
+
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "t_buck_l", ["k"], 8, sort_cols=["k"],
+                   path=str(tmp_path / "bl"))
+    write_bucketed(right, "t_buck_r", ["k"], 8, sort_cols=["k"],
+                   path=str(tmp_path / "br"))
+    try:
+        joined = (
+            spark.table("t_buck_l")
+            .hint("merge")
+            .join(spark.table("t_buck_r"), "k")
+        )
+        assert joined.count() == 10_000
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # the load-bearing claim: both sides read pre-bucketed, so the
+        # join has ZERO Exchange. (A local per-task Sort remains — Spark
+        # only elides it with exactly one file per bucket plus the
+        # legacy bucketedTableScan.outputOrdering flag; the shuffle, not
+        # the local sort, is what matters at 100 TB.)
+        assert "Exchange" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_buck_l")
+        spark.sql("DROP TABLE IF EXISTS t_buck_r")
