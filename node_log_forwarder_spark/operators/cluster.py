@@ -1,0 +1,97 @@
+"""Connected components over a candidate-pair graph → dedup clusters.
+
+LSH produces candidate PAIRS; a dedup decision needs CLUSTERS (keep one
+representative per component, drop the rest). Implementation: min-label
+propagation as DataFrame ops —
+
+* state = one (id, label) row per vertex, label = current component
+  min-candidate;
+* each round joins edges to labels (both sides shuffle on id — ints
+  only, never payload), propagates min(label) across each edge, and
+  re-aggregates per vertex;
+* converges in O(diameter) rounds. Near-dup clusters are overwhelmingly
+  tiny cliques (diameter ≤ 2 — every member shares a band with the
+  same representative), so 2-3 rounds close real corpora; a corpus
+  with pathological long-chain components would want the
+  large-star/small-star variant (Kiveris et al., SOCC 2014 — public
+  literature), which this loop structure extends to. Each round is
+  checkpoint-friendly: the label frame is a 2-int-column table.
+
+The driver loop only reads ONE scalar per round (the changed-label
+count via an aggregation) — no data-scale collect. At 10^12 edges each
+round shuffles 16 B/edge; with AQE the final rounds shrink to the
+still-moving components only because converged labels drop out of the
+changed set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_rounds: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, component) — component = min id reachable via the pair
+    graph. Vertices = every id appearing in ``pairs``; callers union in
+    singleton docs afterwards if they need total coverage (a left join
+    + coalesce(component, id))."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    # initial label: min neighbor (including self)
+    labels = edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.min("src")).alias("label")
+    ).select(F.col("src").alias("id"), "label")
+    for _ in range(max_rounds):
+        # propagate: each vertex learns the min label among its
+        # neighbors' labels and its own
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # convergence check: one scalar, no data-scale collect
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full-corpus cluster assignment: every doc gets a component
+    (singletons are their own), plus ``is_representative`` (the min-id
+    member — the row a dedup pass keeps)."""
+    cc = connected_components(pairs).withColumnRenamed("id", id_col)
+    return (
+        df.select(id_col)
+        .join(cc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn(
+            "is_representative", F.col(id_col) == F.col("component")
+        )
+    )

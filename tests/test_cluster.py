@@ -1,0 +1,70 @@
+"""Connected components / dedup clusters over candidate pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.cluster import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_simple_components(spark):
+    # {1,2,3} via chain, {10,11} clique, 20 isolated-by-pair with 21
+    pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11), (20, 21)])
+    got = dict(connected_components(pairs).collect())
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_long_chain_converges(spark):
+    # path 0-1-...-6: propagation's worst case (diameter 6 — enough to
+    # exercise multiple rounds without inflating suite wall time)
+    pairs = _pairs(spark, [(i, i + 1) for i in range(6)])
+    got = dict(connected_components(pairs).collect())
+    assert got == {i: 0 for i in range(7)}
+
+
+def test_bridged_clusters_merge(spark):
+    # two cliques bridged by one edge -> single component
+    edges = [(1, 2), (1, 3), (2, 3), (8, 9), (8, 10), (9, 10), (3, 8)]
+    got = dict(connected_components(_pairs(spark, edges)).collect())
+    assert set(got.values()) == {1}
+
+
+def test_dedup_clusters_full_coverage(spark):
+    docs = spark.range(8).select(F.col("id").alias("doc_id"))
+    pairs = _pairs(spark, [(1, 2), (5, 6)])
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert len(rows) == 8
+    # clustered docs share the min-id component
+    assert rows[1]["component"] == 1 and rows[2]["component"] == 1
+    assert rows[5]["component"] == 5 and rows[6]["component"] == 5
+    # singletons are their own component and their own representative
+    for d in (0, 3, 4, 7):
+        assert rows[d]["component"] == d and rows[d]["is_representative"]
+    # exactly one representative per component
+    reps = [r for r in rows.values() if r["is_representative"]]
+    assert len(reps) == len({r["component"] for r in rows.values()})
+    assert not rows[2]["is_representative"] and not rows[6]["is_representative"]
+
+
+def test_components_from_lsh_pairs(spark):
+    """End-to-end: exact-dup docs -> LSH pairs -> clusters."""
+    from node_log_forwarder_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "the same duplicated text body here") for i in range(4)]
+    rows += [(i, f"unique document number {i} body text") for i in range(10, 14)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs, collapse_identical=False)
+    cc = dict(connected_components(pairs).collect())
+    # the 4 identical docs form one component rooted at doc 0
+    assert all(cc[i] == 0 for i in range(4))
