@@ -1,0 +1,152 @@
+"""End-to-end training-data curation plan.
+
+The composition a corpus owner actually runs: one scan of the raw
+documents table flows through every curation operator this engine
+ships, in the canonical order (cheap row-local filters first, the
+dedup shuffle last, so each stage sees only the previous stage's
+survivors):
+
+    quality → language allowlist → URL blocklist → PII redaction
+    → exact dedup → (optional) train/eval decontamination → write
+
+Scale shape:
+
+* ALL filter flags are computed in ONE projection of native
+  expressions (quality score, language guess, blocked-domain hit) —
+  they fuse into the scan stage, and the drop-funnel accounting is a
+  single aggregate over the flag columns, not one job per stage;
+* redaction is the same scan-stage projection (regexp_replace chain);
+* exact dedup is the first shuffle (fingerprint hash — 32 B/row);
+* decontamination adds one broadcast semi-join (eval grams are small);
+* the funnel is EXACT and hierarchical: a doc dropped for quality is
+  not double-counted by later stages.
+
+``run_curate`` writes the curated corpus plus a one-row funnel audit
+table; ``build_curated`` returns the lazy frames for composition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.catalog import write_table
+from node_log_forwarder_spark.functions.redact import redact_pii
+from node_log_forwarder_spark.functions.text import lang_guess, quality_score
+from node_log_forwarder_spark.functions.urls import (
+    extract_hosts,
+    registrable_domain,
+)
+from node_log_forwarder_spark.operators.dedup import exact_dedup
+
+
+@dataclass
+class CurateConfig:
+    min_quality: float = 0.3
+    allowed_langs: list[str] | None = None  # None = keep all
+    blocked_domains: list[str] = field(default_factory=list)
+    redact: bool = True
+    dedup: bool = True
+    # SQL boolean over the input columns selecting the eval set, e.g.
+    # "doc_id % 97 = 0"; None disables decontamination. Eval rows are
+    # excluded from the curated output (they are eval, not training).
+    eval_predicate: str | None = None
+    decontaminate_ngram: int = 3
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+
+def _flags(cfg: CurateConfig) -> dict[str, F.Column]:
+    text = F.col(cfg.text_col)
+    flags = {"keep_quality": quality_score(text) >= F.lit(cfg.min_quality)}
+    if cfg.allowed_langs is not None:
+        flags["keep_lang"] = lang_guess(text).isin(cfg.allowed_langs)
+    if cfg.blocked_domains:
+        blocked = F.array(*[F.lit(d.lower()) for d in cfg.blocked_domains])
+        doms = F.transform(extract_hosts(text), lambda h: registrable_domain(h))
+        flags["keep_domain"] = ~F.exists(
+            doms, lambda d: F.array_contains(blocked, d)
+        )
+    return flags
+
+
+def build_curated(
+    df: DataFrame, cfg: CurateConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(curated frame, funnel frame). The funnel is one row with exact
+    hierarchical counts: n_input, dropped per stage (in order), and
+    n_curated. Lazy — nothing runs until an action."""
+    cfg = cfg or CurateConfig()
+    flags = _flags(cfg)
+    flag_cols = list(flags)
+    flagged = df.select("*", *[v.alias(k) for k, v in flags.items()])
+
+    if cfg.eval_predicate:
+        flagged = flagged.withColumn("_is_eval", F.expr(cfg.eval_predicate))
+    else:
+        flagged = flagged.withColumn("_is_eval", F.lit(False))
+
+    # hierarchical drop attribution: stage i's drop count only sees rows
+    # that survived stages < i
+    drops = []
+    surviving = ~F.col("_is_eval")
+    n_input = F.count(F.lit(1)).alias("n_input")
+    n_eval = F.sum(F.col("_is_eval").cast("long")).alias("n_eval")
+    for k in flag_cols:
+        drops.append(
+            F.sum((surviving & ~F.col(k)).cast("long")).alias(f"dropped_{k[5:]}")
+        )
+        surviving = surviving & F.col(k)
+
+    kept = flagged.filter(~F.col("_is_eval"))
+    for k in flag_cols:
+        kept = kept.filter(F.col(k))
+    kept = kept.drop(*flag_cols, "_is_eval")
+
+    if cfg.redact:
+        kept = kept.withColumn(cfg.text_col, redact_pii(F.col(cfg.text_col)))
+
+    pre_dedup = kept
+    if cfg.dedup:
+        kept = exact_dedup(kept, text_col=cfg.text_col, id_col=cfg.id_col).drop("fp")
+
+    if cfg.eval_predicate:
+        from node_log_forwarder_spark.operators.decontaminate import decontaminate
+
+        eval_df = df.filter(F.expr(cfg.eval_predicate))
+        kept = decontaminate(
+            kept, eval_df,
+            id_col=cfg.id_col, text_col=cfg.text_col,
+            n=cfg.decontaminate_ngram,
+        )
+
+    # funnel: the flag sums come from one aggregate over the flagged
+    # frame; dedup/decontamination drops fall out of count differences
+    funnel_flags = flagged.agg(n_input, n_eval, *drops)
+    counts = kept.agg(F.count(F.lit(1)).alias("n_curated")).crossJoin(
+        pre_dedup.agg(F.count(F.lit(1)).alias("_n_pre_dedup"))
+    )
+    funnel = funnel_flags.crossJoin(counts)
+    if cfg.dedup or cfg.eval_predicate:
+        funnel = funnel.withColumn(
+            "dropped_dedup_or_contaminated",
+            F.col("_n_pre_dedup") - F.col("n_curated"),
+        )
+    return kept, funnel.drop("_n_pre_dedup")
+
+
+def run_curate(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    cfg: CurateConfig | None = None,
+) -> dict:
+    """Write the curated corpus + funnel audit table; return the funnel
+    as a dict."""
+    curated, funnel = build_curated(df, cfg)
+    write_table(curated, f"{out_dir}/curated", mode="overwrite")
+    write_table(funnel, f"{out_dir}/funnel", mode="overwrite")
+    row = funnel.first()
+    return {k: row[k] for k in funnel.columns}

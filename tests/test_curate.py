@@ -1,0 +1,95 @@
+"""End-to-end curation plan: exact hierarchical funnel, stage
+composition, redaction in output, decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.catalog import read_table
+from node_log_forwarder_spark.plans.curate import (
+    CurateConfig,
+    build_curated,
+    run_curate,
+)
+
+GOOD = "the quick brown fox and the lazy dog walk over a field of wheat " * 3
+
+ROWS = [
+    # survivors
+    (1, GOOD + "alpha"),
+    (2, GOOD + "bravo"),
+    # quality drop: punct-heavy, no stopwords, short
+    (3, "!!! ??? *** ### $$$"),
+    # lang drop: german stopwords dominate
+    (4, "der hund und die katze ist das haus " * 8),
+    # domain drop (would also pass quality since text is GOOD-based)
+    (5, GOOD + " see https://spam.bad.com/x"),
+    # PII survivor: stays, but redacted in output
+    (6, GOOD + " contact alice@example.com now"),
+    # exact duplicate of doc 1 (same normalized text)
+    (7, GOOD + "alpha"),
+    # eval row (eval_pred doc_id >= 100)
+    (100, "unique evaluation sentence about rare topic x"),
+    # contaminated: shares a 3-gram with the eval doc
+    (8, GOOD + " unique evaluation sentence appears here"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+CFG = CurateConfig(
+    min_quality=0.3,
+    allowed_langs=["en"],
+    blocked_domains=["bad.com"],
+    eval_predicate="doc_id >= 100",
+)
+
+
+def test_curate_funnel_and_survivors(spark, tmp_path):
+    out = str(tmp_path / "cur")
+    funnel = run_curate(spark, _df(spark), out, CFG)
+    assert funnel["n_input"] == 9
+    assert funnel["n_eval"] == 1
+    assert funnel["dropped_quality"] == 1          # doc 3
+    assert funnel["dropped_lang"] == 1             # doc 4
+    assert funnel["dropped_domain"] == 1           # doc 5
+    assert funnel["dropped_dedup_or_contaminated"] == 2  # doc 7 dup, doc 8 contaminated
+    assert funnel["n_curated"] == 3                # docs 1, 2, 6
+    curated = read_table(spark, f"{out}/curated")
+    assert {r["doc_id"] for r in curated.collect()} == {1, 2, 6}
+    # redaction applied to the surviving text
+    t6 = curated.filter(F.col("doc_id") == 6).first()["text"]
+    assert "<EMAIL>" in t6 and "alice@example.com" not in t6
+    # funnel table written alongside
+    assert read_table(spark, f"{out}/funnel").count() == 1
+
+
+def test_funnel_is_hierarchical(spark):
+    """A doc failing two stages is counted once, at the FIRST stage."""
+    rows = [
+        (1, GOOD),
+        # fails quality AND would fail lang — counts only as quality
+        (2, "??? !!! ***"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    _c, funnel = build_curated(
+        df, CurateConfig(min_quality=0.3, allowed_langs=["en"])
+    )
+    row = funnel.first()
+    assert row["dropped_quality"] == 1
+    assert row["dropped_lang"] == 0
+
+
+def test_minimal_config_passthrough(spark):
+    """Default config: only quality + dedup active; no eval columns."""
+    df = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD)], "doc_id long, text string"
+    )
+    curated, funnel = build_curated(df, CurateConfig())
+    assert [r["doc_id"] for r in curated.collect()] == [1]  # dedup kept min id
+    row = funnel.first()
+    assert row["n_input"] == 2 and row["n_curated"] == 1
+    assert row["dropped_dedup_or_contaminated"] == 1
+    assert curated.columns == ["doc_id", "text"]  # no flag leakage
