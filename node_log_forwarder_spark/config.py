@@ -187,6 +187,24 @@ LIBRARY_RULES: list[ParseRule] = [
         field_types={"cefver": "int"},
     ),
     ParseRule(
+        # AWS classic ELB access log (r4): ts elb client:port backend:port
+        # req_t backend_t resp_t elb_status backend_status recv sent "request"
+        rule_id="aws_elb",
+        priority=134,
+        pattern=(
+            r"^(?P<elbtime>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d+Z) (?P<elb>\S+) "
+            r"(?P<eclient>[\d\.]+):(?P<eclientport>\d+) (?P<ebackend>[\d\.]+):(?P<ebackendport>\d+) "
+            r"(?P<ereqtime>-?[\d\.]+) (?P<ebacktime>-?[\d\.]+) (?P<eresptime>-?[\d\.]+) "
+            r'(?P<estatus>\d{3}) (?P<ebackstatus>\d{3}|-) (?P<erecv>\d+) (?P<esent>\d+) "(?P<ereq>[^"]*)"$'
+        ),
+        field_types={
+            "eclientport": "int", "ebackendport": "int", "estatus": "int",
+            "ebackstatus": "int",  # '-' (no backend response) -> null
+            "erecv": "bigint", "esent": "bigint",
+            "ereqtime": "double", "ebacktime": "double", "eresptime": "double",
+        },
+    ),
+    ParseRule(
         rule_id="logfmt",
         priority=135,
         # logfmt lines: space-separated key=value pairs, values bare or
@@ -196,6 +214,19 @@ LIBRARY_RULES: list[ParseRule] = [
         # defers payload decoding to from_json.
         pattern=r'^(?P<kvline>[A-Za-z_][\w\.]*=(?:"[^"]*"|\S*)(?: [A-Za-z_][\w\.]*=(?:"[^"]*"|\S*))*)$',
         field_types={},
+    ),
+    ParseRule(
+        # Squid native access log (r4): epoch.ms duration client
+        # RESULT/status bytes method url user HIER/peer mime
+        rule_id="squid_access",
+        priority=136,
+        pattern=(
+            r"^(?P<sts>\d+\.\d{3})\s+(?P<sdur>\d+) (?P<sclient>\S+) "
+            r"(?P<sresult>[A-Z_]+)/(?P<sstatus>\d{3}) (?P<sbytes>\d+) "
+            r"(?P<smethod>[A-Z]+) (?P<surl>\S+) (?P<suser>\S+) "
+            r"(?P<shier>[A-Z_]+)/(?P<speer>\S+) (?P<smime>\S+)$"
+        ),
+        field_types={"sdur": "int", "sstatus": "int", "sbytes": "bigint"},
     ),
     ParseRule(
         rule_id="json_line",

@@ -5,6 +5,7 @@ the forwarder's out-of-the-box parser modules."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from node_log_forwarder_spark.config import LIBRARY_RULES
 from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
@@ -206,3 +207,49 @@ def test_logfmt_map_roundtrip_property(spark):
         if got[i] != ("logfmt", cases[i][1])
     ]
     assert not bad, bad[:5]
+
+
+def test_aws_elb_and_squid_rules(spark):
+    from node_log_forwarder_spark.config import LIBRARY_RULES
+    from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
+    from tests.oracle import oracle_parse
+
+    rows = [
+        ('2026-02-03T10:11:12.345678Z my-elb 10.0.0.9:54321 10.1.1.2:8080 '
+         '0.000042 0.001337 0.000021 200 200 123 4567 "GET /p/1 HTTP/1.1"',),
+        # backend status '-' (backend never responded) still parses
+        ('2026-02-03T10:11:12.3Z elb2 1.2.3.4:1 5.6.7.8:80 '
+         '-1 -1 -1 504 - 0 0 "POST /x HTTP/1.1"',),
+        ("1066036146.511    1234 192.168.1.1 TCP_MISS/200 4153 GET "
+         "http://example.com/x - DIRECT/1.2.3.4 text/html",),
+        ("1066036146.511 7 10.0.0.1 TCP_DENIED/403 0 CONNECT "
+         "evil.example:443 bob NONE/- -",),
+        # near-misses stay unmatched
+        ('2026-02-03 10:11:12Z elb 1.2.3.4:1 5.6.7.8:80 0 0 0 200 200 0 0 "G /"',),
+        ("1066036146 1234 c TCP_MISS/200 1 GET u - DIRECT/1 t",),  # no .ms
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    parsed = parse_stage(df, LIBRARY_RULES)
+    got = {r["text"]: (r["rule_id"], dict(r["fields"])) for r in parsed.collect()}
+    assert got[rows[0][0]][0] == "aws_elb"
+    assert got[rows[0][0]][1]["estatus"] == "200"
+    assert got[rows[0][0]][1]["ereq"] == "GET /p/1 HTTP/1.1"
+    assert got[rows[1][0]][0] == "aws_elb"
+    assert got[rows[1][0]][1]["ebackstatus"] == "-"
+    assert got[rows[2][0]][0] == "squid_access"
+    assert got[rows[2][0]][1]["sresult"] == "TCP_MISS"
+    assert got[rows[2][0]][1]["sbytes"] == "4153"
+    assert got[rows[3][0]][0] == "squid_access"
+    assert got[rows[3][0]][1]["speer"] == "-"
+    assert got[rows[4][0]][0] is None
+    assert got[rows[5][0]][0] is None
+    # python oracle parity on every line
+    for (text,) in rows:
+        assert got[text] == oracle_parse(text, LIBRARY_RULES), text
+    # typed coercion: double times, int/bigint counters; '-' -> null
+    t = coerce_fields(parsed, LIBRARY_RULES)
+    r0 = t.filter(F.col("text") == rows[0][0]).first()
+    assert r0["ereqtime"] == 0.000042 and r0["estatus"] == 200
+    assert r0["esent"] == 4567
+    r1 = t.filter(F.col("text") == rows[1][0]).first()
+    assert r1["ereqtime"] == -1.0 and r1["ebackstatus"] is None
