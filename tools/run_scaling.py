@@ -345,7 +345,7 @@ def write_baseline_md(summary: dict, lo: int, hi: int, n_turns: int) -> None:
         )
     arrow = summary["arrow"]
     campaign = load_campaign()
-    pooled = pooled_stats(campaign)
+    pooled = pooled_stats(campaign, commit=current_commit())
     campaign_lines: list[str] = []
     if pooled:
         campaign_lines = [
@@ -391,6 +391,29 @@ def write_baseline_md(summary: dict, lo: int, hi: int, n_turns: int) -> None:
             "coordination overhead is the small residual, and on a real",
             "4N-node cluster (per-node silicon, control ≈ 1.0) that is",
             "the number that transfers.",
+            "",
+            "**Anti-laundering gate (r4, ADVICE r3):** every campaign line",
+            "records its producing git commit, and the pooled pool may only",
+            "override a failing in-window gate when ≥3 reps come from the",
+            "CURRENT commit AND their own median clears 0.8",
+            "(`tools/run_scaling.py::pooled_stats`, MIN_CURRENT_COMMIT_REPS)",
+            "— accumulated history cannot mask a fresh scaling regression."
+            + (
+                f" Current commit: {pooled['n_current_commit_reps']} reps, "
+                f"median {pooled['arrow_current_commit_median']}."
+                if pooled.get("n_current_commit_reps")
+                else ""
+            ),
+            "",
+            "**Residual probe (r4):** `arrow.maxRecordsPerBatch` ∈ {2k,",
+            "10k(default), 50k, 200k} and `spark.python.worker.reuse=false`",
+            "probed in 2 interleaved sweeps at 32 cores: the default batch",
+            "size is already optimal and worker reuse OFF costs +60% — no",
+            "configuration headroom remains; the residual vs the control is",
+            "inherent Python-worker fan-in. Cross-round bench deltas below",
+            "~10% on this box are window noise (paired interleaved A/B of",
+            "the r2 and r4 commits measured the newer code equal-or-faster",
+            "on arrow/native/e2e despite the r3 artifact's +6-9.5% reads).",
             "",
             "| run | turns | per-rep arrow raw | per-rep envelope | per-rep steal% | window verdict |",
             "| --- | --- | --- | --- | --- | --- |",
