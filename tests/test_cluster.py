@@ -68,3 +68,49 @@ def test_components_from_lsh_pairs(spark):
     cc = dict(connected_components(pairs).collect())
     # the 4 identical docs form one component rooted at doc 0
     assert all(cc[i] == 0 for i in range(4))
+
+
+def test_components_property_vs_union_find(spark):
+    """Property check: deterministic pseudo-random edge sets vs a
+    pure-Python union-find reference."""
+
+    def uf_components(edges, n):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-id label per component
+        label = {}
+        for v in range(n):
+            r = find(v)
+            label.setdefault(r, min(x for x in range(n) if find(x) == r))
+        return {v: label[find(v)] for v in range(n)}
+
+    import hashlib
+
+    for seed in (1, 7, 42):
+        n = 24
+        # ~n deterministic edges from a seeded hash stream
+        edges = []
+        for i in range(n):
+            h = int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest(), 16)
+            a, b = h % n, (h // n) % n
+            if a != b:
+                edges.append((min(a, b), max(a, b)))
+        pairs = _pairs(spark, sorted(set(edges)))
+        got = dict(connected_components(pairs).collect())
+        want_all = uf_components(edges, n)
+        # restrict reference to vertices that appear in an edge
+        verts = {v for e in edges for v in e}
+        want = {v: want_all[v] for v in verts}
+        # union-find labels must be recomputed over edge-connected
+        # vertices only (isolated ids keep their own label in both)
+        assert got == {v: want[v] for v in verts}, (seed, got, want)
