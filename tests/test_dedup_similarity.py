@@ -362,3 +362,39 @@ def test_ivf_ann_recall_and_determinism(spark):
     # probing all clusters degenerates to the exact result
     full = [r["vec_id"] for r in ivf_topk(emb, q, cents, k=10, nprobe=8).collect()]
     assert full == exact
+
+
+def test_quantized_ivf_assignment_and_recall(spark):
+    """IVF served from the int8 store: dequantized-expression
+    assignment matches assigning on a materialized dequantized column,
+    and the pruned probe recovers >=9/10 of the float exact top-10."""
+    from node_log_forwarder_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_embedding,
+        ivf_assign,
+        ivf_assign_quantized,
+        ivf_centroids,
+        ivf_topk_quantized,
+        quantize_table,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qt = quantize_table(emb)
+    deq = qt.select(
+        "vec_id",
+        dequantize_embedding(F.col("qvec"), F.col("qscale")).alias("embedding"),
+    )
+    cents = ivf_centroids(deq, k=4, iters=1)
+    # 1. expression-path assignment == materialized-column assignment
+    a_expr = {r["vec_id"]: r["ivf_cluster"]
+              for r in ivf_assign_quantized(qt, cents).collect()}
+    a_col = {r["vec_id"]: r["ivf_cluster"]
+             for r in ivf_assign(deq, cents).collect()}
+    assert a_expr == a_col
+    # 2. recall vs the float exact top-10 at nprobe=half
+    exact = {r[0] for r in cosine_topk(emb, emb.filter(F.col("vec_id") == 0),
+                                       k=10).select("vec_id").collect()}
+    got = {r[0] for r in ivf_topk_quantized(
+        qt, qt.filter(F.col("vec_id") == 0), cents, k=10, nprobe=2
+    ).select("vec_id").collect()}
+    assert len(exact & got) >= 9
