@@ -66,8 +66,24 @@ def write_bucketed(
     if ICEBERG:
         from pyspark.sql import functions as F
 
+        # Contract honesty (review r4): every bucket column gets its
+        # own bucket() transform (joint co-location on the full key),
+        # and options parquet mode honors but Iceberg cannot express
+        # here raise instead of silently diverging — sort order is an
+        # Iceberg table property (write.sort-order), not a writeTo
+        # argument, and the table location is catalog-managed.
+        if sort_cols:
+            raise ValueError(
+                "Iceberg mode: set the table's write.sort-order property "
+                "instead of sort_cols (writeTo has no sortedBy)"
+            )
+        if path:
+            raise ValueError(
+                "Iceberg mode: table location is catalog-managed; "
+                "path is a parquet-mode option"
+            )
         writer = df.writeTo(name).partitionedBy(
-            F.bucket(n_buckets, bucket_cols[0])
+            *[F.bucket(n_buckets, c) for c in bucket_cols]
         )
         writer.createOrReplace() if mode == "overwrite" else writer.append()
         return

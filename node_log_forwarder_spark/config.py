@@ -191,14 +191,20 @@ LIBRARY_RULES: list[ParseRule] = [
         # req_t backend_t resp_t elb_status backend_status recv sent "request"
         rule_id="aws_elb",
         priority=134,
+        # backend may be a single '-' (ELB couldn't route — the
+        # documented 503 shape) and status codes are '-' on TCP
+        # listeners; both stay matchable, with the int coercions
+        # nulling the dashes (review r4)
         pattern=(
             r"^(?P<elbtime>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d+Z) (?P<elb>\S+) "
-            r"(?P<eclient>[\d\.]+):(?P<eclientport>\d+) (?P<ebackend>[\d\.]+):(?P<ebackendport>\d+) "
+            r"(?P<eclient>[\d\.]+):(?P<eclientport>\d+) "
+            r"(?:(?P<ebackend>[\d\.]+):(?P<ebackendport>\d+)|-) "
             r"(?P<ereqtime>-?[\d\.]+) (?P<ebacktime>-?[\d\.]+) (?P<eresptime>-?[\d\.]+) "
-            r'(?P<estatus>\d{3}) (?P<ebackstatus>\d{3}|-) (?P<erecv>\d+) (?P<esent>\d+) "(?P<ereq>[^"]*)"$'
+            r'(?P<estatus>\d{3}|-) (?P<ebackstatus>\d{3}|-) (?P<erecv>\d+) (?P<esent>\d+) "(?P<ereq>[^"]*)"$'
         ),
         field_types={
-            "eclientport": "int", "ebackendport": "int", "estatus": "int",
+            "eclientport": "int", "ebackendport": "int",
+            "estatus": "int",      # '-' (TCP listener) -> null
             "ebackstatus": "int",  # '-' (no backend response) -> null
             "erecv": "bigint", "esent": "bigint",
             "ereqtime": "double", "ebacktime": "double", "eresptime": "double",

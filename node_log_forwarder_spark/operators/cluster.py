@@ -59,6 +59,7 @@ def connected_components(
     # at cluster scale use reliable checkpointing or a table per round.
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_rounds):
         # propagate: each vertex learns the min label among its
         # neighbors' labels and its own
@@ -85,8 +86,20 @@ def connected_components(
         ).localCheckpoint(eager=True)
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # With pointer jumping, max_rounds rounds cover components of
+        # diameter ~2^max_rounds — exhausting them means labels are
+        # WRONG (one true component split across ids), and a dedup pass
+        # built on them would keep multiple "representatives" per
+        # cluster. Fail loudly rather than return bad labels.
+        raise ValueError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds — raise max_rounds (each round doubles the "
+            "reachable diameter)"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -98,15 +111,24 @@ def dedup_clusters(
     """Full-corpus cluster assignment: every doc gets a component
     (singletons are their own), plus ``is_representative`` (the min-id
     member — the row a dedup pass keeps)."""
+    from pyspark.sql import Window
+
     cc = connected_components(pairs).withColumnRenamed("id", id_col)
-    return (
+    assigned = (
         df.select(id_col)
         .join(cc, id_col, "left")
         .select(
             id_col,
-            F.coalesce("component", F.col(id_col)).alias("component"),
-        )
-        .withColumn(
-            "is_representative", F.col(id_col) == F.col("component")
+            F.coalesce("component", F.col(id_col)).alias("_raw_component"),
         )
     )
+    # Re-canonicalize the component label to the min id PRESENT in df
+    # (review r4): pairs may reference ids absent from df (stale index,
+    # deleted docs) — without this, a cluster whose min reachable id is
+    # missing would have ZERO is_representative rows and a
+    # keep-representatives pass would delete the whole cluster.
+    w = Window.partitionBy("_raw_component")
+    return assigned.select(
+        id_col,
+        F.min(id_col).over(w).alias("component"),
+    ).withColumn("is_representative", F.col(id_col) == F.col("component"))

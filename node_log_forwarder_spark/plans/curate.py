@@ -6,8 +6,13 @@ ships, in the canonical order (cheap row-local filters first, the
 dedup shuffle last, so each stage sees only the previous stage's
 survivors):
 
-    quality → language allowlist → URL blocklist → PII redaction
-    → exact dedup → (optional) train/eval decontamination → write
+    quality → language allowlist → URL blocklist → exact dedup
+    → (optional) train/eval decontamination → PII redaction → write
+
+(redaction is deliberately LAST: dedup fingerprints and
+decontamination grams must see the raw text — redacting first turned
+PII-bearing overlaps into placeholders that no longer matched the
+eval set's grams)
 
 Scale shape:
 
@@ -59,32 +64,55 @@ class CurateConfig:
 
 
 def _flags(cfg: CurateConfig) -> dict[str, F.Column]:
+    # Every flag is coalesced to a real boolean: a NULL verdict (e.g.
+    # quality_score of NULL text) must count as a DROP at its own
+    # stage, not vanish from both the output and the funnel (review
+    # r4: NULL & ~NULL sums as 0, silently breaking the funnel sum).
     text = F.col(cfg.text_col)
-    flags = {"keep_quality": quality_score(text) >= F.lit(cfg.min_quality)}
+    flags = {
+        "keep_quality": F.coalesce(
+            quality_score(text) >= F.lit(cfg.min_quality), F.lit(False)
+        )
+    }
     if cfg.allowed_langs is not None:
-        flags["keep_lang"] = lang_guess(text).isin(cfg.allowed_langs)
+        flags["keep_lang"] = F.coalesce(
+            lang_guess(text).isin(cfg.allowed_langs), F.lit(False)
+        )
     if cfg.blocked_domains:
         blocked = F.array(*[F.lit(d.lower()) for d in cfg.blocked_domains])
         doms = F.transform(extract_hosts(text), lambda h: registrable_domain(h))
-        flags["keep_domain"] = ~F.exists(
-            doms, lambda d: F.array_contains(blocked, d)
+        flags["keep_domain"] = F.coalesce(
+            ~F.exists(doms, lambda d: F.array_contains(blocked, d)),
+            F.lit(False),
         )
     return flags
 
 
 def build_curated(
-    df: DataFrame, cfg: CurateConfig | None = None
+    df: DataFrame,
+    cfg: CurateConfig | None = None,
+    n_curated_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(curated frame, funnel frame). The funnel is one row with exact
     hierarchical counts: n_input, dropped per stage (in order), and
-    n_curated. Lazy — nothing runs until an action."""
+    n_curated. Lazy — nothing runs until an action.
+
+    ``n_curated_df`` (1-row frame with an ``n_curated`` column) lets a
+    caller that has already MATERIALIZED the curated frame (e.g.
+    ``run_curate`` after its write) supply the count from the written
+    table, so evaluating the funnel re-executes only its own one-scan
+    flag aggregate — never the dedup/decontamination chain."""
     cfg = cfg or CurateConfig()
     flags = _flags(cfg)
     flag_cols = list(flags)
     flagged = df.select("*", *[v.alias(k) for k, v in flags.items()])
 
     if cfg.eval_predicate:
-        flagged = flagged.withColumn("_is_eval", F.expr(cfg.eval_predicate))
+        # NULL predicate verdicts count as not-eval (coalesce keeps the
+        # funnel arithmetic exact — see _flags)
+        flagged = flagged.withColumn(
+            "_is_eval", F.coalesce(F.expr(cfg.eval_predicate), F.lit(False))
+        )
     else:
         flagged = flagged.withColumn("_is_eval", F.lit(False))
 
@@ -105,10 +133,6 @@ def build_curated(
         kept = kept.filter(F.col(k))
     kept = kept.drop(*flag_cols, "_is_eval")
 
-    if cfg.redact:
-        kept = kept.withColumn(cfg.text_col, redact_pii(F.col(cfg.text_col)))
-
-    pre_dedup = kept
     if cfg.dedup:
         kept = exact_dedup(kept, text_col=cfg.text_col, id_col=cfg.id_col).drop("fp")
 
@@ -122,19 +146,33 @@ def build_curated(
             n=cfg.decontaminate_ngram,
         )
 
+    # Redaction runs LAST (review r4): decontamination must compare RAW
+    # training grams against RAW eval grams — redacting first rewrote
+    # PII-bearing overlaps to placeholders and let contaminated docs
+    # through. Dedup likewise fingerprints the raw text (two docs that
+    # differ only inside a redacted span are NOT duplicates).
+    if cfg.redact:
+        kept = kept.withColumn(cfg.text_col, redact_pii(F.col(cfg.text_col)))
+
     # funnel: the flag sums come from one aggregate over the flagged
-    # frame; dedup/decontamination drops fall out of count differences
-    funnel_flags = flagged.agg(n_input, n_eval, *drops)
-    counts = kept.agg(F.count(F.lit(1)).alias("n_curated")).crossJoin(
-        pre_dedup.agg(F.count(F.lit(1)).alias("_n_pre_dedup"))
-    )
-    funnel = funnel_flags.crossJoin(counts)
+    # frame; the pre-dedup survivor count is ARITHMETIC over that same
+    # row (n_input - n_eval - sum(drops) — exact because the funnel is
+    # hierarchical), so the dedup/decontamination drop needs only
+    # n_curated, not a second execution of the filter chain.
+    funnel = flagged.agg(n_input, n_eval, *drops)
+    dropped_cols = [f"dropped_{k[5:]}" for k in flag_cols]
+    pre_dedup_expr = F.col("n_input") - F.col("n_eval")
+    for c in dropped_cols:
+        pre_dedup_expr = pre_dedup_expr - F.col(c)
+    if n_curated_df is None:
+        n_curated_df = kept.agg(F.count(F.lit(1)).alias("n_curated"))
+    funnel = funnel.crossJoin(n_curated_df)
     if cfg.dedup or cfg.eval_predicate:
         funnel = funnel.withColumn(
             "dropped_dedup_or_contaminated",
-            F.col("_n_pre_dedup") - F.col("n_curated"),
+            pre_dedup_expr - F.col("n_curated"),
         )
-    return kept, funnel.drop("_n_pre_dedup")
+    return kept, funnel
 
 
 def run_curate(
@@ -144,9 +182,19 @@ def run_curate(
     cfg: CurateConfig | None = None,
 ) -> dict:
     """Write the curated corpus + funnel audit table; return the funnel
-    as a dict."""
-    curated, funnel = build_curated(df, cfg)
+    as a dict (read back from the written table — no re-execution of
+    the curation DAG beyond the funnel's own single aggregate)."""
+    from node_log_forwarder_spark.catalog import read_table
+
+    curated, _ = build_curated(df, cfg)
     write_table(curated, f"{out_dir}/curated", mode="overwrite")
+    # n_curated from the WRITTEN table (cheap parquet count) → the
+    # funnel write below executes one flag-aggregate scan, not a second
+    # run of the dedup/decontamination chain
+    n_cur = read_table(spark, f"{out_dir}/curated").agg(
+        F.count(F.lit(1)).alias("n_curated")
+    )
+    _, funnel = build_curated(df, cfg, n_curated_df=n_cur)
     write_table(funnel, f"{out_dir}/funnel", mode="overwrite")
-    row = funnel.first()
-    return {k: row[k] for k in funnel.columns}
+    row = read_table(spark, f"{out_dir}/funnel").first()
+    return {k: row[k] for k in row.asDict()}

@@ -190,10 +190,9 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
 
     Every expression here has an exact ANSI-SQL twin (see
     __spark_entry__.oracle_sql) so the full pipeline is DuckDB-checkable.
-    ``k`` (the integer inside the JSON-ish ``props``) seeds the
-    deterministic text variation.
+    The text variation (seeded by the integer inside ``props``) lives in
+    ``transcript_text_expr``.
     """
-    k = F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("int")
     role = (
         F.when(F.col("event_type") == "purchase", "assistant")
         .when(F.col("event_type") == "error", "tool")

@@ -114,3 +114,37 @@ def test_components_property_vs_union_find(spark):
         # union-find labels must be recomputed over edge-connected
         # vertices only (isolated ids keep their own label in both)
         assert got == {v: want[v] for v in verts}, (seed, got, want)
+
+
+def test_nonconvergence_raises(spark):
+    """Exhausting max_rounds must fail loudly, not return split labels."""
+    import pytest
+
+    pairs = _pairs(spark, [(i, i + 1) for i in range(40)])  # diameter 40
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(pairs, max_rounds=2)
+
+
+def test_dedup_clusters_stale_pair_ids(spark):
+    """Pairs referencing ids absent from df (stale index) must not
+    leave a cluster without a representative."""
+    docs = spark.range(8).select(F.col("id").alias("doc_id"))
+    # 99 is not in docs; raw component of {5, 99} would be 5? no: min
+    # reachable is 5 only if 5 < 99 — use (5, 99) AND (2, 99) so the
+    # raw min (2) is present, plus (6, 90), (7, 90) where 90 is absent
+    # and raw min over present ids must be recomputed to 6
+    pairs = _pairs(spark, [(2, 99), (5, 99), (6, 90), (7, 90)])
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    # cluster {2, 5} (linked through absent 99): rep = 2
+    assert rows[2]["component"] == 2 and rows[2]["is_representative"]
+    assert rows[5]["component"] == 2 and not rows[5]["is_representative"]
+    # cluster {6, 7} (linked through absent 90): its raw label is 6
+    # only after re-canonicalization over present ids
+    assert rows[6]["component"] == 6 and rows[6]["is_representative"]
+    assert rows[7]["component"] == 6 and not rows[7]["is_representative"]
+    # every cluster has exactly one representative
+    comps = {}
+    for r in rows.values():
+        comps.setdefault(r["component"], 0)
+        comps[r["component"]] += int(r["is_representative"])
+    assert all(v == 1 for v in comps.values())

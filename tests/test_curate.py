@@ -93,3 +93,32 @@ def test_minimal_config_passthrough(spark):
     assert row["n_input"] == 2 and row["n_curated"] == 1
     assert row["dropped_dedup_or_contaminated"] == 1
     assert curated.columns == ["doc_id", "text"]  # no flag leakage
+
+
+def test_decontamination_sees_raw_text_and_null_text_counted(spark):
+    """Review r4 fixes: (1) a contaminated doc whose shared n-gram
+    contains PII is still caught (redaction runs AFTER decontamination);
+    (2) NULL text counts as a quality drop in the funnel instead of
+    vanishing from every counter."""
+    rows = [
+        (1, GOOD),
+        # shares 'contact alice@example.com for' with the eval doc —
+        # under redact-first this became 'contact <EMAIL> for' on the
+        # training side only and slipped through
+        (2, GOOD + " contact alice@example.com for results"),
+        (3, None),
+        (100, "please contact alice@example.com for results today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurateConfig(min_quality=0.3, eval_predicate="doc_id >= 100")
+    curated, funnel = build_curated(df, cfg)
+    assert {r["doc_id"] for r in curated.collect()} == {1}
+    row = funnel.first()
+    assert row["n_input"] == 4 and row["n_eval"] == 1
+    assert row["dropped_quality"] == 1          # the NULL-text doc
+    assert row["dropped_dedup_or_contaminated"] == 1  # doc 2
+    assert row["n_curated"] == 1
+    # exact funnel identity
+    assert (row["n_eval"] + row["dropped_quality"]
+            + row["dropped_dedup_or_contaminated"] + row["n_curated"]
+            ) == row["n_input"]

@@ -220,6 +220,13 @@ def test_aws_elb_and_squid_rules(spark):
         # backend status '-' (backend never responded) still parses
         ('2026-02-03T10:11:12.3Z elb2 1.2.3.4:1 5.6.7.8:80 '
          '-1 -1 -1 504 - 0 0 "POST /x HTTP/1.1"',),
+        # the documented "couldn't route to backend" 503 shape: the
+        # whole backend:port field is a single '-' (review r4)
+        ('2026-02-03T23:39:43.945958Z my-lb 192.168.131.39:2817 - '
+         '-1 -1 -1 503 - 0 0 "GET / HTTP/1.1"',),
+        # TCP listener: status codes are '-'
+        ('2026-02-03T10:11:12.3Z tcp-lb 1.2.3.4:9 5.6.7.8:80 '
+         '0.001 0.002 0.003 - - 82 305 "- - - "',),
         ("1066036146.511    1234 192.168.1.1 TCP_MISS/200 4153 GET "
          "http://example.com/x - DIRECT/1.2.3.4 text/html",),
         ("1066036146.511 7 10.0.0.1 TCP_DENIED/403 0 CONNECT "
@@ -236,13 +243,15 @@ def test_aws_elb_and_squid_rules(spark):
     assert got[rows[0][0]][1]["ereq"] == "GET /p/1 HTTP/1.1"
     assert got[rows[1][0]][0] == "aws_elb"
     assert got[rows[1][0]][1]["ebackstatus"] == "-"
-    assert got[rows[2][0]][0] == "squid_access"
-    assert got[rows[2][0]][1]["sresult"] == "TCP_MISS"
-    assert got[rows[2][0]][1]["sbytes"] == "4153"
-    assert got[rows[3][0]][0] == "squid_access"
-    assert got[rows[3][0]][1]["speer"] == "-"
-    assert got[rows[4][0]][0] is None
-    assert got[rows[5][0]][0] is None
+    assert got[rows[2][0]][0] == "aws_elb"  # no-backend 503 shape
+    assert got[rows[3][0]][0] == "aws_elb"  # TCP listener dashes
+    assert got[rows[4][0]][0] == "squid_access"
+    assert got[rows[4][0]][1]["sresult"] == "TCP_MISS"
+    assert got[rows[4][0]][1]["sbytes"] == "4153"
+    assert got[rows[5][0]][0] == "squid_access"
+    assert got[rows[5][0]][1]["speer"] == "-"
+    assert got[rows[6][0]][0] is None
+    assert got[rows[7][0]][0] is None
     # python oracle parity on every line
     for (text,) in rows:
         assert got[text] == oracle_parse(text, LIBRARY_RULES), text
@@ -253,3 +262,7 @@ def test_aws_elb_and_squid_rules(spark):
     assert r0["esent"] == 4567
     r1 = t.filter(F.col("text") == rows[1][0]).first()
     assert r1["ereqtime"] == -1.0 and r1["ebackstatus"] is None
+    r2 = t.filter(F.col("text") == rows[2][0]).first()
+    assert r2["ebackendport"] is None and r2["estatus"] == 503
+    r3 = t.filter(F.col("text") == rows[3][0]).first()
+    assert r3["estatus"] is None and r3["erecv"] == 82
