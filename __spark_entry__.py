@@ -587,12 +587,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- text: language-ID heuristic -------------------------------------------
     def q_lang_id(spark, sf):
+        # + end-to-end curation-funnel audit (r4: drives
+        # plans/curate.build_curated — the full quality → lang-allowlist
+        # → exact-dedup → decontamination composition — through the
+        # driver oracle gate within the 50-key cap). The funnel's exact
+        # hierarchical counts are unpivoted into ('_curate_funnel',
+        # stage, n) section rows beside the per-(lang, guess) counts;
+        # the DuckDB twin replays the whole chain stage by stage.
+        from node_log_forwarder_spark.plans.curate import (
+            CurateConfig,
+            build_curated,
+        )
+
         docs = _t(spark, sf, "documents")
-        return (
+        base = (
             docs.select(F.col("lang"), lang_guess(F.col("text")).alias("lang_guess"))
             .groupBy("lang", "lang_guess")
             .agg(F.count(F.lit(1)).alias("n"))
         )
+        cfg = CurateConfig(
+            min_quality=0.45,
+            allowed_langs=["en"],
+            eval_predicate="doc_id % 97 = 0",
+        )
+        _kept, funnel = build_curated(docs, cfg)
+        stages = [
+            "n_input", "n_eval", "dropped_quality", "dropped_lang",
+            "n_curated", "dropped_dedup_or_contaminated",
+        ]
+        sections = funnel.selectExpr(
+            f"stack({len(stages)}, "
+            + ", ".join(f"'{s}', {s}" for s in stages)
+            + ") as (lang_guess, n)"
+        ).select(F.lit("_curate_funnel").alias("lang"), "lang_guess", "n")
+        return base.unionByName(sections)
     q["lang_id"] = q_lang_id
 
     # --- text: document fingerprinting ------------------------------------------
@@ -657,10 +685,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cosine_topk(emb, query, k=10)
     q["cosine_topk"] = q_cosine_topk
 
-    # --- similarity: embedding-cosine near-dup pairs ------------------------------------
+    # --- similarity: embedding-cosine near-dup pairs + connected-components
+    #     audit (r4: drives operators/cluster.connected_components through
+    #     the driver oracle gate within the 50-key cap). Each pair carries
+    #     its component label (min id reachable through the WHOLE pair
+    #     graph — transitive merging is what's being checked, not
+    #     least(id_a, id_b)) and the component's vertex count; the DuckDB
+    #     twin recomputes both with a recursive min-label CTE. ---------------
     def q_cosine_near_dup(spark, sf):
+        from node_log_forwarder_spark.operators.cluster import (
+            connected_components,
+        )
+
         emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
-        return cosine_near_dup_pairs(emb, threshold=0.35)
+        pairs = cosine_near_dup_pairs(emb, threshold=0.35)
+        cc = connected_components(pairs)
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).alias("comp_size")
+        )
+        # comp(id_a) == comp(id_b) by the CC invariant, so joining on one
+        # endpoint labels the pair
+        return (
+            pairs.join(cc.withColumnRenamed("id", "id_a"), "id_a")
+            .join(sizes, "component")
+            .select("id_a", "id_b", "sim", "component", "comp_size")
+        )
     q["cosine_near_dup"] = q_cosine_near_dup
 
     # same pairs via banded SRP-LSH blocking (scale path). Invariant oracle
@@ -970,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup_blocked", "ann_lsh", "approx_distinct",
         "sink_text_sha", "conversation_stats", "minhash_pairs",
         "conv_minhash_pairs", "token_count", "part_supplier_stats",
+        # r4 continuation reworks: CC audit + curation-funnel audit
+        "cosine_near_dup", "lang_id",
     ]
     q = {k: q[k] for k in _front} | {k: v for k, v in q.items() if k not in _front}
     assert len(q) == 50, f"query registry must hold exactly 50 keys, got {len(q)}"
@@ -1396,14 +1447,64 @@ def oracle_sql() -> dict[str, str]:
     guess_cases = " ".join(
         f"WHEN {lang}_hits = best THEN '{lang}'" for lang in sorted(LANG_STOPWORDS)
     )
+    # + curation-funnel twin (r4): replays plans/curate.build_curated —
+    # quality_score >= 0.45 (digit-exact formula from functions/text.py),
+    # lang_guess allowlist ['en'], eval split doc_id % 97 = 0, exact
+    # dedup (min doc_id per fingerprint among survivors), then 3-gram
+    # decontamination against the RAW eval rows — stage order and
+    # hierarchical attribution identical to the Spark plan.
     sql["lang_id"] = f"""
-        WITH d AS (SELECT lang, {_TOKENS} AS toks FROM documents),
-        h AS (SELECT lang, {', '.join(lang_hits)} FROM d),
+        WITH d AS (SELECT doc_id, lang, text, {_TOKENS} AS toks FROM documents),
+        h AS (SELECT doc_id, lang, text, toks, {', '.join(lang_hits)} FROM d),
         g AS (SELECT *, {best} AS best FROM h),
-        r AS (SELECT lang,
+        r AS (SELECT doc_id, lang, text, toks,
                 CASE WHEN best = 0 THEN 'und' {guess_cases} ELSE 'und' END AS lang_guess
-              FROM g)
-        SELECT lang, lang_guess, count(*) AS n FROM r GROUP BY 1, 2
+              FROM g),
+        base AS (SELECT lang, lang_guess, count(*) AS n FROM r GROUP BY 1, 2),
+        f AS (
+          SELECT doc_id, text, lang_guess,
+                 (doc_id % 97 = 0) AS is_eval,
+                 round(0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                     + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                                    / greatest(CAST(length(text) AS DOUBLE), 1.0))
+                     + 0.3 * (CAST(len(list_filter(toks,
+                                t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+                              / greatest(CAST(len(toks) AS DOUBLE), 1.0)),
+                   4) >= 0.45 AS keep_q
+          FROM r),
+        surv AS (SELECT doc_id, text FROM f
+                 WHERE NOT is_eval AND keep_q AND lang_guess = 'en'),
+        dd AS (SELECT doc_id, text FROM surv
+               WHERE doc_id IN (SELECT min(doc_id) FROM surv GROUP BY {_FP})),
+        ev AS (SELECT {_TOKENS} AS w FROM documents WHERE doc_id % 97 = 0),
+        eg AS (SELECT DISTINCT unnest({_NGRAM3}) AS gram FROM ev),
+        ddw AS (SELECT doc_id, {_TOKENS} AS w FROM dd),
+        ddg AS (SELECT DISTINCT doc_id, unnest({_NGRAM3}) AS gram FROM ddw),
+        cont AS (SELECT DISTINCT ddg.doc_id FROM ddg JOIN eg USING (gram)),
+        counts AS (
+          SELECT count(*) AS n_input,
+                 CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+                 CAST(sum(CASE WHEN NOT is_eval AND NOT keep_q THEN 1 ELSE 0 END) AS BIGINT) AS dropped_quality,
+                 CAST(sum(CASE WHEN NOT is_eval AND keep_q AND lang_guess <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lang
+          FROM f),
+        ncur AS (SELECT CAST(count(*) AS BIGINT) AS n_curated FROM dd
+                 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        nsurv AS (SELECT CAST(count(*) AS BIGINT) AS n_surv FROM surv),
+        funnel AS (
+          SELECT '_curate_funnel' AS lang, s.stage AS lang_guess,
+                 CASE s.stage
+                   WHEN 'n_input' THEN n_input
+                   WHEN 'n_eval' THEN n_eval
+                   WHEN 'dropped_quality' THEN dropped_quality
+                   WHEN 'dropped_lang' THEN dropped_lang
+                   WHEN 'n_curated' THEN n_curated
+                   WHEN 'dropped_dedup_or_contaminated' THEN n_surv - n_curated
+                 END AS n
+          FROM counts, ncur, nsurv,
+               (SELECT unnest(['n_input','n_eval','dropped_quality',
+                               'dropped_lang','n_curated',
+                               'dropped_dedup_or_contaminated']) AS stage) s)
+        SELECT * FROM base UNION ALL SELECT * FROM funnel
     """
 
     from node_log_forwarder_spark.functions.redact import (
@@ -1653,13 +1754,31 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY token ORDER BY n DESC, token LIMIT 20
     """
 
+    # near-dup pairs + connected-components audit: recursive min-label
+    # propagation (reach = every vertex reachable from id; component =
+    # min of reach) — the SQL fixpoint twin of operators/cluster.py's
+    # iterative pointer-jumping loop. UNION (not UNION ALL) dedups the
+    # frontier so the recursion terminates.
     sql["cosine_near_dup"] = """
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                   FROM embeddings WHERE vec_id < 200)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.emb, b.emb) > 0.35
+        WITH RECURSIVE e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings WHERE vec_id < 200),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) > 0.35),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT s AS id, s AS r FROM edges
+            UNION
+            SELECT g.s, reach.r FROM edges g JOIN reach ON g.d = reach.id),
+        cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        sizes AS (SELECT component, count(*) AS comp_size
+                  FROM cc GROUP BY component)
+        SELECT p.id_a, p.id_b, p.sim, c.component, s.comp_size
+        FROM pairs p JOIN cc c ON p.id_a = c.id JOIN sizes s USING (component)
     """
 
     sql["salted_agg"] = """

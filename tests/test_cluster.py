@@ -148,3 +148,26 @@ def test_dedup_clusters_stale_pair_ids(spark):
         comps.setdefault(r["component"], 0)
         comps[r["component"]] += int(r["is_representative"])
     assert all(v == 1 for v in comps.values())
+
+
+def test_driver_key_component_labels_consistent(spark):
+    """The cosine_near_dup driver key labels each pair with its
+    component; both endpoints of any pair must share a label, and
+    comp_size must equal the number of distinct vertices under it."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["cosine_near_dup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    comp_of = {}
+    members = {}
+    for r in rows:
+        for v in (r["id_a"], r["id_b"]):
+            assert comp_of.setdefault(v, r["component"]) == r["component"]
+            members.setdefault(r["component"], set()).add(v)
+        assert r["component"] <= min(r["id_a"], r["id_b"])
+    for r in rows:
+        assert r["comp_size"] == len(members[r["component"]])
+    # the graph must contain at least one transitively-merged component
+    # (>2 vertices) or the CC gate degenerates to least(id_a, id_b)
+    assert any(len(m) > 2 for m in members.values())

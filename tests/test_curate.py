@@ -122,3 +122,28 @@ def test_decontamination_sees_raw_text_and_null_text_counted(spark):
     assert (row["n_eval"] + row["dropped_quality"]
             + row["dropped_dedup_or_contaminated"] + row["n_curated"]
             ) == row["n_input"]
+
+
+def test_driver_key_funnel_section_arithmetic(spark):
+    """The lang_id driver key's '_curate_funnel' section rows must
+    satisfy the exact hierarchical identity on the real sf0.001 table:
+    n_input = n_eval + dropped_quality + dropped_lang + n_curated
+            + dropped_dedup_or_contaminated."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["lang_id"](spark, "/root/testdata/sf0.001")
+    sec = {
+        r["lang_guess"]: r["n"]
+        for r in df.filter(F.col("lang") == "_curate_funnel").collect()
+    }
+    assert set(sec) == {
+        "n_input", "n_eval", "dropped_quality", "dropped_lang",
+        "n_curated", "dropped_dedup_or_contaminated",
+    }
+    assert sec["n_input"] == (
+        sec["n_eval"] + sec["dropped_quality"] + sec["dropped_lang"]
+        + sec["n_curated"] + sec["dropped_dedup_or_contaminated"]
+    )
+    # every stage fires on the synthetic corpus (a vacuous funnel would
+    # silently weaken the driver gate)
+    assert all(v > 0 for v in sec.values())
