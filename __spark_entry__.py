@@ -698,7 +698,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
-        pairs = cosine_near_dup_pairs(emb, threshold=0.35)
+        # materialize the O(n²) cosine self-join ONCE (review r4 late):
+        # connected_components' per-round joins would otherwise re-run
+        # it ~2x per propagation round through the edges lineage
+        pairs = cosine_near_dup_pairs(emb, threshold=0.35).localCheckpoint(
+            eager=True
+        )
         cc = connected_components(pairs)
         sizes = cc.groupBy("component").agg(
             F.count(F.lit(1)).alias("comp_size")
@@ -1462,15 +1467,23 @@ def oracle_sql() -> dict[str, str]:
               FROM g),
         base AS (SELECT lang, lang_guess, count(*) AS n FROM r GROUP BY 1, 2),
         f AS (
+          -- keep_q replicates Spark digit-exactly (review r4 late):
+          -- Spark's round() is BigDecimal(shortest-double-repr) HALF_UP,
+          -- which DuckDB's round() on DOUBLE can miss at .xxxx5
+          -- boundaries; CAST(double AS VARCHAR) -> DECIMAL(18,4) does
+          -- the same shortest-repr decimal half-up rounding for the
+          -- positive scores here. coalesce(FALSE) makes a NULL-text
+          -- verdict a quality DROP, matching plans/curate._flags.
           SELECT doc_id, text, lang_guess,
                  (doc_id % 97 = 0) AS is_eval,
-                 round(0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                 coalesce(CAST(CAST(
+                   0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
                      + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                                     / greatest(CAST(length(text) AS DOUBLE), 1.0))
                      + 0.3 * (CAST(len(list_filter(toks,
                                 t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
-                              / greatest(CAST(len(toks) AS DOUBLE), 1.0)),
-                   4) >= 0.45 AS keep_q
+                              / greatest(CAST(len(toks) AS DOUBLE), 1.0))
+                   AS VARCHAR) AS DECIMAL(18,4)) >= 0.45, FALSE) AS keep_q
           FROM r),
         surv AS (SELECT doc_id, text FROM f
                  WHERE NOT is_eval AND keep_q AND lang_guess = 'en'),

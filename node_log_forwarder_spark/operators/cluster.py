@@ -44,6 +44,12 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # truncate the edge lineage: every propagation round joins
+        # edges, and without this the caller's pair-generation plan
+        # (e.g. an O(n²) cosine self-join) re-executes per round
+        # (review r4 late). At cluster scale use a reliable checkpoint
+        # or a written table, as with the label frame below.
+        .localCheckpoint(eager=True)
     )
     # initial label: min neighbor (including self)
     labels = edges.groupBy("src").agg(
