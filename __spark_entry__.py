@@ -215,10 +215,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k = F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("int")
         line = (
             F.when(
-                F.col("event_type") == "view",
+                (F.col("event_type") == "view") & (k % 2 == 0),
                 F.format_string(
                     '10.0.0.%d - user%d [10/Oct/2000:13:55:36 -0700] "GET /p/%d HTTP/1.1" %d %d',
                     k % 256, k % 50, k, 200 + k % 300, k * 13,
+                ),
+            )
+            .when(
+                # odd view events render as sshd auth lines for the
+                # grok-authored library rule (config.sshd_grok)
+                F.col("event_type") == "view",
+                F.format_string(
+                    "Aug %d 09:%02d:%02d host%d.example.com sshd[%d]: "
+                    "Accepted publickey for user%d from 10.0.0.%d port %d",
+                    k % 28 + 1, k % 60, (k * 7) % 60, k % 9, k % 9000 + 1,
+                    k % 50, k % 256, k % 60000 + 1,
                 ),
             )
             .when(
@@ -252,6 +263,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(status_code >= 400, 1).otherwise(0)).alias("n_4xx_plus"),
             F.coalesce(F.sum(dur), F.lit(0)).alias("sum_dur_ms"),
+            # grok-path audit: captured+coerced ssh port mass (null for
+            # every non-sshd_grok rule, so it pins the grok captures)
+            F.coalesce(
+                F.sum(F.expr("try_cast(fields['ssport'] as bigint)")), F.lit(0)
+            ).alias("sum_ssport"),
         )
     q["library_parse"] = q_library_parse
 
@@ -1136,9 +1152,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         l AS (
           SELECT CASE
-            WHEN event_type = 'view' THEN printf(
+            WHEN event_type = 'view' AND k % 2 = 0 THEN printf(
               '10.0.0.%d - user%d [10/Oct/2000:13:55:36 -0700] "GET /p/%d HTTP/1.1" %d %d',
               k % 256, k % 50, k, 200 + k % 300, k * 13)
+            WHEN event_type = 'view' THEN printf(
+              'Aug %d 09:%02d:%02d host%d.example.com sshd[%d]: Accepted publickey for user%d from 10.0.0.%d port %d',
+              k % 28 + 1, k % 60, (k * 7) % 60, k % 9, k % 9000 + 1, k % 50, k % 256, k % 60000 + 1)
             WHEN event_type = 'error' THEN printf(
               '<%d>1 2026-02-03T10:11:12Z host%d app %d ID%d - failure %d',
               k % 192, k % 9, k, k % 77, k)
@@ -1150,12 +1169,14 @@ def oracle_sql() -> dict[str, str]:
         p AS (
           SELECT CASE {lib_cases} ELSE NULL END AS rule_id,
                  TRY_CAST(regexp_extract(text, '" (\\d{{3}}) ', 1) AS INT) AS status_code,
-                 TRY_CAST(regexp_extract(text, 'dur_ms=(\\d+)', 1) AS INT) AS dur_ms
+                 TRY_CAST(regexp_extract(text, 'dur_ms=(\\d+)', 1) AS INT) AS dur_ms,
+                 TRY_CAST(regexp_extract(text, ' port (\\d+)$', 1) AS BIGINT) AS ssport
           FROM l
         )
         SELECT coalesce(rule_id, '_miss') AS rule_id, count(*) AS n,
                CAST(sum(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_4xx_plus,
-               CAST(coalesce(sum(CASE WHEN rule_id = 'logfmt' THEN dur_ms END), 0) AS BIGINT) AS sum_dur_ms
+               CAST(coalesce(sum(CASE WHEN rule_id = 'logfmt' THEN dur_ms END), 0) AS BIGINT) AS sum_dur_ms,
+               CAST(coalesce(sum(CASE WHEN rule_id = 'sshd_grok' THEN ssport END), 0) AS BIGINT) AS sum_ssport
         FROM p GROUP BY 1
     """
 

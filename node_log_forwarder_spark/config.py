@@ -243,6 +243,28 @@ LIBRARY_RULES: list[ParseRule] = [
     ),
 ]
 
+# sshd auth events, authored in grok syntax (grok.py) rather than raw
+# regex — the forwarder's grok-style rule surface (BASELINE.json:6)
+# compiled down to the same ParseRule data the other library entries
+# hand-write. Field names are ss-prefixed: capture names must be unique
+# ACROSS the rule set because coerce_fields widens each into a column.
+from .grok import grok_compile  # noqa: E402  (grok.py is import-light;
+# its ParseRule import is deferred, so this is cycle-free)
+
+_SSHD_GROK_PATTERN, _SSHD_GROK_TYPES = grok_compile(
+    r"%{SYSLOGTIMESTAMP:ssts} %{IPORHOST:sshost} sshd\[%{POSINT:sspid:int}\]: "
+    r"%{WORD:ssaction} %{WORD:ssmethod} for %{USERNAME:ssuser} "
+    r"from %{IP:ssip} port %{POSINT:ssport:int}"
+)
+LIBRARY_RULES.append(
+    ParseRule(
+        rule_id="sshd_grok",
+        priority=137,
+        pattern="^" + _SSHD_GROK_PATTERN + "$",
+        field_types=_SSHD_GROK_TYPES,
+    )
+)
+
 # Sink config per FIXTURES.md §4. `_unmatched` is the parse-failure
 # fallback path (reference: unparseable events routed to a default
 # destination and counted as misses).

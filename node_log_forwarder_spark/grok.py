@@ -1,0 +1,203 @@
+"""Grok-syntax pattern compiler: ``%{PATTERN:field:type}`` -> ParseRule.
+
+Grok is the de-facto rule syntax of log forwarders (Logstash, Fluent
+Bit's regex parser, vector.dev's VRL `parse_grok`): a pattern library
+of named sub-regexes composed with ``%{NAME}`` references, so a rule
+reads ``%{IP:client} %{WORD:method} %{NUMBER:bytes:int}`` instead of a
+wall of regex. The reference forwarder's extraction rules are
+grok-style (BASELINE.json:6 "grok/regex field-extraction rules");
+this module gives users that exact authoring surface while everything
+downstream stays the existing :class:`~node_log_forwarder_spark.config.
+ParseRule` machinery — the SAME compiled rule drives the codegen'd
+JVM-native engine and the Arrow-UDF engine, and hot-reloads as data.
+
+Engine-portability contract: every pattern in :data:`GROK_PATTERNS` is
+written in the common subset of Python ``re`` (ASCII mode), Java
+``j.u.regex`` (UNIX_LINES), and RE2 (the DuckDB oracle) — no
+backreferences, no possessive quantifiers, no atomic groups, no
+lookbehind. ``ParseRule.__post_init__`` still validates the composed
+regex at load time, so a malformed grok expression fails at config
+load, not inside a Spark job.
+
+Syntax accepted (the Logstash subset that is pure data):
+  - ``%{NAME}``            inline the library pattern, non-capturing
+  - ``%{NAME:field}``      inline and capture as ``(?P<field>...)``
+  - ``%{NAME:field:type}`` as above + record a Spark coercion type
+    (grok's ``int``/``float`` plus any Spark type name the coercion
+    stage accepts: ``bigint``, ``boolean``, ``timestamp``, ...)
+  - any literal text between references (regex metachars allowed, so
+    existing regex idioms compose with grok references)
+
+Library patterns below are re-derived from the public Logstash
+grok-patterns base set (elastic/logstash `patterns/grok-patterns`,
+Apache-2.0 — public knowledge), simplified where the upstream regex
+uses engine-specific constructs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # runtime import is inside grok_rule: config.py
+    from .config import ParseRule  # imports grok_compile, so a
+    # top-level import here would be circular
+
+# name -> portable regex fragment. Fragments may reference each other
+# with %{NAME}; cycles are rejected at expansion time.
+GROK_PATTERNS: dict[str, str] = {
+    # --- core scalars -------------------------------------------------
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NONNEGINT": r"\d+",
+    "POSINT": r"[1-9]\d*",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "NUMBER": r"%{BASE10NUM}",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    # QS = double-quoted string, no escape handling (backref-free
+    # common-subset form of upstream QUOTEDSTRING)
+    "QS": r'"[^"]*"',
+    # --- network ------------------------------------------------------
+    "IPV4": (
+        r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}"
+    ),
+    # pragmatic IPv6 (upstream's full form relies on alternation order
+    # quirks; hex-groups + '::' compression covers real logs)
+    "IPV6": r"[0-9a-fA-F:]*:[0-9a-fA-F:.]+",
+    "IP": r"(?:%{IPV4}|%{IPV6})",
+    "HOSTNAME": r"(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "MAC": r"(?:[0-9a-fA-F]{2}[:-]){5}[0-9a-fA-F]{2}",
+    "URIPROTO": r"[A-Za-z]+(?:\+[A-Za-z+]+)?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_<>&\[\]\w-]*)+",
+    "URIQUERY": r"[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]<>-]*",
+    # --- time ---------------------------------------------------------
+    "MONTH": (
+        r"(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?"
+        r"|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?"
+        r"|Dec(?:ember)?)"
+    ),
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?\d)",
+    "MINUTE": r"[0-5]\d",
+    "SECOND": r"(?:[0-5]?\d)(?:[:.,]\d+)?",
+    "TIME": r"%{HOUR}:%{MINUTE}:%{SECOND}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "TIMESTAMP_ISO8601": (
+        r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}"
+        r"(?::?%{SECOND})?%{ISO8601_TIMEZONE}?"
+    ),
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} [+-]\d{4}",
+    # --- log idioms ---------------------------------------------------
+    "LOGLEVEL": (
+        r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE"
+        r"|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?"
+        r"|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE"
+        r"|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)"
+    ),
+    "SYSLOGPROG": r"%{WORD}(?:\[%{POSINT}\])?",
+    "COMBINEDAPACHELOG": (
+        r'%{IPORHOST:clientip} %{NOTSPACE:ident} %{NOTSPACE:auth} '
+        r'\[%{HTTPDATE:timestamp}\] "%{WORD:verb} %{NOTSPACE:request}'
+        r' HTTP/%{BASE10NUM:httpversion}" %{NONNEGINT:response:int}'
+        r' (?:%{NONNEGINT:bytes:bigint}|-)'
+        r' %{QS:referrer} %{QS:agent}'
+    ),
+}
+
+# grok type names -> Spark coercion type names (ParseRule.field_types
+# values understood by operators/parse.py::coerce_fields). Unknown
+# names pass through verbatim so any Spark type works.
+_GROK_TYPES = {"int": "int", "long": "bigint", "float": "double", "double": "double"}
+
+_REF = re.compile(
+    r"%\{(?P<name>[A-Z0-9_]+)(?::(?P<field>[A-Za-z_][A-Za-z0-9_]*))?"
+    r"(?::(?P<type>[A-Za-z_][A-Za-z0-9_]*))?\}"
+)
+
+_MAX_DEPTH = 16  # library self-references are shallow; cycles hit this
+
+
+def _expand(fragment: str, library: dict[str, str], depth: int,
+            captures: dict[str, str], seen: set[str],
+            capture: bool) -> str:
+    """Expand %{...} references recursively.
+
+    Capture semantics match Logstash: a bare composite reference
+    (``%{COMBINEDAPACHELOG}``) exposes the ``:field`` captures defined
+    inside the library entry, while a NAMED reference
+    (``%{COMBINEDAPACHELOG:line}``) captures the whole match under the
+    given name and suppresses inner captures (``capture`` is False for
+    the body) so one source byte range never lands in two overlapping
+    named groups."""
+    if depth > _MAX_DEPTH:
+        raise ValueError(
+            "grok expansion exceeded depth "
+            f"{_MAX_DEPTH} (cyclic pattern reference?)"
+        )
+
+    def sub(m: re.Match) -> str:
+        name, fld, typ = m.group("name"), m.group("field"), m.group("type")
+        body = library.get(name)
+        if body is None:
+            raise ValueError(f"unknown grok pattern %{{{name}}}")
+        inner = _expand(body, library, depth + 1, captures, seen,
+                        capture and fld is None)
+        if fld is None or not capture:
+            return f"(?:{inner})"
+        if fld in seen:
+            raise ValueError(f"duplicate grok capture field {fld!r}")
+        seen.add(fld)
+        if typ is not None:
+            captures[fld] = _GROK_TYPES.get(typ, typ)
+        return f"(?P<{fld}>{inner})"
+
+    return _REF.sub(sub, fragment)
+
+
+def grok_compile(expr: str, extra_patterns: dict[str, str] | None = None,
+                 ) -> tuple[str, dict[str, str]]:
+    """Compile a grok expression to (python_regex, field_types).
+
+    ``extra_patterns`` lets a config ship custom library entries
+    (grok's ``patterns_dir``) — pure data, merged over the defaults.
+    """
+    library = GROK_PATTERNS if not extra_patterns else {**GROK_PATTERNS,
+                                                        **extra_patterns}
+    captures: dict[str, str] = {}
+    pattern = _expand(expr, library, 0, captures, set(), True)
+    return pattern, captures
+
+
+def grok_rule(rule_id: str, priority: int, expr: str,
+              extra_patterns: dict[str, str] | None = None,
+              anchor: bool = True) -> "ParseRule":
+    """Compile a grok expression into a first-class :class:`ParseRule`.
+
+    The result is indistinguishable from a hand-written rule: it
+    carries the composed regex + coercion map, validates at load time,
+    drives both parse engines, round-trips through config
+    dump/load/table as plain data, and tallies per-field match/miss
+    like every other rule.
+    """
+    from .config import ParseRule
+
+    pattern, field_types = grok_compile(expr, extra_patterns)
+    if anchor:
+        if not pattern.startswith("^"):
+            pattern = "^" + pattern
+        if not pattern.endswith("$"):
+            pattern = pattern + "$"
+    return ParseRule(rule_id=rule_id, priority=priority, pattern=pattern,
+                     field_types=field_types)
