@@ -131,16 +131,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- O2 syslog PRI/facility/severity decode ----------------------------
     def q_syslog_decode(spark, sf):
+        from node_log_forwarder_spark.operators.framing import frame_multiline
+
         ev = _t(spark, sf, "events")
         line = F.format_string("<%d>host app: %s", F.col("event_id") % 192, F.col("event_type"))
         pri = F.regexp_extract(line, r"^<(\d+)>", 1).cast("int")
-        return (
+        base = (
             ev.select(
                 F.floor(pri / 8).cast("int").alias("facility"),
                 (pri % 8).cast("int").alias("severity"),
             )
             .groupBy("facility", "severity")
             .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # multiline-framing audit (r4, operators/framing.py): render a
+        # deterministic multiline corpus over the same events (every
+        # 4th event becomes an indented continuation line of its
+        # user-stream predecessor), frame it, and tally framed events
+        # + folded line mass per anchor (facility, severity). DuckDB
+        # twin replays the running-sum + group-concat framing in SQL.
+        mline = F.when(
+            F.col("event_id") % 4 == 0,
+            F.format_string("    at frame.%d", F.col("event_id")),
+        ).otherwise(line)
+        framed = frame_multiline(
+            ev.select("user_id", F.col("event_id").alias("seq"),
+                      mline.alias("text")),
+            ["user_id"], "seq",
+        )
+        apri = F.regexp_extract("anchor_text", r"^<(\d+)>", 1).cast("int")
+        audit = (
+            framed.where(F.col("anchored"))
+            .select(
+                F.floor(apri / 8).cast("int").alias("facility"),
+                (apri % 8).cast("int").alias("severity"),
+                "n_lines",
+            )
+            .groupBy("facility", "severity")
+            .agg(
+                F.count(F.lit(1)).alias("n_framed"),
+                F.sum("n_lines").alias("sum_frame_lines"),
+            )
+        )
+        return base.join(audit, ["facility", "severity"], "left").select(
+            "facility", "severity", "n",
+            F.coalesce("n_framed", F.lit(0)).alias("n_framed"),
+            F.coalesce("sum_frame_lines", F.lit(0)).alias("sum_frame_lines"),
         )
     q["syslog_decode"] = q_syslog_decode
 
@@ -303,14 +339,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_window_latest(spark, sf):
         from pyspark.sql import Window
 
+        from node_log_forwarder_spark.operators.asof import asof_join
+
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
-        return (
+        latest = (
             ev.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("user_id", "event_id", "event_type")
+            .select("user_id", "event_id", "event_type", "ts")
+        )
+        # as-of audit (r4, operators/asof.py): most recent signup event
+        # at-or-before each user's latest event. Right side deduped to
+        # one row per (user_id, ts) so the as-of tie rule is
+        # deterministic in both engines (DuckDB twin: native ASOF JOIN).
+        signups = (
+            ev.where(F.col("event_type") == "signup")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("asof_signup_id"))
+        )
+        return asof_join(latest, signups, on="user_id").select(
+            "user_id", "event_id", "event_type", "asof_signup_id"
         )
     q["window_latest"] = q_window_latest
 
@@ -1108,11 +1158,46 @@ def oracle_sql() -> dict[str, str]:
           SELECT printf('<%d>host app: %s', event_id % 192, event_type) AS line FROM events
         ), pri AS (
           SELECT CAST(regexp_extract(line, '^<(\\d+)>', 1) AS INT) AS pri FROM lines
+        ),
+        base AS (
+          SELECT CAST(floor(pri / 8) AS INT) AS facility,
+                 CAST(pri % 8 AS INT) AS severity,
+                 count(*) AS n
+          FROM pri GROUP BY 1, 2
+        ),
+        ml AS (
+          SELECT user_id, event_id AS seq,
+                 CASE WHEN event_id % 4 = 0
+                      THEN printf('    at frame.%d', event_id)
+                      ELSE printf('<%d>host app: %s', event_id % 192, event_type)
+                 END AS text
+          FROM events
+        ),
+        tagged AS (
+          SELECT *, sum(CASE WHEN regexp_matches(text,
+                     '^(?:\\s+.*|Caused by:.*|\\.\\.\\. \\d+ more\\s*)$')
+                     THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY user_id ORDER BY seq) AS event_gid
+          FROM ml
+        ),
+        framed AS (
+          SELECT user_id, event_gid, count(*) AS n_lines,
+                 arg_min(text, seq) AS anchor_text
+          FROM tagged GROUP BY 1, 2 HAVING event_gid > 0
+        ),
+        audit AS (
+          SELECT CAST(floor(apri / 8) AS INT) AS facility,
+                 CAST(apri % 8 AS INT) AS severity,
+                 count(*) AS n_framed,
+                 CAST(sum(n_lines) AS BIGINT) AS sum_frame_lines
+          FROM (SELECT CAST(regexp_extract(anchor_text, '^<(\\d+)>', 1) AS INT)
+                         AS apri, n_lines FROM framed)
+          GROUP BY 1, 2
         )
-        SELECT CAST(floor(pri / 8) AS INT) AS facility,
-               CAST(pri % 8 AS INT) AS severity,
-               count(*) AS n
-        FROM pri GROUP BY 1, 2
+        SELECT b.facility, b.severity, b.n,
+               CAST(coalesce(a.n_framed, 0) AS BIGINT) AS n_framed,
+               CAST(coalesce(a.sum_frame_lines, 0) AS BIGINT) AS sum_frame_lines
+        FROM base b LEFT JOIN audit a USING (facility, severity)
     """
 
     sql["regex_extract"] = """
@@ -1273,11 +1358,20 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["window_latest"] = """
-        SELECT user_id, event_id, event_type FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-          FROM events
-        ) WHERE rn = 1
+        WITH latest AS (
+          SELECT user_id, event_id, event_type, ts FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+          ) WHERE rn = 1
+        ),
+        su AS (
+          SELECT user_id, ts, max(event_id) AS asof_signup_id
+          FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+        )
+        SELECT l.user_id, l.event_id, l.event_type, s.asof_signup_id
+        FROM latest l ASOF LEFT JOIN su s
+          ON l.user_id = s.user_id AND l.ts >= s.ts
     """
 
     sql["topk_users"] = """

@@ -1,0 +1,121 @@
+"""As-of (temporal) join: attach to each left row the most recent right
+row with the same key and ``right.ts <= left.ts`` (backward; optional
+tolerance). The forwarder's enrich stage (SURVEY §2.1 O7) joins on
+static keys; transcripts pipelines also need the TIME-versioned variant
+— "which tool config / deploy / price was live when this turn
+happened". SURVEY §2.2 records the reference has no as-of join; this is
+an engine extension (same status as rollup), built Spark-first.
+
+Design for 10^12 rows: the classic scalable as-of plan is UNION +
+WINDOW, not a range join —
+
+    left  rows: (key, ts, payload..., right cols = null)
+    right rows: (key, ts, nulls...,  right cols)
+    window: partition by key, order by (ts, side), rows unbounded
+            preceding -> last(right_col, ignoreNulls=true)
+
+One shuffle of each side on ``key`` (the same partitioning a downstream
+per-key agg reuses), sort within partition, zero UDFs, bounded state.
+A naive ``l JOIN r ON l.key = r.key AND r.ts <= l.ts`` + argmax
+explodes to |matches| intermediate rows (quadratic per key on slowly
+changing dims); the window form is linear and is what AQE cannot
+rescue the naive form into. DuckDB's native ``ASOF JOIN`` provides an
+exact oracle twin for tests.
+
+Tie rule: a right row at exactly ``left.ts`` matches (inclusive),
+because right rows sort BEFORE left rows at equal ts. The right side
+is expected to be unique per (key, ts) — the standard as-of contract
+(DuckDB ASOF JOIN is likewise arbitrary on duplicate version rows);
+dedup the version table first if that can't be guaranteed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# side marker: right rows must sort before left rows at equal ts so an
+# exactly-simultaneous right version is visible to the left row
+_RIGHT, _LEFT = 0, 1
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_s: float | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """Backward/forward as-of join; returns left columns + right payload
+    columns (null when no right row qualifies).
+
+    ``tolerance_s``: maximum |left_ts - right_ts| in seconds; matches
+    further away resolve to null (pandas ``merge_asof`` semantics).
+    ``direction='forward'`` attaches the EARLIEST right row at-or-after
+    left_ts instead (implemented by negating the sort axis, not by a
+    second code path).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys and c != right_ts]
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right payload columns collide with left: {sorted(overlap)}; "
+            "rename before joining"
+        )
+
+    # epoch micros as the sort axis; forward = backward on negated time
+    sign = F.lit(1) if direction == "backward" else F.lit(-1)
+    l_axis = sign * F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_axis = sign * F.unix_micros(F.col(right_ts).cast("timestamp"))
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        l_axis.alias("_axis"),
+        F.lit(_LEFT).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in payload],
+        F.lit(None).cast("long").alias("_r_axis"),
+    )
+    rhs = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+        r_axis.alias("_axis"),
+        F.lit(_RIGHT).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+        r_axis.alias("_r_axis"),
+    ).select(*lhs.columns)  # align column order for unionByName-by-position
+
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_axis").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lhs.unionByName(rhs).select(
+        "*",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+          for c in payload],
+        F.last("_r_axis", ignorenulls=True).over(w).alias("_f_axis"),
+    )
+
+    out = filled.where(F.col("_side") == _LEFT)
+    if tolerance_s is not None:
+        within = (F.col("_axis") - F.col("_f_axis")) <= F.lit(
+            int(tolerance_s * 1_000_000)
+        )
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            *[F.when(within, F.col(f"_f_{c}")).alias(c) for c in payload],
+        )
+    else:
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"_f_{c}").alias(c) for c in payload],
+        )
+    return out

@@ -1,0 +1,95 @@
+"""Multiline log framing: fold continuation lines (stack-trace frames,
+wrapped output, indented detail) into their anchor line — the
+forwarder-world "multiline" concern (Filebeat ``multiline``, Fluentd
+``concat``, Vector ``multiline`` transform). SURVEY §2.1 O2 covers
+single-line framing (one datagram = one event); file/transcript
+sources additionally need K-consecutive-lines = one event.
+
+Spark-first design, zero UDFs, one shuffle:
+
+    anchor  = NOT is_continuation(line)
+    event_id = running count of anchors over
+               (partition by stream, order by seq)      -- window sum
+    event    = groupBy(stream, event_id)
+               sort lines by seq inside the group, concat
+
+The window and the groupBy use the SAME (stream) partitioning, so at
+scale this is one exchange on the stream key, sort within partition
+(reused by both the window and the sort-based agg), bounded state.
+Leading continuation lines with no anchor yet (a file starting
+mid-stack-trace) get event_id 0 and surface with ``anchored=false``
+instead of being dropped — the parse-miss path (O12) decides their
+fate, mirroring how the forwarder routes unparseable events rather
+than swallowing them.
+
+DuckDB twin for tests: the identical running-sum + group-concat in SQL
+(``sum(anchor) over (...)`` + ``string_agg(line, sep order by seq)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# Default continuation shapes: leading whitespace (Java/Python stack
+# frames, YAML-ish detail), 'Caused by:'/'...' trailers.
+DEFAULT_CONTINUATION = (
+    r"^(?:\s+.*|Caused by:.*|\.\.\. \d+ more\s*)$"
+)
+
+
+def frame_multiline(
+    df: DataFrame,
+    stream_cols: list[str],
+    seq_col: str,
+    line_col: str = "text",
+    is_continuation: Column | None = None,
+    sep: str = "\n",
+) -> DataFrame:
+    """Collapse each anchor line + its continuation run into one event.
+
+    Returns one row per event: ``stream_cols..., event_id (1-based per
+    stream; 0 = orphan leading continuations), anchored (bool),
+    first_seq, n_lines, anchor_text, text`` (lines joined by ``sep``
+    in seq order). ``anchor_text`` is the first line alone — the part
+    the forwarder's anchored ``^...$`` parse rules match against (the
+    continuation body would defeat ``$`` under UNIX_LINES/no-MULTILINE
+    semantics); downstream parse runs on it while the full ``text``
+    ships to sinks.
+    """
+    if is_continuation is None:
+        is_continuation = F.col(line_col).rlike(DEFAULT_CONTINUATION)
+    anchor = (~F.coalesce(is_continuation, F.lit(False))).cast("int")
+
+    w = (
+        Window.partitionBy(*stream_cols)
+        .orderBy(F.col(seq_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = df.select(
+        *stream_cols,
+        F.col(seq_col).alias("_seq"),
+        F.col(line_col).alias("_line"),
+        F.sum(anchor).over(w).alias("event_id"),
+    )
+    # array_sort on (seq, line) structs keeps line order exact without a
+    # second sort pass; first struct = the anchor line / first orphan
+    return (
+        tagged.groupBy(*stream_cols, "event_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_seq"), F.col("_line")))
+            ).alias("_lines"),
+        )
+        .select(
+            *stream_cols,
+            "event_id",
+            (F.col("event_id") > 0).alias("anchored"),
+            F.element_at("_lines", 1)["_seq"].alias("first_seq"),
+            F.size("_lines").alias("n_lines"),
+            F.element_at("_lines", 1)["_line"].alias("anchor_text"),
+            F.array_join(
+                F.transform("_lines", lambda s: s["_line"]), sep
+            ).alias(line_col),
+        )
+    )

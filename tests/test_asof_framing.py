@@ -1,0 +1,210 @@
+"""As-of join (operators/asof.py) vs DuckDB's native ASOF JOIN, and
+multiline framing (operators/framing.py) vs a SQL running-sum twin.
+Both operators are engine extensions beyond the reference (SURVEY §2.2
+joins row) — tested to the same oracle standard as driver queries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.asof import asof_join
+from node_log_forwarder_spark.operators.framing import frame_multiline
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+# ------------------------------------------------------------------ as-of
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    turns = spark.createDataFrame(
+        [
+            ("c1", 1, _ts("2026-01-01T10:00:00")),
+            ("c1", 2, _ts("2026-01-01T10:05:00")),
+            ("c1", 3, _ts("2026-01-01T11:30:00")),
+            ("c2", 1, _ts("2026-01-01T09:00:00")),  # before any deploy
+            ("c2", 2, _ts("2026-01-01T10:00:00")),  # exactly at deploy (tie)
+            ("c3", 1, _ts("2026-01-01T12:00:00")),  # key with no right rows
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    deploys = spark.createDataFrame(
+        [
+            ("c1", _ts("2026-01-01T09:59:00"), "v1"),
+            ("c1", _ts("2026-01-01T10:04:00"), "v2"),
+            ("c1", _ts("2026-01-01T12:00:00"), "v9"),  # future for all turns
+            ("c2", _ts("2026-01-01T10:00:00"), "v5"),
+        ],
+        "conv_id string, ts timestamp, version string",
+    )
+    return turns, deploys
+
+
+def _duck_asof(turns_rows, deploys_rows, direction="backward"):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (conv_id VARCHAR, turn_idx INT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", turns_rows)
+    con.execute("CREATE TABLE d (conv_id VARCHAR, ts TIMESTAMP, version VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", deploys_rows)
+    op = ">=" if direction == "backward" else "<="
+    rows = con.execute(
+        f"""SELECT t.conv_id, t.turn_idx, d.version
+            FROM t ASOF LEFT JOIN d
+              ON t.conv_id = d.conv_id AND t.ts {op} d.ts
+            ORDER BY 1, 2"""
+    ).fetchall()
+    con.close()
+    return rows
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_duckdb_asof_join(spark, asof_frames, direction):
+    turns, deploys = asof_frames
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["version"])
+        for r in asof_join(turns, deploys, on="conv_id",
+                           direction=direction).collect()
+    )
+    want = _duck_asof(
+        [(r["conv_id"], r["turn_idx"], r["ts"]) for r in turns.collect()],
+        [(r["conv_id"], r["ts"], r["version"]) for r in deploys.collect()],
+        direction,
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_asof_backward_semantics_explicit(spark, asof_frames):
+    turns, deploys = asof_frames
+    got = {(r["conv_id"], r["turn_idx"]): r["version"]
+           for r in asof_join(turns, deploys, on="conv_id").collect()}
+    assert got == {
+        ("c1", 1): "v1",   # 10:00 -> 09:59 deploy
+        ("c1", 2): "v2",   # 10:05 -> 10:04
+        ("c1", 3): "v2",   # 11:30 -> still v2 (v9 is future)
+        ("c2", 1): None,   # nothing live yet
+        ("c2", 2): "v5",   # tie: deploy at exactly ts matches
+        ("c3", 1): None,   # key never deployed
+    }
+
+
+def test_asof_tolerance(spark, asof_frames):
+    turns, deploys = asof_frames
+    got = {(r["conv_id"], r["turn_idx"]): r["version"]
+           for r in asof_join(turns, deploys, on="conv_id",
+                              tolerance_s=120).collect()}
+    # c1 turn 3 matched v2 5086s away -> outside 120s tolerance
+    assert got[("c1", 3)] is None
+    assert got[("c1", 1)] == "v1" and got[("c1", 2)] == "v2"
+    assert got[("c2", 2)] == "v5"  # 0s away
+
+
+def test_asof_single_exchange_per_side(spark, asof_frames):
+    """Scale shape: union+window = one shuffle on the key, no join
+    node at all (a naive range join would show BroadcastNestedLoop)."""
+    turns, deploys = asof_frames
+    plan = (
+        asof_join(turns, deploys, on="conv_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_column_collision_raises(spark, asof_frames):
+    turns, deploys = asof_frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(turns, deploys.withColumnRenamed("version", "turn_idx"),
+                  on="conv_id")
+
+
+# ---------------------------------------------------------------- framing
+
+LINES = [
+    # stream A: two events, the second with a stack trace
+    ("A", 1, "ok GET /health 200"),
+    ("A", 2, "ERROR NullPointerException: boom"),
+    ("A", 3, "    at svc.Handler.run(Handler.java:42)"),
+    ("A", 4, "    at svc.Main.main(Main.java:7)"),
+    ("A", 5, "Caused by: java.io.IOException: closed"),
+    ("A", 6, "    at io.Socket.read(Socket.java:99)"),
+    ("A", 7, "ok GET /metrics 200"),
+    # stream B: starts mid-trace (orphan continuations), then an anchor
+    ("B", 1, "    at lost.Frame.one(X.java:1)"),
+    ("B", 2, "... 3 more"),
+    ("B", 3, "plain line"),
+]
+
+
+@pytest.fixture(scope="module")
+def framed(spark):
+    df = spark.createDataFrame(LINES, "stream string, seq int, text string")
+    return frame_multiline(df, ["stream"], "seq").collect()
+
+
+def test_framing_events(framed):
+    by_key = {(r["stream"], r["event_id"]): r for r in framed}
+    assert by_key[("A", 1)]["text"] == "ok GET /health 200"
+    ev2 = by_key[("A", 2)]
+    assert ev2["n_lines"] == 5 and ev2["first_seq"] == 2
+    assert ev2["text"].splitlines() == [
+        l for st, s, l in LINES if st == "A" and 2 <= s <= 6
+    ]
+    assert by_key[("A", 3)]["text"] == "ok GET /metrics 200"
+    # orphan leading continuations: event_id 0, anchored=false, kept
+    orphan = by_key[("B", 0)]
+    assert not orphan["anchored"] and orphan["n_lines"] == 2
+    assert by_key[("B", 1)]["text"] == "plain line"
+    assert all(r["anchored"] for r in framed if r["event_id"] > 0)
+
+
+def test_framing_matches_sql_twin(spark, framed):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (stream VARCHAR, seq INT, text VARCHAR)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", LINES)
+    want = con.execute(r"""
+        WITH tagged AS (
+          SELECT stream, seq, text,
+                 sum(CASE WHEN regexp_matches(text,
+                     '^(?:\s+.*|Caused by:.*|\.\.\. \d+ more\s*)$')
+                     THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY stream ORDER BY seq) AS event_id
+          FROM l
+        )
+        SELECT stream, event_id, event_id > 0 AS anchored,
+               min(seq) AS first_seq, count(*) AS n_lines,
+               string_agg(text, chr(10) ORDER BY seq) AS text
+        FROM tagged GROUP BY stream, event_id ORDER BY stream, event_id
+    """).fetchall()
+    con.close()
+    got = sorted(
+        (r["stream"], r["event_id"], r["anchored"], r["first_seq"],
+         r["n_lines"], r["text"]) for r in framed
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_framing_then_parse_composes(spark):
+    """Framed events feed the normal parse stage via anchor_text: the
+    folded stack trace parses as ONE error_any event (with the full
+    trace intact in `full_text`), not five separate misses."""
+    from node_log_forwarder_spark.config import DEFAULT_RULES
+    from node_log_forwarder_spark.operators.parse import parse_stage
+
+    df = spark.createDataFrame(LINES, "stream string, seq int, text string")
+    framed = (
+        frame_multiline(df, ["stream"], "seq")
+        .where(F.col("stream") == "A")
+        .select("event_id", F.col("text").alias("full_text"),
+                F.col("anchor_text").alias("text"))
+    )
+    parsed = parse_stage(framed, DEFAULT_RULES)
+    rows = {r["event_id"]: r for r in parsed.collect()}
+    assert rows[2]["rule_id"] == "error_any"
+    assert rows[2]["fields"]["errclass"] == "NullPointerException"
+    assert len(rows[2]["full_text"].splitlines()) == 5
+    assert rows[1]["rule_id"] is None  # 'ok GET ...' has no DEFAULT rule
