@@ -227,10 +227,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- O8/O12 router fan-out over the full pipeline ----------------------
     def q_router_fanout(spark, sf):
-        return (
-            explode_sinks(_routed(spark, sf))
-            .groupBy("sink_id")
-            .agg(F.count(F.lit(1)).alias("n_rows"))
+        from node_log_forwarder_spark.operators.throttle import throttle_exact
+
+        # throttle audit (r4, operators/throttle.py): cap two sinks per
+        # hour with a deterministic (ts, conv_id, turn_idx) survivor
+        # order; delivered counts pin the rate-limit semantics while
+        # n_rows keeps the raw fan-out contract.
+        th = throttle_exact(
+            explode_sinks(_routed(spark, sf)),
+            {"archive_all": 40, "errors": 10},
+            window="1 hour",
+            order_cols=["ts", "conv_id", "turn_idx"],
+        )
+        return th.groupBy("sink_id").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(~F.col("throttled"), 1).otherwise(0)).alias(
+                "n_delivered"
+            ),
         )
     q["router_fanout"] = q_router_fanout
 
@@ -1271,7 +1284,28 @@ def oracle_sql() -> dict[str, str]:
         + _SINKS_EXPLODED
         + "SELECT sink_id, count(*) AS n_rows FROM sinks GROUP BY sink_id"
     )
-    sql["router_fanout"] = fanout
+    # native variant carries the throttle audit (operators/throttle.py):
+    # replay the per-(sink, hour) row_number admission in SQL
+    sql["router_fanout"] = (
+        _PARSED
+        + ","
+        + _SINKS_EXPLODED
+        + """
+        , th AS (
+          SELECT sink_id,
+                 row_number() OVER (
+                   PARTITION BY sink_id, date_trunc('hour', ts)
+                   ORDER BY ts, conv_id, turn_idx) AS rnk,
+                 CASE sink_id WHEN 'archive_all' THEN 40
+                              WHEN 'errors' THEN 10 END AS cap
+          FROM sinks
+        )
+        SELECT sink_id, count(*) AS n_rows,
+               CAST(sum(CASE WHEN cap IS NULL OR rnk <= cap THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_delivered
+        FROM th GROUP BY 1
+    """
+    )
     sql["router_fanout_arrow"] = fanout
 
     sql["pipeline_sink_counts"] = (

@@ -78,6 +78,7 @@ def write_sinks_partitioned(
     mode: str = "append",
     extra_partition_by: list[str] | None = None,
     cluster: bool = False,
+    exploded: bool = False,
 ) -> None:
     """Single-pass writer: explode deliveries and write ONE table
     partitioned by sink_id (+ optional time partitions). One job, no
@@ -91,9 +92,13 @@ def write_sinks_partitioned(
     tasks × partitions tiny files (measured 35k files / 2.7 GB at 19M
     turns). With it, file count ≈ partition count. Turn it on whenever
     a time partition column is present; Iceberg users get the same
-    effect from write.distribution-mode=hash."""
+    effect from write.distribution-mode=hash.
+
+    ``exploded=True``: input is already one row per (row, sink)
+    delivery with a ``sink_id`` column (e.g. after a throttle stage) —
+    skip the explode."""
     cols = ["sink_id"] + (extra_partition_by or [])
-    out = explode_sinks(routed).drop("sink_ids")
+    out = routed if exploded else explode_sinks(routed).drop("sink_ids")
     if cluster:
         # REBALANCE (not repartition): AQE coalesces small partitions AND
         # splits skewed ones — plain hash repartition by (sink_id, day)

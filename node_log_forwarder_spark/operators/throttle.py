@@ -1,0 +1,116 @@
+"""Per-sink rate limiting — the forwarder-world throttle stage (Fluentd
+``throttle`` filter, Vector ``throttle`` transform, rsyslog
+``ratelimit``): cap deliveries per (sink, time window), keep the
+excess OUT of the destination but IN the metrics, so a log storm can't
+flatten a downstream Elasticsearch cluster while the drop volume stays
+observable.
+
+Spark-first, deterministic, two shapes:
+
+``throttle_exact``
+    row_number over (sink_id, window) in a caller-fixed order, keep
+    rank <= limit. Deterministic and exactly-N, at the cost of a sort
+    inside each (sink, window) partition group — the same shuffle the
+    per-sink aggregates already need, so at scale this co-partitions
+    with the tally stage. Skew note: a hot (sink, window) serializes
+    into one task's sort; for storm-scale hot windows prefer
+    ``throttle_hash``.
+
+``throttle_hash``
+    keep rows whose stable per-row hash falls under limit/count(window)
+    — one window-count join (broadcast-sized: one row per (sink,
+    window)), NO per-row ranking, fully parallel, approximately-N with
+    exact-N determinism per row set (rerun-stable: membership depends
+    only on row identity, mirroring operators/sampling.py's
+    growth-stable hash sampling).
+
+Both return the full frame with ``throttled`` (bool) so the router's
+writers deliver ``NOT throttled`` rows and the miss/metrics path tallies
+the drops — the forwarder's "emit a 'rate limit exceeded' counter"
+behavior rather than silent loss.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def throttle_exact(
+    exploded: DataFrame,
+    limits: dict[str, int],
+    window: str = "1 hour",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mark delivery rows beyond each sink's per-window cap.
+
+    ``exploded``: one row per (row, sink) delivery (route.explode_sinks
+    output) with a ``ts`` column. ``limits``: sink_id -> max rows per
+    window; sinks absent from the map are uncapped. ``order_cols``:
+    which deliveries survive a storm (default: oldest first by
+    ``ts``, then the caller's remaining columns are NOT consulted —
+    pass an explicit total order for bit-stable replay).
+    """
+    order = [F.col(c) for c in (order_cols or ["ts"])]
+    ws = F.window(F.col("ts").cast("timestamp"), window)["start"]
+    w = Window.partitionBy(F.col("sink_id"), ws).orderBy(*order)
+    limit_expr = _limit_map(limits)
+    rank = F.row_number().over(w)
+    return exploded.withColumn(
+        "throttled",
+        F.when(limit_expr.isNull(), F.lit(False)).otherwise(rank > limit_expr),
+    )
+
+
+def throttle_hash(
+    exploded: DataFrame,
+    limits: dict[str, int],
+    window: str = "1 hour",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Hash-proportional throttle: no per-group sort, storm-safe.
+
+    Keeps ~limit rows per (sink, window) by admitting rows whose
+    64-bit identity hash ranks under the admission fraction
+    limit/n_window. Deterministic per row (identity-hash based), fully
+    parallel; the only extra exchange is the tiny per-(sink, window)
+    count join, which AQE broadcasts.
+    """
+    ids = id_cols or ["conv_id", "turn_idx"]
+    ws = F.window(F.col("ts").cast("timestamp"), window)["start"].alias("_ws")
+    tagged = exploded.withColumn("_ws", ws).withColumn(
+        # xxhash64 -> uniform [0, 1): same construction as
+        # operators/sampling.py hash_uniform (shifted to non-negative)
+        "_u",
+        (F.shiftrightunsigned(F.xxhash64(*ids, F.col("sink_id")), 1))
+        / F.lit(float(1 << 63)),
+    )
+    counts = tagged.groupBy("sink_id", "_ws").agg(
+        F.count(F.lit(1)).alias("_n_win")
+    )
+    limit_expr = _limit_map(limits)
+    out = tagged.join(F.broadcast(counts), ["sink_id", "_ws"], "left").withColumn(
+        "throttled",
+        F.when(limit_expr.isNull(), F.lit(False)).otherwise(
+            F.col("_u") >= limit_expr / F.greatest(F.col("_n_win"), F.lit(1))
+        ),
+    )
+    return out.drop("_u", "_n_win", "_ws")
+
+
+def throttle_tallies(throttled: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Delivered/dropped counts per (sink, window) — the observability
+    half of the throttle contract."""
+    ws = F.window(F.col("ts").cast("timestamp"), window)["start"].alias("ws")
+    return throttled.groupBy(ws, "sink_id").agg(
+        F.sum(F.when(~F.col("throttled"), 1).otherwise(0)).alias("n_delivered"),
+        F.sum(F.when(F.col("throttled"), 1).otherwise(0)).alias("n_dropped"),
+    )
+
+
+def _limit_map(limits: dict[str, int]) -> Column:
+    """sink_id -> limit as a literal CASE chain (null = uncapped)."""
+    expr = F.lit(None).cast("long")
+    for sink_id, cap in limits.items():
+        expr = F.when(F.col("sink_id") == sink_id, F.lit(int(cap))).otherwise(expr)
+    return expr

@@ -83,6 +83,13 @@ class PipelineConfig:
     # verifying row counts.
     compact_sinks: bool = False
     compact_target_file_bytes: int = 128 * 1024 * 1024
+    # Per-sink rate limits (operators/throttle.py): sink_id -> max
+    # delivered rows per agg window. Dropped rows stay OUT of the sink
+    # tables but IN the agg_throttle metrics table (n_routed /
+    # n_delivered / n_dropped per sink+window). Costs one extra
+    # column-pruned pre-count job when enabled (same cost class as the
+    # no-catch-all tally re-parse, documented there); None = off.
+    throttle_limits: dict[str, int] | None = None
 
 
 def build_routed(
@@ -171,14 +178,41 @@ def run_pipeline(
         if cfg.partition_by_day:
             routed = routed.withColumn("day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
             extra = ["day"]
+        to_write, pre_exploded = routed, False
+        if cfg.throttle_limits:
+            from node_log_forwarder_spark.operators.route import explode_sinks
+            from node_log_forwarder_spark.operators.throttle import (
+                throttle_exact,
+                throttle_tallies,
+            )
+
+            # Rate-limit deliveries per (sink, window). The metrics
+            # table is written FIRST from the full (kept + dropped)
+            # delivery set — the one extra pass throttling costs, since
+            # dropped rows never reach a sink table to be read back.
+            win = f"1 {cfg.window}"
+            th = throttle_exact(
+                explode_sinks(routed).drop("sink_ids"),
+                cfg.throttle_limits,
+                window=win,
+                order_cols=["ts", "conv_id", "turn_idx"],
+            )
+            write_table(
+                throttle_tallies(th, window=win),
+                f"{out_dir}/agg_throttle",
+                mode="overwrite",
+            )
+            to_write = th.where(~F.col("throttled")).drop("throttled")
+            pre_exploded = True
         write_sinks_partitioned(
-            routed,
+            to_write,
             f"{out_dir}/sinks",
             mode="overwrite",
             extra_partition_by=extra,
             # fine-grained time partitions + unclustered writes = tiny-file
             # explosion (tasks x partitions); cluster when day-partitioned
             cluster=cfg.partition_by_day,
+            exploded=pre_exploded,
         )
         delivered = read_table(spark, f"{out_dir}/sinks")
         aggs = delivered.groupBy(
@@ -198,6 +232,10 @@ def run_pipeline(
             (s.sink_id for s in cfg.sinks if s.predicate.strip().lower() == "true"),
             None,
         )
+        if catchall is not None and cfg.throttle_limits and catchall in cfg.throttle_limits:
+            # a THROTTLED catch-all sink is incomplete — its read-back
+            # would under-count tallies; fall back to the re-parse
+            catchall = None
         if catchall is not None:
             parsed = delivered.filter(F.col("sink_id") == catchall)
         else:

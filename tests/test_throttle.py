@@ -1,0 +1,117 @@
+"""Per-sink rate limiting (operators/throttle.py): exact-N windowed
+caps vs a DuckDB row_number twin, hash-throttle statistical and
+determinism properties, and the delivered/dropped tally contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.throttle import (
+    throttle_exact,
+    throttle_hash,
+    throttle_tallies,
+)
+
+BASE = dt.datetime(2026, 3, 1, 12, 0, 0)
+ROWS = [
+    # (conv_id, turn_idx, ts, sink_id) — 30 archive rows hour 12,
+    # 10 in hour 13; 8 error rows hour 12
+    *[("c%03d" % (i % 7), i, BASE + dt.timedelta(minutes=i), "archive_all")
+      for i in range(30)],
+    *[("c%03d" % (i % 7), 100 + i, BASE + dt.timedelta(hours=1, minutes=i),
+       "archive_all") for i in range(10)],
+    *[("e%03d" % i, i, BASE + dt.timedelta(minutes=2 * i), "errors")
+      for i in range(8)],
+]
+SCHEMA = "conv_id string, turn_idx int, ts timestamp, sink_id string"
+LIMITS = {"archive_all": 20, "errors": 5}
+
+
+@pytest.fixture(scope="module")
+def deliveries(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_exact_caps_and_survivor_order(spark, deliveries):
+    out = throttle_exact(deliveries, LIMITS,
+                         order_cols=["ts", "conv_id", "turn_idx"]).collect()
+    kept = [(r["sink_id"], r["ts"]) for r in out if not r["throttled"]]
+    by_sink_hour = {}
+    for s, ts in kept:
+        by_sink_hour.setdefault((s, ts.hour), 0)
+        by_sink_hour[(s, ts.hour)] += 1
+    # hour 12: archive capped 30 -> 20, errors 8 -> 5; hour 13 under cap
+    assert by_sink_hour == {("archive_all", 12): 20, ("archive_all", 13): 10,
+                            ("errors", 12): 5}
+    # oldest-first: every kept archive ts in hour 12 precedes every dropped one
+    arc12 = [(r["ts"], r["throttled"]) for r in out
+             if r["sink_id"] == "archive_all" and r["ts"].hour == 12]
+    kept_ts = [t for t, d in arc12 if not d]
+    drop_ts = [t for t, d in arc12 if d]
+    assert max(kept_ts) < min(drop_ts)
+
+
+def test_exact_matches_duckdb_twin(spark, deliveries):
+    got = sorted(
+        (r["sink_id"], r["conv_id"], r["turn_idx"], r["throttled"])
+        for r in throttle_exact(deliveries, LIMITS,
+                                order_cols=["ts", "conv_id", "turn_idx"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (conv_id VARCHAR, turn_idx INT, ts TIMESTAMP, sink_id VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?)", ROWS)
+    want = con.execute("""
+        SELECT sink_id, conv_id, turn_idx,
+               CASE WHEN cap IS NULL THEN false ELSE rnk > cap END AS throttled
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY sink_id, date_trunc('hour', ts)
+                   ORDER BY ts, conv_id, turn_idx) AS rnk,
+                 CASE sink_id WHEN 'archive_all' THEN 20
+                              WHEN 'errors' THEN 5 END AS cap
+          FROM d
+        ) ORDER BY 1, 2, 3
+    """).fetchall()
+    con.close()
+    assert got == [tuple(w) for w in want]
+
+
+def test_uncapped_sink_passes_through(spark, deliveries):
+    out = throttle_exact(deliveries, {"errors": 5}).collect()
+    assert all(not r["throttled"] for r in out if r["sink_id"] == "archive_all")
+
+
+def test_hash_throttle_rate_and_determinism(spark):
+    n = 5000
+    df = spark.createDataFrame(
+        [("c%05d" % i, i, BASE + dt.timedelta(seconds=i % 3000), "archive_all")
+         for i in range(n)],
+        SCHEMA,
+    )
+    out1 = throttle_hash(df, {"archive_all": 1000}).collect()
+    kept1 = {(r["conv_id"], r["turn_idx"]) for r in out1 if not r["throttled"]}
+    # approximately-N: within 10% of the cap on 5k rows
+    assert 900 <= len(kept1) <= 1100
+    # determinism: rerun admits the identical row set
+    out2 = throttle_hash(df.repartition(7), {"archive_all": 1000}).collect()
+    kept2 = {(r["conv_id"], r["turn_idx"]) for r in out2 if not r["throttled"]}
+    assert kept1 == kept2
+    # schema: helper columns are gone
+    assert set(out1[0].asDict()) == {"conv_id", "turn_idx", "ts", "sink_id",
+                                     "throttled"}
+
+
+def test_tallies(spark, deliveries):
+    th = throttle_exact(deliveries, LIMITS,
+                        order_cols=["ts", "conv_id", "turn_idx"])
+    t = {(r["sink_id"], r["ws"].hour): (r["n_delivered"], r["n_dropped"])
+         for r in throttle_tallies(th).collect()}
+    assert t == {
+        ("archive_all", 12): (20, 10),
+        ("archive_all", 13): (10, 0),
+        ("errors", 12): (5, 3),
+    }
