@@ -1,0 +1,125 @@
+"""Streaming multiline framing: the stateful twin of
+operators/framing.frame_multiline. A live tail (Filebeat multiline,
+Fluentd concat) cannot wait for "the whole file": an event is open
+until the NEXT anchor arrives — possibly several micro-batches later —
+or an idle timeout flushes it. That pending-event buffer is exactly
+per-stream state, so this is applyInPandasWithState keyed by stream.
+
+Contract: lines arrive in seq order per stream ACROSS micro-batches
+(the tailing-source property; within a batch any order is fine — we
+sort). State per stream is one pending event (id counter, first seq,
+line count, folded text): O(longest continuation run), no line
+history. Each closed event emits one row with the SAME schema as the
+batch operator; the batch/stream pair converges on identical input
+(test_multiline_stream asserts equality against frame_multiline).
+
+Per-batch work is vectorized pandas (regex match + anchor cumsum +
+per-EVENT group fold) — group-level Python like packing.py's greedy
+fold, never per-line interpretation of the hot fields.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from node_log_forwarder_spark.operators.framing import DEFAULT_CONTINUATION
+
+STATE_SCHEMA = (
+    "next_event_id long, pend_event_id long, pend_first_seq long, "
+    "pend_n long, pend_text string, pend_anchored boolean"
+)
+OUTPUT_SCHEMA = (
+    "stream string, event_id long, anchored boolean, first_seq long, "
+    "n_lines long, anchor_text string, text string"
+)
+
+_EMPTY = (1, None, None, 0, None, False)  # next_event_id starts at 1
+
+
+def _emit(stream: str, eid: int, anchored: bool, first_seq: int,
+          n: int, text: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"stream": [stream], "event_id": [eid], "anchored": [anchored],
+         "first_seq": [first_seq], "n_lines": [n],
+         "anchor_text": [text.split("\n", 1)[0]], "text": [text]}
+    )
+
+
+def make_framer(pattern: str = DEFAULT_CONTINUATION, timeout_ms: int = 30_000,
+                sep: str = "\n"):
+    """Build the applyInPandasWithState function (closure carries the
+    continuation pattern — state stays pure data)."""
+    rx = re.compile(pattern)
+
+    def frame(key: tuple, pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+        (stream,) = key
+        if state.hasTimedOut:
+            nid, pid, pfs, pn, ptext, panch = state.get
+            state.remove()
+            if pn:
+                yield _emit(stream, pid, panch, pfs, pn, ptext)
+            return
+
+        nid, pid, pfs, pn, ptext, panch = (
+            state.get if state.exists else _EMPTY
+        )
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:  # defensive: keep state alive, nothing to fold
+            state.update((nid, pid, pfs, pn, ptext, panch))
+            state.setTimeoutDuration(timeout_ms)
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
+        is_anchor = ~pdf["text"].str.match(rx).fillna(False)
+        gid = is_anchor.cumsum()  # 0 = continuation of the pending event
+        for g, chunk in pdf.groupby(gid, sort=True):
+            txt = sep.join(chunk["text"].tolist())
+            first = int(chunk["seq"].iloc[0])
+            if g == 0:
+                # continuation run of the carried-over pending event
+                if pn:
+                    ptext, pn = ptext + sep + txt, pn + len(chunk)
+                else:  # stream starts mid-event: orphan event 0
+                    pid, pfs, pn, ptext, panch = 0, first, len(chunk), txt, False
+                continue
+            if pn:  # new anchor closes whatever was pending
+                yield _emit(stream, pid, panch, pfs, pn, ptext)
+            pid, pfs, pn, ptext, panch = nid, first, len(chunk), txt, True
+            nid += 1
+        # everything except the last open event flushed above; the open
+        # event waits for the next anchor or the idle timeout
+        state.update((nid, pid, pfs, pn, ptext, panch))
+        state.setTimeoutDuration(timeout_ms)
+
+    return frame
+
+
+def frame_multiline_stream(
+    stream: DataFrame,
+    stream_col: str = "stream",
+    seq_col: str = "seq",
+    line_col: str = "text",
+    pattern: str = DEFAULT_CONTINUATION,
+    timeout_ms: int = 30_000,
+) -> DataFrame:
+    """Streaming framed events (append output mode: each event row is
+    final when emitted — an event closes exactly once)."""
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.col(stream_col).alias("stream"),
+        F.col(seq_col).alias("seq"),
+        F.col(line_col).alias("text"),
+    )
+    return src.groupBy("stream").applyInPandasWithState(
+        make_framer(pattern, timeout_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,113 @@
+"""Streaming multiline framing must converge to the batch operator's
+output on the same ordered input. Files are fed one per trigger in seq
+order (the tailing-source contract); a sentinel trailing anchor closes
+each stream's final event so the test never depends on timeout
+timing."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.framing import frame_multiline
+from node_log_forwarder_spark.streaming.multiline import frame_multiline_stream
+
+SENTINEL = "__eof__"
+
+# (stream, seq, text) split across 3 chunks; an event spans the chunk
+# boundary (A seq 4-6 continue the anchor at seq 3 from chunk 1)
+CHUNKS = [
+    [
+        ("A", 1, "ok start"),
+        ("A", 2, "ERROR Boom: first"),
+        ("A", 3, "ERROR Deep: second"),
+        ("B", 1, "    at orphan.Frame(X.java:1)"),
+    ],
+    [
+        ("A", 4, "    at a.B.c(D.java:2)"),
+        ("A", 5, "Caused by: java.io.EOFException"),
+        ("A", 6, "    at e.F.g(H.java:3)"),
+        ("B", 2, "plain b line"),
+    ],
+    [
+        ("A", 7, "ok end"),
+        ("A", 8, SENTINEL),
+        ("B", 3, "    at b.tail(Y.java:9)"),
+        ("B", 4, SENTINEL),
+    ],
+]
+SCHEMA = "stream string, seq int, text string"
+
+
+def test_stream_framing_converges_to_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    base = time.time() - 100
+    for i, chunk in enumerate(CHUNKS):
+        # one parquet file per chunk with increasing mtime: the file
+        # source lists in (mtime, path) order -> in-order micro-batches
+        p = f"{inp}/chunk{i}"
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+    q = (
+        frame_multiline_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("framed_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["stream"], r["event_id"]): (
+            r["anchored"], r["first_seq"], r["n_lines"], r["anchor_text"],
+            r["text"],
+        )
+        for r in spark.table("framed_stream").collect()
+        if r["anchor_text"] != SENTINEL
+    }
+
+    rows = [r for c in CHUNKS for r in c]
+    batch = frame_multiline(
+        spark.createDataFrame(rows, SCHEMA), ["stream"], "seq"
+    )
+    want = {
+        (r["stream"], r["event_id"]): (
+            r["anchored"], r["first_seq"], r["n_lines"], r["anchor_text"],
+            r["text"],
+        )
+        for r in batch.collect()
+        if r["anchor_text"] != SENTINEL
+    }
+    assert got == want
+    # the cross-chunk stack trace really was reassembled in streaming
+    ev = got[("A", 3)]
+    assert ev[2] == 4 and ev[4].splitlines() == [
+        "ERROR Deep: second",
+        "    at a.B.c(D.java:2)",
+        "Caused by: java.io.EOFException",
+        "    at e.F.g(H.java:3)",
+    ]
+    # orphan leading lines surfaced un-anchored
+    assert got[("B", 0)] == (
+        False, 1, 1, "    at orphan.Frame(X.java:1)",
+        "    at orphan.Frame(X.java:1)",
+    )
+    # ... and "plain b line" anchored its own event with the tail frame
+    assert got[("B", 1)] == (
+        True, 2, 2, "plain b line",
+        "plain b line\n    at b.tail(Y.java:9)",
+    )
