@@ -429,6 +429,32 @@ def ivf_assign(
     return df.withColumn(out_col, _nearest_centroid(F.col(vec_col), centroids))
 
 
+def ivf_centroids_quantized(
+    df_q: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+    expected_count: int | None = None,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer directly from the int8 store
+    (NOTES r5 #6): the training view dequantizes as an EXPRESSION over
+    (qvec, qscale) — the scan reads only the 4x-smaller table, so the
+    float embedding table can be dropped right after quantization and
+    the whole IVF lifecycle (train → assign → probe) runs float-free
+    on disk. L2 on raw int8 would be wrong under per-vector scales
+    (the scale-invariance that saves SRP/cosine does NOT apply to
+    distances-to-centroids); dequantizing in-expression is the correct
+    and equally scan-cheap form."""
+    deq = df_q.select(
+        F.col(id_col),
+        dequantize_embedding(F.col(qvec_col), F.col(scale_col)).alias("_deq"),
+    )
+    return ivf_centroids(deq, k=k, iters=iters, id_col=id_col,
+                         vec_col="_deq", expected_count=expected_count)
+
+
 def ivf_assign_quantized(
     df_q: DataFrame,
     centroids: list[list[float]],

@@ -374,6 +374,7 @@ def test_quantized_ivf_assignment_and_recall(spark):
         ivf_assign,
         ivf_assign_quantized,
         ivf_centroids,
+        ivf_centroids_quantized,
         ivf_topk_quantized,
         quantize_table,
     )
@@ -385,6 +386,8 @@ def test_quantized_ivf_assignment_and_recall(spark):
         dequantize_embedding(F.col("qvec"), F.col("qscale")).alias("embedding"),
     )
     cents = ivf_centroids(deq, k=4, iters=1)
+    # the named float-free training API is the same computation
+    assert ivf_centroids_quantized(qt, k=4, iters=1) == cents
     # 1. expression-path assignment == materialized-column assignment
     a_expr = {r["vec_id"]: r["ivf_cluster"]
               for r in ivf_assign_quantized(qt, cents).collect()}
