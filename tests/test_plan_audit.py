@@ -1,0 +1,30 @@
+"""Repo-wide physical-plan invariants over ALL 50 registered queries
+(tools/explain_audit.audit): no CartesianProduct, no row-at-a-time
+Python, no query errors, and BroadcastNestedLoopJoin confined to the
+reviewed scalar-attach whitelist. test_plan_shape pins the key paths
+in detail; this sweep guards every other query from regressing into a
+non-scale plan shape."""
+
+from __future__ import annotations
+
+# queries whose BNLJ is the deliberate 1-row-broadcast scalar-attach
+# pattern (PLANS.md intro; reviewed in r4): a query vector, funnel
+# total, or trained-threshold row crossed onto the corpus. Additions
+# here require the same review.
+BNLJ_WHITELIST = {"cosine_near_dup_blocked", "ann_lsh", "lang_id", "cosine_topk"}
+
+
+def test_all_query_plans_are_scale_shaped(spark):
+    from tools.explain_audit import audit
+
+    rows, _ = audit(spark, "/root/testdata/sf0.001")
+    assert len(rows) == 50
+    errors = {n: c["error"] for n, c in rows if "error" in c}
+    assert not errors, errors
+    offenders = {
+        n: c for n, c in rows if c["python_eval"] or c["cartesian"]
+    }
+    assert not offenders, offenders
+    stray_bnlj = {n: c["bnlj"] for n, c in rows
+                  if c["bnlj"] and n not in BNLJ_WHITELIST}
+    assert not stray_bnlj, stray_bnlj
