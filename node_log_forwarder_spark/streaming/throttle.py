@@ -1,0 +1,84 @@
+"""Streaming per-sink rate limiting — the live twin of
+operators/throttle.throttle_exact. A tailing forwarder admits the
+first N deliveries per (sink, window) ACROSS micro-batches, which
+batch row_number cannot do: the admitted-so-far counter must survive
+the batch boundary. That counter is the entire state — one long per
+open (sink, window) group, evicted by idle timeout once the window
+stops receiving rows.
+
+applyInPandasWithState keyed by (sink_id, window_start). Each batch
+sorts its slice by the caller's survivor order and admits until the
+cap; every input row is emitted exactly once with a final ``throttled``
+flag (append mode). On an in-order feed this converges to the batch
+operator's survivor set — asserted by test_throttle_stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n_admitted long"
+OUTPUT_SCHEMA = (
+    "sink_id string, ws timestamp, conv_id string, turn_idx int, "
+    "ts timestamp, throttled boolean"
+)
+
+
+def make_throttler(limits: dict[str, int],
+                   order_cols: list[str], timeout_ms: int = 60_000):
+    def admit(key: tuple, pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+        sink_id, ws = key
+        if state.hasTimedOut:  # window idle: counter no longer needed
+            state.remove()
+            return
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.setTimeoutDuration(timeout_ms)
+            return
+        (n_admitted,) = state.get if state.exists else (0,)
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(order_cols)
+        cap = limits.get(sink_id)
+        if cap is None:
+            take = len(pdf)
+        else:
+            take = max(0, min(cap - n_admitted, len(pdf)))
+        flags = [False] * take + [True] * (len(pdf) - take)
+        out = pdf[["conv_id", "turn_idx", "ts"]].copy()
+        out.insert(0, "ws", ws)
+        out.insert(0, "sink_id", sink_id)
+        out["throttled"] = flags
+        state.update((n_admitted + take,))
+        state.setTimeoutDuration(timeout_ms)
+        yield out
+
+    return admit
+
+
+def throttle_stream(
+    exploded: DataFrame,
+    limits: dict[str, int],
+    window: str = "1 hour",
+    order_cols: list[str] | None = None,
+    timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Rate-limit a streaming delivery frame (one row per (row, sink)
+    with sink_id/ts/conv_id/turn_idx). Output: every delivery row with
+    its final ``throttled`` decision, append mode."""
+    order = order_cols or ["ts", "conv_id", "turn_idx"]
+    src = exploded.select(
+        "sink_id",
+        F.window(F.col("ts").cast("timestamp"), window)["start"].alias("ws"),
+        "conv_id", "turn_idx", "ts",
+    )
+    return src.groupBy("sink_id", "ws").applyInPandasWithState(
+        make_throttler(limits, order, timeout_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,79 @@
+"""Streaming throttle must admit the first N per (sink, window) ACROSS
+micro-batches and converge to the batch throttle_exact survivor set on
+an ordered feed."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.throttle import throttle_exact
+from node_log_forwarder_spark.streaming.throttle import throttle_stream
+
+BASE = dt.datetime(2026, 3, 1, 12, 0, 0)
+SCHEMA = "sink_id string, ts timestamp, conv_id string, turn_idx int"
+
+# 3 ordered chunks; the archive cap (8) is crossed mid-chunk-2, so the
+# admitted-counter must carry over a batch boundary to get this right
+CHUNKS = [
+    [("archive_all", BASE + dt.timedelta(minutes=i), "c%02d" % i, i)
+     for i in range(5)] +
+    [("errors", BASE + dt.timedelta(minutes=i), "e%02d" % i, i)
+     for i in range(2)],
+    [("archive_all", BASE + dt.timedelta(minutes=5 + i), "c%02d" % (5 + i), 5 + i)
+     for i in range(5)],
+    [("archive_all", BASE + dt.timedelta(minutes=10 + i), "c%02d" % (10 + i), 10 + i)
+     for i in range(3)] +
+    [("archive_all", BASE + dt.timedelta(hours=1, minutes=i), "d%02d" % i, 100 + i)
+     for i in range(2)],  # next hour: counter resets (new state key)
+]
+LIMITS = {"archive_all": 8}
+
+
+def test_throttle_stream_converges_to_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    base = time.time() - 100
+    for i, chunk in enumerate(CHUNKS):
+        p = f"{inp}/chunk{i}"
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+    q = (
+        throttle_stream(stream, LIMITS)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("throttled_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r["sink_id"], r["conv_id"], r["turn_idx"]): r["throttled"]
+           for r in spark.table("throttled_stream").collect()}
+
+    rows = [r for c in CHUNKS for r in c]
+    batch = throttle_exact(
+        spark.createDataFrame(rows, SCHEMA), LIMITS,
+        order_cols=["ts", "conv_id", "turn_idx"],
+    )
+    want = {(r["sink_id"], r["conv_id"], r["turn_idx"]): r["throttled"]
+            for r in batch.collect()}
+    assert got == want
+    # cross-batch cap: exactly 8 admitted in hour 12 (5 from chunk 1,
+    # 3 from chunk 2), the fresh hour admits everything, errors uncapped
+    admitted = [k for k, v in got.items() if not v]
+    assert sum(1 for s, c, _ in admitted if s == "archive_all" and c.startswith("c")) == 8
+    assert sum(1 for s, c, _ in admitted if c.startswith("d")) == 2
+    assert sum(1 for s, c, _ in admitted if s == "errors") == 2
