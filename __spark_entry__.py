@@ -66,6 +66,17 @@ SF0001 = "/root/testdata/sf0.001"
 # Powers of two => the u < rate comparison is bit-deterministic.
 _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.125, "zh": 0.0625}
 
+# CIDR table for the enrich_broadcast audit (operators/iplookup.py):
+# three NESTED prefixes so longest-prefix-match actually fires —
+# customers with c_nationkey%25==3 land in the /16, and within those the
+# /20 wins for c_custkey%256 in 16..31. The DuckDB twin carries the same
+# ranges as integer bounds (10.0.0.0/8 = 167772160, see oracle_sql).
+CIDR_AUDIT_TABLE = [
+    ("10.0.0.0/8", {"zone": "corp", "site": "global"}),
+    ("10.3.0.0/16", {"zone": "corp-eu", "site": "fra"}),
+    ("10.3.16.0/20", {"zone": "corp-eu-lab", "site": "fra2"}),
+]
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC so date_trunc/hour windows agree with DuckDB's naive
@@ -211,16 +222,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- O7 broadcast lookup enrich -----------------------------------------
     def q_enrich_broadcast(spark, sf):
+        # CIDR audit (r4, operators/iplookup.py): each customer gets a
+        # deterministic IPv4; cidr_enrich resolves longest-prefix-match
+        # via the flatten->bucket->broadcast-equi-join plan, while the
+        # DuckDB twin ranks the NAIVE theta join by prefix length — the
+        # scalable plan is checked against the semantic definition.
+        from node_log_forwarder_spark.operators.iplookup import cidr_enrich
+
         cust = _t(spark, sf, "customer")
         nat = _t(spark, sf, "nation")
         reg = _t(spark, sf, "region")
+        ip = F.concat_ws(
+            ".",
+            F.lit("10"),
+            (cust.c_nationkey % 25).cast("string"),
+            (cust.c_custkey % 256).cast("string"),
+            (F.floor(cust.c_custkey / 7) % 256).cast("string"),
+        )
+        tagged = cidr_enrich(
+            cust.withColumn("_ip", ip), CIDR_AUDIT_TABLE, ip_col="_ip"
+        )
         return (
-            cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            tagged.join(F.broadcast(nat), tagged.c_nationkey == nat.n_nationkey)
             .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
             .groupBy("r_name")
             .agg(
                 F.count(F.lit(1)).alias("n_customers"),
                 F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+                F.count(F.when(F.col("zone") == "corp-eu", 1)).alias("n_eu"),
+                F.count(F.when(F.col("zone") == "corp-eu-lab", 1)).alias(
+                    "n_lab"
+                ),
             )
         )
     q["enrich_broadcast"] = q_enrich_broadcast
@@ -1229,10 +1261,39 @@ def oracle_sql() -> dict[str, str]:
         FROM e GROUP BY 1
     """
 
+    # The CIDR audit twin is the NAIVE definition: theta join every
+    # customer IP (as uint32 arithmetic — same value ip_to_long parses
+    # from the dotted string on the Spark side) against every range,
+    # longest prefix wins via row_number. Spark's flatten/bucket/equi
+    # plan must reproduce it exactly. Bounds: 10.0.0.0/8 =
+    # [167772160, 184549375], 10.3.0.0/16 = [167968768, 168034303],
+    # 10.3.16.0/20 = [167972864, 167976959] (CIDR_AUDIT_TABLE).
     sql["enrich_broadcast"] = """
+        WITH c AS (
+          SELECT c_custkey, c_nationkey, c_acctbal,
+                 167772160 + (c_nationkey % 25) * 65536
+                           + (c_custkey % 256) * 256
+                           + ((c_custkey // 7) % 256) AS ipl
+          FROM customer
+        ),
+        r(s, e, plen, zone) AS (
+          VALUES (167772160, 184549375, 8,  'corp'),
+                 (167968768, 168034303, 16, 'corp-eu'),
+                 (167972864, 167976959, 20, 'corp-eu-lab')
+        ),
+        m AS (
+          SELECT c_custkey, c_nationkey, c_acctbal, zone FROM (
+            SELECT c.*, r.zone,
+                   row_number() OVER (PARTITION BY c.c_custkey
+                                      ORDER BY r.plen DESC NULLS LAST) AS rn
+            FROM c LEFT JOIN r ON c.ipl BETWEEN r.s AND r.e
+          ) WHERE rn = 1
+        )
         SELECT r_name, count(*) AS n_customers,
-               round(avg(c_acctbal), 4) AS avg_bal
-        FROM customer
+               round(avg(c_acctbal), 4) AS avg_bal,
+               count(CASE WHEN zone = 'corp-eu' THEN 1 END) AS n_eu,
+               count(CASE WHEN zone = 'corp-eu-lab' THEN 1 END) AS n_lab
+        FROM m
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name

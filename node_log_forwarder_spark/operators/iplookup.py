@@ -1,0 +1,137 @@
+"""CIDR-range lookup enrich — the forwarder-world GeoIP/network-zone
+stage (Logstash ``geoip``/``cidr`` filters, Fluent Bit ``geoip2``):
+attach zone/site/asn metadata to an IPv4 column by range containment,
+longest-prefix-match on overlaps.
+
+Range containment is a THETA join (ip BETWEEN start AND end) — naively
+a BroadcastNestedLoopJoin probing every range per row: 10^5 ranges ×
+10^12 rows = 10^17 comparisons. The scalable shape here is two
+driver-side dim transforms + one equi join:
+
+  1. FLATTEN (driver, O(n log n) sweep): overlapping CIDRs become
+     DISJOINT intervals, each carrying the metadata of its most
+     specific (longest-prefix) covering range. Longest-prefix-match is
+     thereby resolved once in the dim, not per data row — and every IP
+     now matches AT MOST ONE interval, so the join needs no
+     deduplicating aggregation (no data-side shuffle at all).
+  2. BUCKET (driver): each interval expands to the /16 prefixes it
+     overlaps — an EQUI key. A /8 contributes 256 bucket rows, a /24
+     one; GeoIP-scale tables (10^5-10^6 ranges ≈ MBs) stay broadcast
+     scale.
+  3. JOIN: rows compute their /16 bucket with one shift and
+     broadcast-hash join on it; a BETWEEN filter picks the single
+     candidate interval inside the bucket.
+
+The plan is a BroadcastHashJoin — same class as every other dim enrich
+(plan-asserted in tests), zero UDFs, zero extra exchanges.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def ip_to_long(col: Column) -> Column:
+    """Dotted-quad string -> uint32-as-long, null on malformed input
+    (codegen'd split + arithmetic, no UDF)."""
+    parts = F.split(col, r"\.")
+    octets = [parts.getItem(i).cast("long") for i in range(4)]
+    valid = (F.size(parts) == 4) & F.forall(
+        parts, lambda p: p.rlike(r"^\d{1,3}$")
+    )
+    for o in octets:
+        valid = valid & (o <= 255)
+    return F.when(
+        valid,
+        octets[0] * 16777216 + octets[1] * 65536 + octets[2] * 256 + octets[3],
+    )
+
+
+def flatten_cidrs(cidrs: list[tuple[str, dict]]) -> list[dict]:
+    """Overlapping CIDRs -> disjoint {start, end, **meta} intervals
+    under longest-prefix-match (boundary sweep; nesting depth for real
+    CIDR sets is ≤ 32, so the per-segment max over the active set is
+    effectively constant)."""
+    ranges = []
+    for cidr, meta in cidrs:
+        net = ipaddress.ip_network(cidr, strict=True)
+        ranges.append(
+            {"start": int(net.network_address),
+             "end": int(net.broadcast_address),
+             "prefix_len": net.prefixlen, "meta": meta}
+        )
+    evs = []
+    for i, r in enumerate(ranges):
+        evs.append((r["start"], 1, i))
+        evs.append((r["end"] + 1, 0, i))  # close sorts before open at ==pos
+    evs.sort()
+    active: set[int] = set()
+    segs: list[list] = []  # [start, end, range_idx]
+    prev = None
+    for pos, typ, idx in evs:
+        if prev is not None and pos > prev and active:
+            best = max(
+                active,
+                key=lambda i: (ranges[i]["prefix_len"], ranges[i]["start"]),
+            )
+            if segs and segs[-1][2] == best and segs[-1][1] + 1 == prev:
+                segs[-1][1] = pos - 1  # extend same-winner adjacency
+            else:
+                segs.append([prev, pos - 1, best])
+        if typ == 0:
+            active.discard(idx)
+        else:
+            active.add(idx)
+        prev = pos
+    return [
+        {"start": a, "end": b, **ranges[i]["meta"]} for a, b, i in segs
+    ]
+
+
+def intervals_to_buckets(intervals: list[dict], bucket_bits: int = 16
+                         ) -> list[dict]:
+    """Disjoint intervals -> one dim row per overlapped /bucket_bits
+    prefix (the equi key). Fan-out per interval is
+    max(1, span / 2^(32-bucket_bits))."""
+    shift = 32 - bucket_bits
+    rows = []
+    for iv in intervals:
+        for b in range(iv["start"] >> shift, (iv["end"] >> shift) + 1):
+            rows.append({"bucket": b, **iv})
+    return rows
+
+
+def cidr_enrich(
+    df: DataFrame,
+    cidrs: list[tuple[str, dict]],
+    ip_col: str = "ip",
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """Left-enrich ``df`` with the metadata of the most specific CIDR
+    containing each row's IPv4. Null metadata on no-match or malformed
+    IP — the lookup-miss passthrough contract of the enrich stage
+    (SURVEY §2.1 O7)."""
+    buckets = intervals_to_buckets(flatten_cidrs(cidrs), bucket_bits)
+    if not buckets:
+        raise ValueError("empty CIDR table")
+    meta_cols = [k for k in buckets[0] if k not in ("bucket", "start", "end")]
+    overlap = set(meta_cols) & set(df.columns)
+    if overlap:
+        raise ValueError(
+            f"CIDR metadata collides with input columns: {sorted(overlap)}"
+        )
+    dim = df.sparkSession.createDataFrame(buckets)
+
+    tagged = df.withColumn("_ipl", ip_to_long(F.col(ip_col))).withColumn(
+        "_bucket", F.shiftright(F.col("_ipl"), 32 - bucket_bits)
+    )
+    joined = tagged.join(
+        F.broadcast(dim),
+        (tagged["_bucket"] == dim["bucket"])
+        & (tagged["_ipl"] >= dim["start"])
+        & (tagged["_ipl"] <= dim["end"]),
+        "left",
+    )
+    return joined.select(*df.columns, *meta_cols)

@@ -1,0 +1,118 @@
+"""CIDR-range enrich (operators/iplookup.py): longest-prefix-match
+correctness vs a naive DuckDB theta-join twin, flatten/bucket unit
+behavior, malformed-IP nulls, and the BroadcastHashJoin plan shape."""
+
+from __future__ import annotations
+
+import ipaddress
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.iplookup import (
+    cidr_enrich,
+    flatten_cidrs,
+    intervals_to_buckets,
+    ip_to_long,
+)
+
+CIDRS = [
+    ("10.0.0.0/8", {"zone": "corp", "site": "global"}),
+    ("10.1.0.0/16", {"zone": "corp-eu", "site": "fra"}),      # nested in /8
+    ("10.1.2.0/24", {"zone": "corp-eu-lab", "site": "fra2"}), # nested deeper
+    ("192.168.0.0/16", {"zone": "rfc1918", "site": "local"}),
+    ("203.0.113.0/24", {"zone": "testnet3", "site": "doc"}),
+]
+
+IPS = [
+    "10.0.0.1",        # /8 only
+    "10.1.0.7",        # /16 beats /8
+    "10.1.2.200",      # /24 beats /16 beats /8
+    "10.1.3.1",        # /16 (just outside the /24)
+    "192.168.44.5",    # separate /16
+    "203.0.113.255",   # /24 broadcast addr is IN range
+    "203.0.114.0",     # one past the /24 -> miss
+    "8.8.8.8",         # miss
+    "256.1.1.1",       # malformed -> null, no crash
+    "not-an-ip",       # malformed
+    None,              # null in
+]
+
+
+def _duck_expected():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r (start BIGINT, e BIGINT, plen INT, zone VARCHAR, site VARCHAR)")
+    for cidr, meta in CIDRS:
+        net = ipaddress.ip_network(cidr)
+        con.execute("INSERT INTO r VALUES (?, ?, ?, ?, ?)",
+                    [int(net.network_address), int(net.broadcast_address),
+                     net.prefixlen, meta["zone"], meta["site"]])
+    con.execute("CREATE TABLE i (ip VARCHAR, ipl BIGINT)")
+    for ip in IPS:
+        try:
+            ipl = int(ipaddress.IPv4Address(ip)) if ip else None
+        except Exception:
+            ipl = None
+        con.execute("INSERT INTO i VALUES (?, ?)", [ip, ipl])
+    rows = con.execute("""
+        SELECT ip, zone, site FROM (
+          SELECT i.ip, r.zone, r.site,
+                 row_number() OVER (PARTITION BY i.rowid
+                     ORDER BY r.plen DESC NULLS LAST, r.start DESC) AS rn
+          FROM i LEFT JOIN r ON i.ipl BETWEEN r.start AND r.e
+        ) WHERE rn = 1
+    """).fetchall()
+    con.close()
+    return {r[0]: (r[1], r[2]) for r in rows}
+
+
+def test_flatten_is_disjoint_and_longest_prefix():
+    iv = flatten_cidrs(CIDRS)
+    iv.sort(key=lambda r: r["start"])
+    for a, b in zip(iv, iv[1:]):
+        assert a["end"] < b["start"]  # disjoint
+    # the /24 hole is cut out of the /16, which is cut out of the /8
+    at = {x: next(v["zone"] for v in iv if v["start"] <= x <= v["end"])
+          for x in [int(ipaddress.IPv4Address(s)) for s in
+                    ("10.0.0.1", "10.1.0.7", "10.1.2.200", "10.1.3.1")]}
+    assert list(at.values()) == ["corp", "corp-eu", "corp-eu-lab", "corp-eu"]
+
+
+def test_bucket_fanout_counts():
+    iv = [{"start": 0, "end": (1 << 16) * 3 - 1, "zone": "z"}]
+    assert len(intervals_to_buckets(iv)) == 3  # spans 3 /16s
+    assert len(intervals_to_buckets(iv, bucket_bits=8)) == 1
+
+
+def test_ip_to_long_edges(spark):
+    df = spark.createDataFrame([(ip,) for ip in IPS], "ip string")
+    got = {r["ip"]: r["v"] for r in
+           df.select("ip", ip_to_long(F.col("ip")).alias("v")).collect()}
+    assert got["10.0.0.1"] == 10 * 16777216 + 1
+    assert got["203.0.113.255"] == int(ipaddress.IPv4Address("203.0.113.255"))
+    assert got["256.1.1.1"] is None and got["not-an-ip"] is None
+    assert got[None] is None
+
+
+def test_cidr_enrich_matches_naive_twin(spark):
+    df = spark.createDataFrame([(ip,) for ip in IPS], "ip string")
+    got = {r["ip"]: (r["zone"], r["site"])
+           for r in cidr_enrich(df, CIDRS).collect()}
+    assert got == _duck_expected()
+    # row count preserved (left enrich, no dup on overlap)
+    assert cidr_enrich(df, CIDRS).count() == len(IPS)
+
+
+def test_cidr_enrich_plan_is_broadcast_hash(spark):
+    df = spark.createDataFrame([(ip,) for ip in IPS], "ip string")
+    plan = (cidr_enrich(df, CIDRS)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_metadata_collision_raises(spark):
+    df = spark.createDataFrame([("10.0.0.1", "x")], "ip string, zone string")
+    with pytest.raises(ValueError, match="collides"):
+        cidr_enrich(df, CIDRS)
