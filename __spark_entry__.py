@@ -330,6 +330,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.format_string('{"event": "%s", "k": %d}', F.col("event_type"), k))
         )
         parsed = parse_stage(ev.select(line.alias("text")), LIBRARY_RULES)
+        # template-mining audit (r4, operators/templates.py): mask each
+        # line map-side; per rule family the distinct-template count and
+        # min template string pin the whole masking chain byte-exact
+        # against the DuckDB twin (template_oracle_sql).
+        from node_log_forwarder_spark.operators.templates import mask_template
+
+        parsed = parsed.withColumn("template", mask_template(F.col("text")))
         status_code = F.expr("try_cast(fields['status_code'] as int)")
         from node_log_forwarder_spark.functions.text import logfmt_map
 
@@ -349,6 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(
                 F.sum(F.expr("try_cast(fields['ssport'] as bigint)")), F.lit(0)
             ).alias("sum_ssport"),
+            F.countDistinct("template").alias("n_templates"),
+            F.min("template").alias("min_template"),
         )
     q["library_parse"] = q_library_parse
 
@@ -1300,6 +1309,13 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from node_log_forwarder_spark.config import LIBRARY_RULES as _LIB
+    from node_log_forwarder_spark.operators.templates import (
+        template_oracle_sql as _tpl_sql,
+    )
+
+    # interpolated as a VALUE so its regex braces never hit the
+    # f-string parser
+    tpl_expr = _tpl_sql("text")
 
     lib_cases = " ".join(
         f"WHEN regexp_matches(text, '{r.pattern.replace(chr(39), chr(39)*2)}') THEN '{r.rule_id}'"
@@ -1329,13 +1345,16 @@ def oracle_sql() -> dict[str, str]:
           SELECT CASE {lib_cases} ELSE NULL END AS rule_id,
                  TRY_CAST(regexp_extract(text, '" (\\d{{3}}) ', 1) AS INT) AS status_code,
                  TRY_CAST(regexp_extract(text, 'dur_ms=(\\d+)', 1) AS INT) AS dur_ms,
-                 TRY_CAST(regexp_extract(text, ' port (\\d+)$', 1) AS BIGINT) AS ssport
+                 TRY_CAST(regexp_extract(text, ' port (\\d+)$', 1) AS BIGINT) AS ssport,
+                 {tpl_expr} AS template
           FROM l
         )
         SELECT coalesce(rule_id, '_miss') AS rule_id, count(*) AS n,
                CAST(sum(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_4xx_plus,
                CAST(coalesce(sum(CASE WHEN rule_id = 'logfmt' THEN dur_ms END), 0) AS BIGINT) AS sum_dur_ms,
-               CAST(coalesce(sum(CASE WHEN rule_id = 'sshd_grok' THEN ssport END), 0) AS BIGINT) AS sum_ssport
+               CAST(coalesce(sum(CASE WHEN rule_id = 'sshd_grok' THEN ssport END), 0) AS BIGINT) AS sum_ssport,
+               count(DISTINCT template) AS n_templates,
+               min(template) AS min_template
         FROM p GROUP BY 1
     """
 

@@ -1,0 +1,121 @@
+"""Log template mining — the pattern-discovery operator of log
+analytics suites (Splunk "patterns", Datadog log clustering, the
+Drain/LogMine family): collapse free-text log lines into their
+constant skeletons by masking the variable tokens, then count
+occurrences per skeleton.
+
+The classic Drain algorithm is an *online* prefix-tree clusterer —
+inherently sequential driver-side state. The Spark-first equivalent
+keeps the part that matters at 100 TB and drops the part that doesn't:
+
+  1. MASK (map-side, whole-stage codegen): a pinned chain of native
+     ``regexp_replace`` calls rewrites variable tokens (uuid, ipv4,
+     hex ids, digit runs) to placeholder atoms and collapses
+     whitespace. No UDF, no shuffle — it fuses into the scan.
+  2. COUNT (one partial-agg shuffle): ``groupBy(template)`` with
+     map-side combine. Real-world template cardinality is tiny
+     (hundreds-thousands) next to row count (10^12), so the shuffle
+     carries per-partition partial counts of a few thousand keys —
+     KBs per partition regardless of input scale.
+
+Against a tree-based Drain this trades adaptive wildcard positions for
+a fixed mask vocabulary — the standard preprocessing step of Drain
+itself (its authors mask numbers/IPs before tree insertion), and the
+trade buys exactness: the operator is deterministic, mergeable, and
+has a byte-exact SQL twin (``template_oracle_sql``) which the
+``library_parse`` driver gate replays in DuckDB.
+
+Mask patterns stay inside the Java-regex ∩ RE2 common subset (no
+lookaround, ASCII \\d / \\b, explicit whitespace class — see the BPE
+tokenizer-divergence lore in ADVICE r3) so Spark and DuckDB produce
+identical bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Ordered: each pattern runs over the output of the previous one, so
+# composites (uuid ⊃ hex ⊃ digits, ipv4 ⊃ digits) must come first.
+# Replacement atoms contain no digits/hex chars, so later masks never
+# rewrite earlier ones.
+TEMPLATE_MASKS: list[tuple[str, str]] = [
+    (
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "<UUID>",
+    ),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    (r"0[xX][0-9a-fA-F]+", "<HEX>"),
+    # bare hex ids: 10+ chars keeps short all-[a-f] English words out;
+    # RE2 has no lookahead, so "at least one digit" cannot be required
+    # — a 10+-char all-letter [a-f] token is vanishingly rare in logs.
+    (r"\b[0-9a-f]{10,}\b", "<HEX>"),
+    (r"\d+", "<NUM>"),
+]
+
+# Java-\s includes \x0B, RE2-\s does not: use the explicit common
+# subset so both engines collapse identically.
+_WS = r"[ \t\n\f\r]+"
+
+
+def mask_template(col: Column, masks: list[tuple[str, str]] | None = None
+                  ) -> Column:
+    """Log line -> its constant skeleton (native regexp_replace chain,
+    codegen'd; null-safe via coalesce to '')."""
+    out = F.coalesce(col, F.lit(""))
+    for pat, tok in masks or TEMPLATE_MASKS:
+        out = F.regexp_replace(out, pat, tok)
+    return F.trim(F.regexp_replace(out, _WS, " "))
+
+
+def template_params(col: Column, masks: list[tuple[str, str]] | None = None
+                    ) -> Column:
+    """The variable tokens a line loses under masking, in order —
+    array<string> via one regexp_extract_all over the alternation of
+    the mask patterns (same precedence: alternation is leftmost-first
+    in both Java and RE2 default mode)."""
+    union = "|".join(f"(?:{p})" for p, _ in (masks or TEMPLATE_MASKS))
+    return F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(union), 0)
+
+
+def mine_templates(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Discover (template, n_rows, example) over a text column. One
+    partial-agg shuffle of template-cardinality keys; ``example`` is
+    min(raw text) — deterministic and bounded reducer state."""
+    t = df.select(
+        mask_template(F.col(text_col)).alias("template"),
+        F.col(text_col).alias("_raw"),
+    )
+    out = t.groupBy("template").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("_raw").alias("example"),
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_rows") >= min_count)
+    return out
+
+
+def match_templates(df: DataFrame, text_col: str = "text",
+                    out_col: str = "template") -> DataFrame:
+    """Tag each row with its template (+ keeps all input columns) —
+    the row->cluster assignment side of the miner, map-side only."""
+    return df.withColumn(out_col, mask_template(F.col(text_col)))
+
+
+def template_oracle_sql(
+    text_expr: str = "text",
+    masks: list[tuple[str, str]] | None = None,
+) -> str:
+    """DuckDB expression computing the identical template bytes (RE2
+    'g'-flag regexp_replace chain mirroring mask_template). Generated
+    from the same TEMPLATE_MASKS list so the twin cannot drift."""
+    expr = f"coalesce({text_expr}, '')"
+    for pat, tok in masks or TEMPLATE_MASKS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{tok}', 'g')"
+    return f"trim(regexp_replace({expr}, '{_WS}', ' ', 'g'))"

@@ -1,0 +1,116 @@
+"""Template mining: masking exactness, mining counts, DuckDB-twin
+byte parity, params extraction, and plan shape (map-side mask + one
+partial-agg shuffle, zero Python)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.templates import (
+    TEMPLATE_MASKS,
+    mask_template,
+    match_templates,
+    mine_templates,
+    template_oracle_sql,
+    template_params,
+)
+
+LINES = [
+    "Accepted publickey for user42 from 10.0.0.7 port 51022",
+    "Accepted publickey for user7 from 192.168.3.99 port 2201",
+    "GET /api/v2/items/9183 took 13.5ms status 200",
+    "GET /api/v2/items/12 took 7.25ms status 404",
+    "session 550e8400-e29b-41d4-a716-446655440000 opened",
+    "session deadbeef-cafe-4bad-8bad-0123456789ab opened",
+    "ptr 0xDEADBEEF freed, txn 9f8e7d6c5b4a3210ff len 0",
+    "spaced   out\ttabs\nand newlines  7",
+    None,
+    "",
+]
+
+
+def _masked_rows(spark):
+    df = spark.createDataFrame([(l,) for l in LINES], "text string")
+    return {
+        (r["text"] if r["text"] is not None else None): r["template"]
+        for r in match_templates(df).collect()
+    }
+
+
+def test_mask_template_exact(spark):
+    m = _masked_rows(spark)
+    assert (
+        m[LINES[0]]
+        == "Accepted publickey for user<NUM> from <IP> port <NUM>"
+    )
+    assert m[LINES[0]] == m[LINES[1]]
+    assert m[LINES[2]] == "GET /api/v<NUM>/items/<NUM> took <NUM>.<NUM>ms status <NUM>"
+    assert m[LINES[4]] == "session <UUID> opened"
+    assert m[LINES[4]] == m[LINES[5]]
+    assert m[LINES[6]] == "ptr <HEX> freed, txn <HEX> len <NUM>"
+    assert m[LINES[7]] == "spaced out tabs and newlines <NUM>"
+    assert m[None] == "" and m[""] == ""
+
+
+def test_mine_templates_counts(spark):
+    df = spark.createDataFrame([(l,) for l in LINES], "text string")
+    mined = {r["template"]: r for r in mine_templates(df).collect()}
+    ssh = mined["Accepted publickey for user<NUM> from <IP> port <NUM>"]
+    assert ssh["n_rows"] == 2
+    assert ssh["example"] == LINES[0]  # min() of the two raw lines
+    assert mined["session <UUID> opened"]["n_rows"] == 2
+    assert mined[""]["n_rows"] == 2  # null + empty collapse together
+    assert sum(r["n_rows"] for r in mined.values()) == len(LINES)
+    # min_count filter
+    assert all(
+        r["n_rows"] >= 2
+        for r in mine_templates(df, min_count=2).collect()
+    )
+
+
+def test_duckdb_twin_byte_parity(spark):
+    """The generated RE2 chain must produce the identical template
+    bytes DuckDB-side — this is what lets the driver gate replay the
+    miner in oracle SQL."""
+    spark_side = _masked_rows(spark)
+    con = duckdb.connect()
+    expr = template_oracle_sql("text")
+    duck = con.execute(
+        f"SELECT text, {expr} AS t FROM (SELECT unnest(?) AS text)",
+        [[l for l in LINES if l is not None]],
+    ).fetchall()
+    for text, t in duck:
+        assert t == spark_side[text], text
+
+
+def test_template_params_order_and_parity(spark):
+    df = spark.createDataFrame([(l,) for l in LINES if l], "text string")
+    got = {
+        r["text"]: r["p"]
+        for r in df.select("text", template_params(F.col("text")).alias("p"))
+        .collect()
+    }
+    assert got[LINES[0]] == ["42", "10.0.0.7", "51022"]
+    assert got[LINES[6]] == ["0xDEADBEEF", "9f8e7d6c5b4a3210ff", "0"]
+    # DuckDB replays the same alternation (leftmost-first in both)
+    union = "|".join(f"(?:{p})" for p, _ in TEMPLATE_MASKS)
+    con = duckdb.connect()
+    for text, params in got.items():
+        (d,) = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [text, union]
+        ).fetchone()
+        assert d == params, text
+
+
+def test_plan_shape(spark):
+    df = spark.createDataFrame([(l,) for l in LINES if l], "text string")
+    plan = (
+        mine_templates(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # mask is map-side: exactly the one partial-agg exchange
+    assert plan.count("Exchange") == 1
