@@ -107,6 +107,85 @@ def match_templates(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, mask_template(F.col(text_col)))
 
 
+def classify_templates(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tag each batch row against a persisted template index (the
+    ``mine_templates`` output of the historical corpus): adds
+    ``template``, ``index_count`` (historical occurrences, null if
+    unseen) and ``is_novel``.
+
+    Scale shape (the incremental-dedup pattern, dedup.py:166): the
+    index has template cardinality — thousands of rows regardless of
+    corpus size — so it is explicitly **broadcast**; the batch is
+    masked map-side and never shuffles. At 10^12 rows/day this is a
+    scan-fused projection plus a broadcast hash join, zero data-side
+    exchanges.
+    """
+    idx = index.select("template", F.col("n_rows").alias("index_count"))
+    return (
+        match_templates(batch, text_col)
+        .join(F.broadcast(idx), "template", "left")
+        .withColumn("is_novel", F.col("index_count").isNull())
+    )
+
+
+def template_anomalies(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    min_ratio: float = 4.0,
+    min_batch_count: int = 2,
+) -> DataFrame:
+    """Volume-anomaly report: templates whose share of the current
+    batch exceeds ``min_ratio`` x their historical share in the index,
+    plus never-seen templates — the "new error signature just spiked"
+    query of log monitoring suites.
+
+    Returns (template, batch_count, batch_share, index_count,
+    index_share, lift, is_novel) for flagged templates only.
+
+    One partial-agg shuffle of template-cardinality keys on the batch;
+    totals are 1-row aggregates joined by broadcast cross join (bounded
+    state, the cosine_topk pattern); the index side is again broadcast.
+    Novel templates below ``min_batch_count`` are suppressed — a single
+    unseen line is noise, not an incident.
+    """
+    b = (
+        match_templates(batch, text_col)
+        .groupBy("template")
+        .agg(F.count(F.lit(1)).alias("batch_count"))
+    )
+    b_tot = b.agg(F.sum("batch_count").alias("_bt"))
+    idx = index.select("template", F.col("n_rows").alias("index_count"))
+    i_tot = idx.agg(F.sum(F.col("index_count")).alias("_it"))
+    scored = (
+        b.crossJoin(F.broadcast(b_tot))
+        .join(F.broadcast(idx), "template", "left")
+        .crossJoin(F.broadcast(i_tot))
+        .withColumn("batch_share", F.col("batch_count") / F.col("_bt"))
+        .withColumn(
+            "index_share",
+            F.when(
+                F.col("index_count").isNotNull() & (F.col("_it") > 0),
+                F.col("index_count") / F.col("_it"),
+            ),
+        )
+        .withColumn("lift", F.col("batch_share") / F.col("index_share"))
+        .withColumn("is_novel", F.col("index_count").isNull())
+    )
+    flagged = scored.filter(
+        (F.col("batch_count") >= min_batch_count)
+        & (F.col("is_novel") | (F.col("lift") >= min_ratio))
+    )
+    return flagged.select(
+        "template", "batch_count", "batch_share", "index_count",
+        "index_share", "lift", "is_novel",
+    )
+
+
 def template_oracle_sql(
     text_expr: str = "text",
     masks: list[tuple[str, str]] | None = None,

@@ -9,9 +9,11 @@ from pyspark.sql import functions as F
 
 from node_log_forwarder_spark.operators.templates import (
     TEMPLATE_MASKS,
+    classify_templates,
     mask_template,
     match_templates,
     mine_templates,
+    template_anomalies,
     template_oracle_sql,
     template_params,
 )
@@ -101,6 +103,79 @@ def test_template_params_order_and_parity(spark):
             "SELECT regexp_extract_all(?, ?)", [text, union]
         ).fetchone()
         assert d == params, text
+
+
+def _history(spark):
+    """Historical corpus: ssh logins common, GET requests rare."""
+    rows = [(l,) for l in LINES[:2] * 50 + [LINES[2]] * 2]
+    return mine_templates(spark.createDataFrame(rows, "text string"))
+
+
+def test_classify_templates_novelty(spark):
+    index = _history(spark)
+    batch = spark.createDataFrame(
+        [(LINES[0],), (LINES[2],), ("kernel panic at ffffa0b1c2d3e4f5",)],
+        "text string",
+    )
+    got = {r["text"]: r for r in classify_templates(batch, index).collect()}
+    assert not got[LINES[0]]["is_novel"]
+    assert got[LINES[0]]["index_count"] == 100
+    assert not got[LINES[2]]["is_novel"]
+    assert got["kernel panic at ffffa0b1c2d3e4f5"]["is_novel"]
+    assert got["kernel panic at ffffa0b1c2d3e4f5"]["index_count"] is None
+
+
+def test_classify_templates_plan(spark):
+    """Index joins by broadcast; the batch side never shuffles."""
+    index = _history(spark)
+    batch = spark.createDataFrame([(l,) for l in LINES if l], "text string")
+    plan = (
+        classify_templates(batch, index)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    # the only shuffle is the index's own mine_templates partial agg
+    # (template-cardinality keys); the batch side never shuffles
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_template_anomalies(spark):
+    index = _history(spark)
+    # batch: GET spikes (historical share 2/102, batch share 4/9 ->
+    # lift ~22x), ssh stays proportional-ish, novel template repeats,
+    # and a single novel line stays suppressed below min_batch_count.
+    batch = spark.createDataFrame(
+        [(LINES[2],)] * 4
+        + [(LINES[0],)] * 3
+        + [("oom killed pid 4412",), ("oom killed pid 9921",)]
+        + [("lone never-seen line 1",)],
+        "text string",
+    )
+    got = {r["template"]: r for r in
+           template_anomalies(batch, index, min_ratio=4.0).collect()}
+    get_tpl = "GET /api/v<NUM>/items/<NUM> took <NUM>.<NUM>ms status <NUM>"
+    ssh_tpl = "Accepted publickey for user<NUM> from <IP> port <NUM>"
+    oom_tpl = "oom killed pid <NUM>"
+    assert get_tpl in got and got[get_tpl]["lift"] > 4.0
+    assert not got[get_tpl]["is_novel"]
+    assert got[oom_tpl]["is_novel"] and got[oom_tpl]["batch_count"] == 2
+    assert ssh_tpl not in got  # proportional traffic not flagged
+    assert "lone never-seen line <NUM>" not in got  # below min_batch_count
+    # exact share arithmetic on the flagged spike
+    assert got[get_tpl]["batch_count"] == 4
+    assert got[get_tpl]["index_count"] == 2
+    assert abs(got[get_tpl]["lift"] - (4 / 10) / (2 / 102)) < 1e-9
+
+
+def test_template_anomalies_empty_index(spark):
+    empty = mine_templates(
+        spark.createDataFrame([], "text string")
+    )
+    batch = spark.createDataFrame([(LINES[0],)] * 3, "text string")
+    got = template_anomalies(batch, empty).collect()
+    assert len(got) == 1 and got[0]["is_novel"]
+    assert got[0]["index_share"] is None and got[0]["lift"] is None
 
 
 def test_plan_shape(spark):
