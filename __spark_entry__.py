@@ -66,6 +66,10 @@ SF0001 = "/root/testdata/sf0.001"
 # Powers of two => the u < rate comparison is bit-deterministic.
 _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.125, "zh": 0.0625}
 
+# fixed bag-of-tokens query for the lexical-search audit in vocab_topk
+# (operators/search.py); the DuckDB twin replays the identical list
+_SEARCH_QUERY = ("merge", "spark", "window")
+
 # CIDR table for the enrich_broadcast audit (operators/iplookup.py):
 # three NESTED prefixes so longest-prefix-match actually fires —
 # customers with c_nationkey%25==3 land in the /16, and within those the
@@ -1050,18 +1054,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sample_hash"] = q_sample_hash
 
-    # --- vocabulary: corpus-wide top-k tokens (explode + partial agg + topk) ------------
+    # --- vocabulary: corpus-wide top-k tokens (explode + partial agg + topk)
+    #     + lexical search audit (r4: operators/search.py — integer-exact
+    #     TF-IDF top-10 docs for a fixed query, weights (N*1000) div df,
+    #     all-BIGINT so the DuckDB twin is bit-identical; the float BM25
+    #     variant is pytest-gated in test_search). Sectioned union within
+    #     the 50-key cap: ('vocab', token, n) + ('search', doc_id, score) --
     def q_vocab_topk(spark, sf):
         from node_log_forwarder_spark.functions.text import tokens
+        from node_log_forwarder_spark.operators.search import tfidf_int_topk
 
         docs = _t(spark, sf, "documents")
-        return (
+        vocab = (
             docs.select(F.explode(tokens(F.col("text"))).alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("token"))
             .limit(20)
+            .select(F.lit("vocab").alias("section"), "token", "n")
         )
+        search = tfidf_int_topk(docs, list(_SEARCH_QUERY), k=10).select(
+            F.lit("search").alias("section"),
+            F.col("doc_id").cast("string").alias("token"),
+            F.col("score").alias("n"),
+        )
+        return vocab.unionByName(search)
     q["vocab_topk"] = q_vocab_topk
 
     # --- sketch: HLL approx-distinct. Invariant oracle: n and exact_users are
@@ -1990,10 +2007,36 @@ def oracle_sql() -> dict[str, str]:
         FROM d GROUP BY lang
     """
 
+    # vocab section + lexical-search section (operators/search.py twin:
+    # integer TF-IDF, weight = (N*1000) // df — DuckDB's // is floor
+    # division on BIGINTs, identical to Spark's `div` for non-negative
+    # inputs; every intermediate stays integral so the hash is exact)
+    _sq = ", ".join(f"'{t}'" for t in _SEARCH_QUERY)
     sql["vocab_topk"] = f"""
-        WITH toks AS (SELECT unnest({_TOKENS}) AS token FROM documents)
-        SELECT token, count(*) AS n FROM toks
-        GROUP BY token ORDER BY n DESC, token LIMIT 20
+        WITH toks AS (SELECT unnest({_TOKENS}) AS token FROM documents),
+        vocab AS (
+            SELECT 'vocab' AS section, token, count(*) AS n FROM toks
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents)
+            WHERE token IN ({_sq})
+            GROUP BY doc_id, token
+        ),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        nn AS (SELECT count(*) AS n_docs FROM documents),
+        w AS (SELECT token, (nn.n_docs * 1000) // df AS w FROM dfq CROSS JOIN nn),
+        sc AS (
+            SELECT tf.doc_id, CAST(sum(tf.tf * w.w) AS BIGINT) AS score
+            FROM tf JOIN w USING (token) GROUP BY tf.doc_id
+        ),
+        srch AS (
+            SELECT 'search' AS section, CAST(doc_id AS VARCHAR) AS token,
+                   score AS n
+            FROM sc ORDER BY score DESC, doc_id LIMIT 10
+        )
+        SELECT * FROM vocab UNION ALL SELECT * FROM srch
     """
 
     # near-dup pairs + connected-components audit: recursive min-label

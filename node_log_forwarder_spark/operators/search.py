@@ -1,0 +1,187 @@
+"""Lexical relevance search: inverted postings + BM25 / integer TF-IDF.
+
+Complements the embedding operators (`operators/similarity.py`): ANN
+serves vector similarity; this serves keyword relevance — the other
+half of a retrieval stack over a 100-TB document corpus (reference
+capability class: ad-hoc "which logs/documents mention X" ranked
+lookup; BASELINE.json input_hint `documents.text`).
+
+Scale design (the plan you'd want at 1000 executors):
+
+- **Postings build** (`doc_term_freqs`) is one explode plus one
+  partial-agged shuffle keyed by (token, doc_id); document text is
+  read exactly once and token rows never shuffle twice. Persist the
+  postings table partitioned/bucketed by token and the build cost is
+  amortized across every query.
+- **Query scoring** filters postings with a literal ``isin`` on the
+  query's tokens, so against a persisted postings table the predicate
+  PUSHES TO THE PARQUET SCAN — only row groups containing query terms
+  are read. Term weights (|query| rows) and corpus constants (one row:
+  N, avgdl) ride along as broadcast joins; the per-document sum is a
+  partial-agged shuffle over candidate documents only (those sharing
+  at least one query token), and top-k is a TakeOrderedAndProject —
+  the full corpus is never sorted.
+- **No driver-side collects in the plan**: N / avgdl are a 1-row
+  aggregate cross-joined in (broadcast NLJ of one row), the same
+  pattern the cosine/ANN operators use for query vectors.
+
+BM25 uses the Lucene-style idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+(always positive) with k1/b term saturation + length normalization —
+floating point, so it is pytest-gated against a pure-Python reference.
+`tfidf_int_topk` is the driver-oracle variant: weights are integer
+``(N*scale) div df`` and scores are exact BIGINT sums, bit-identical
+in Spark and DuckDB (`div` == `//` on non-negative longs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = [
+    "doc_term_freqs",
+    "doc_lengths",
+    "term_doc_freqs",
+    "bm25_topk",
+    "tfidf_int_topk",
+]
+
+
+def doc_term_freqs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(document, token) term frequencies — the postings table.
+
+    One explode + one shuffle; tf is a partial-agged count so the
+    map side combines before the (token, doc_id) exchange.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_w"))
+        .select("doc_id", F.explode("_w").alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token counts (no explode — `size` is map-side)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+    )
+
+
+def term_doc_freqs(tfs: DataFrame) -> DataFrame:
+    """Document frequency per token from a postings table."""
+    return tfs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+
+def _query_terms(spark, query_tokens: list[str]) -> DataFrame:
+    """Distinct query tokens as a tiny broadcastable frame."""
+    uniq = sorted(set(query_tokens))
+    return spark.createDataFrame([(t,) for t in uniq], "token string")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_tokens: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact BM25 top-k documents for a bag-of-tokens query.
+
+    Returns (doc_id, score) ordered by (score desc, doc_id) — the
+    deterministic tie-break both this and the pytest reference use.
+    """
+    spark = docs.sparkSession
+    if not query_tokens:
+        return spark.createDataFrame([], "doc_id long, score double")
+    tfs = doc_term_freqs(docs, id_col, text_col)
+    dls = doc_lengths(docs, id_col, text_col)
+    # corpus constants as a broadcast 1-row frame (no driver collect)
+    const = dls.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("dl").alias("_avgdl"),
+    )
+    qterms = _query_terms(spark, query_tokens)
+    # literal isin prunes postings at the scan; df only needs query terms
+    cand = tfs.where(F.col("token").isin(*sorted(set(query_tokens))))
+    dfs = term_doc_freqs(cand)
+    weights = (
+        dfs.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(const))
+        .select(
+            "token",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+            "_avgdl",
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(weights), "token")
+        .join(dls, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_s").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def tfidf_int_topk(
+    docs: DataFrame,
+    query_tokens: list[str],
+    k: int = 10,
+    scale: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Integer-exact TF-IDF relevance top-k (the driver-oracle variant).
+
+    Term weight = ``(N * scale) div df`` (floor division on longs —
+    DuckDB's ``//``), document score = Σ tf·weight: every intermediate
+    is a BIGINT, so Spark and the DuckDB twin are bit-identical with
+    no float summation-order hazard. Same plan shape as `bm25_topk`.
+    """
+    spark = docs.sparkSession
+    if not query_tokens:
+        return spark.createDataFrame([], "doc_id long, score long")
+    tfs = doc_term_freqs(docs, id_col, text_col)
+    n1 = docs.agg(F.count(F.lit(1)).alias("_n"))
+    qterms = _query_terms(spark, query_tokens)
+    cand = tfs.where(F.col("token").isin(*sorted(set(query_tokens))))
+    weights = (
+        term_doc_freqs(cand)
+        .join(F.broadcast(qterms), "token")
+        .join(F.broadcast(n1))
+        .select(
+            "token",
+            F.expr(f"(_n * {int(scale)}) div df").alias("w"),
+        )
+    )
+    return (
+        cand.join(F.broadcast(weights), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )

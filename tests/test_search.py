@@ -1,0 +1,143 @@
+"""Lexical search operators: BM25 vs a pure-Python reference, the
+integer TF-IDF driver variant vs brute force, plan shape (pushdown +
+broadcast-only query side), and edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.search import (
+    bm25_topk,
+    doc_lengths,
+    doc_term_freqs,
+    term_doc_freqs,
+    tfidf_int_topk,
+)
+
+DOCS = [
+    (0, "spark merge window spark spark"),
+    (1, "merge merge merge table scan"),
+    (2, "window window sort order by window"),
+    (3, "the quick brown fox"),
+    (4, "spark window merge"),
+    (5, ""),
+    (6, "   "),
+    (7, "spark"),
+]
+QUERY = ["spark", "merge", "window"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def _py_corpus():
+    toks = {i: t.split() for i, t in DOCS}
+    return toks
+
+
+def _py_bm25(query, k1=1.2, b=0.75):
+    toks = _py_corpus()
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    scores = {}
+    for t in sorted(set(query)):
+        df = sum(1 for w in toks.values() if t in w)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i, w in toks.items():
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            dl = len(w)
+            s = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            scores[i] = scores.get(i, 0.0) + s
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def _py_tfidf_int(query, scale=1000):
+    toks = _py_corpus()
+    n = len(toks)
+    scores = {}
+    for t in sorted(set(query)):
+        df = sum(1 for w in toks.values() if t in w)
+        if df == 0:
+            continue
+        w_t = (n * scale) // df
+        for i, w in toks.items():
+            tf = w.count(t)
+            if tf:
+                scores[i] = scores.get(i, 0) + tf * w_t
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_postings_exact(docs):
+    rows = {(r.token, r.doc_id): r.tf for r in doc_term_freqs(docs).collect()}
+    assert rows[("spark", 0)] == 3
+    assert rows[("merge", 1)] == 3
+    assert rows[("window", 2)] == 3
+    assert ("", 5) not in rows and ("", 6) not in rows  # blank text → no tokens
+    dls = {r.doc_id: r.dl for r in doc_lengths(docs).collect()}
+    assert dls[0] == 5 and dls[5] == 0 and dls[6] == 0
+    dfs = {r.token: r.df for r in term_doc_freqs(doc_term_freqs(docs)).collect()}
+    assert dfs["spark"] == 3 and dfs["the"] == 1
+
+
+def test_bm25_matches_reference(docs):
+    got = [(r.doc_id, r.score) for r in bm25_topk(docs, QUERY, k=10).collect()]
+    want = _py_bm25(QUERY)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-9)
+
+
+def test_bm25_rare_term_outranks_common(docs):
+    # 'the' appears in 1 doc, 'spark' in 3 → idf('the') > idf('spark');
+    # doc 3 must win a query for its unique term
+    got = [r.doc_id for r in bm25_topk(docs, ["the"], k=3).collect()]
+    assert got == [3]
+
+
+def test_tfidf_int_matches_bruteforce(docs):
+    got = [(r.doc_id, r.score) for r in tfidf_int_topk(docs, QUERY, k=10).collect()]
+    assert got == _py_tfidf_int(QUERY)
+    # integer exactness: every score is a long
+    assert all(isinstance(s, int) for _, s in got)
+
+
+def test_k_truncation_and_tiebreak(docs):
+    full = [r.doc_id for r in tfidf_int_topk(docs, QUERY, k=10).collect()]
+    top2 = [r.doc_id for r in tfidf_int_topk(docs, QUERY, k=2).collect()]
+    assert top2 == full[:2]
+
+
+def test_empty_and_miss_queries(docs):
+    assert bm25_topk(docs, [], k=5).count() == 0
+    assert bm25_topk(docs, ["zzz_not_in_corpus"], k=5).count() == 0
+    assert tfidf_int_topk(docs, [], k=5).count() == 0
+
+
+def test_plan_pushdown_and_broadcast(docs, tmp_path):
+    # against a persisted postings table, the query's isin filter must
+    # reach the parquet scan, and the query-side joins must all be
+    # broadcasts — the corpus-side postings never shuffle for a probe
+    p = str(tmp_path / "postings")
+    doc_term_freqs(docs).write.parquet(p)
+    spark = docs.sparkSession
+    postings = spark.read.parquet(p)
+    cand = postings.where(F.col("token").isin(*QUERY))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(token" in plan
+
+    topk = tfidf_int_topk(docs, QUERY, k=5)
+    qplan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in qplan  # no full-corpus sort
+    assert "BroadcastHashJoin" in qplan or "BroadcastNestedLoopJoin" in qplan
+    # the weights join must not be a sort-merge join (that would
+    # shuffle the postings side for a |query|-row probe)
+    assert "SortMergeJoin" not in qplan
