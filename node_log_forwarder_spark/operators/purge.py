@@ -1,0 +1,203 @@
+"""Right-to-be-forgotten purge over partitioned sink tables.
+
+A log pipeline that retains user-attributed rows needs delete
+propagation (GDPR/CCPA erasure): given a set of subject ids, remove
+every matching row from every sink table — without rewriting 100 TB.
+
+Scale design:
+
+- **Touch only affected partitions.** Pass 1 scans with the id
+  predicate and projects ONLY the partition columns, so parquet reads
+  prune to the predicate's row groups and the distinct result is
+  bounded by partition cardinality (sinks × days — metadata-sized,
+  safe to collect). Pass 2 reads *those partitions only* (partition
+  pruning via the collected tuples) and anti-filters the ids; every
+  other partition's files are never opened, never rewritten — a
+  pytest invariant checks untouched partitions keep their inodes.
+- **Ids as a list or a frame.** A literal list becomes ``isin`` (plan:
+  pushed filter); an id DataFrame (the realistic shape — an erasure
+  queue table) becomes a broadcast ``left_semi``/``left_anti`` join,
+  so the data side never shuffles.
+- **Verify before swap.** Like `operators/compact.py`: the rewrite
+  lands in a staging directory, per-partition row counts must satisfy
+  ``after == before - purged`` exactly, and only then are partition
+  directories swapped (backup kept by default). Iceberg deployments
+  run the same logical plan through a DELETE FROM metadata commit.
+- **Audit, not silence.** Returns per-partition (before, purged)
+  counts computed in ONE aggregation pass — the erasure evidence a
+  compliance pipeline records next to its tallies.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _match_cond(df: DataFrame, id_col: str, ids: list):
+    return F.col(id_col).isin(*ids)
+
+
+def _partition_dir(root: str, cols: list[str], values: dict) -> str:
+    parts = [f"{c}={values[c]}" for c in cols]
+    return os.path.join(root.rstrip("/"), *parts)
+
+
+def purge_rows(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    id_col: str,
+    ids: list | DataFrame,
+    keep_backup: bool = True,
+) -> dict:
+    """Erase all rows matching ``ids`` from a partitioned parquet table.
+
+    Returns ``{rows_purged, partitions_affected, audit, backup_path}``
+    where ``audit`` is one dict per affected partition:
+    ``{<partition col>: value, ..., n_before, n_purged}``.
+    """
+    if not partition_cols:
+        raise ValueError("purge_rows requires a partitioned table")
+    df = spark.read.parquet(path)
+    ids_is_frame = isinstance(ids, DataFrame)
+    if not ids_is_frame and not ids:
+        return {
+            "rows_purged": 0,
+            "partitions_affected": 0,
+            "audit": [],
+            "backup_path": None,
+        }
+
+    # pass 1: affected partitions + per-partition purge counts, one job.
+    # Projection is partition cols only → column-pruned, predicate-pushed
+    # scan; result is ≤ partition-cardinality rows (bounded metadata).
+    if ids_is_frame:
+        matched = df.join(
+            F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col))),
+            id_col,
+            "left_semi",
+        )
+    else:
+        matched = df.where(_match_cond(df, id_col, ids))
+    audit_rows = (
+        matched.groupBy(*partition_cols)
+        .agg(F.count(F.lit(1)).alias("n_purged"))
+        .collect()
+    )
+    if not audit_rows:
+        return {
+            "rows_purged": 0,
+            "partitions_affected": 0,
+            "audit": [],
+            "backup_path": None,
+        }
+    affected = [{c: r[c] for c in partition_cols} for r in audit_rows]
+    purged_by_part = {
+        tuple(r[c] for c in partition_cols): r["n_purged"] for r in audit_rows
+    }
+
+    # pass 2: rewrite ONLY the affected partitions (partition-pruned
+    # scan), keeping non-matching rows
+    prune = None
+    for vals in affected:
+        cond = None
+        for c in partition_cols:
+            eq = F.col(c) == F.lit(vals[c])
+            cond = eq if cond is None else (cond & eq)
+        prune = cond if prune is None else (prune | cond)
+    pruned = df.where(prune)
+    before_by_part = {
+        tuple(r[c] for c in partition_cols): r["n"]
+        for r in pruned.groupBy(*partition_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if ids_is_frame:
+        kept = pruned.join(
+            F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col))),
+            id_col,
+            "left_anti",
+        )
+    else:
+        kept = pruned.where(~_match_cond(pruned, id_col, ids))
+
+    stage = path.rstrip("/") + "__purge_stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(stage)
+
+    # verify before swap: after == before - purged, per partition, exactly
+    # (an all-rows-purged rewrite leaves a fileless staging dir — no
+    # schema to infer, zero rows by definition)
+    def _has_parquet(p: str) -> bool:
+        for r, _d, fs in os.walk(p):
+            if any(f.endswith(".parquet") for f in fs):
+                return True
+        return False
+
+    after_by_part: dict = {}
+    if _has_parquet(stage):
+        staged = spark.read.option("basePath", stage).parquet(stage)
+        after_by_part = {
+            tuple(r[c] for c in partition_cols): r["n"]
+            for r in staged.groupBy(*partition_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    for key, n_before in before_by_part.items():
+        want = n_before - purged_by_part.get(key, 0)
+        got = after_by_part.get(key, 0)
+        if got != want:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise RuntimeError(
+                f"purge verification failed for partition {key}: "
+                f"{n_before} - {purged_by_part.get(key, 0)} != {got}; "
+                "source untouched"
+            )
+
+    # swap affected partition directories; untouched partitions are
+    # never opened or moved
+    backup = path.rstrip("/") + "__prepurge" if keep_backup else None
+    if backup:
+        shutil.rmtree(backup, ignore_errors=True)
+        os.makedirs(backup)
+    for vals in affected:
+        live = _partition_dir(path, partition_cols, vals)
+        staged_dir = _partition_dir(stage, partition_cols, vals)
+        if backup:
+            dst = _partition_dir(backup, partition_cols, vals)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(live, dst)
+        else:
+            shutil.rmtree(live)
+        if os.path.isdir(staged_dir):
+            # a fully-purged partition writes no staged rows → dir absent
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            os.rename(staged_dir, live)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    audit = [
+        {
+            **vals,
+            "n_before": before_by_part[tuple(vals[c] for c in partition_cols)],
+            "n_purged": purged_by_part[tuple(vals[c] for c in partition_cols)],
+        }
+        for vals in affected
+    ]
+    return {
+        "rows_purged": sum(a["n_purged"] for a in audit),
+        "partitions_affected": len(audit),
+        "audit": audit,
+        "backup_path": backup,
+    }
+
+
+def drop_purge_backup(path: str) -> bool:
+    """Delete the ``__prepurge`` backup after caller-side validation."""
+    old = path.rstrip("/") + "__prepurge"
+    existed = os.path.isdir(old)
+    shutil.rmtree(old, ignore_errors=True)
+    return existed

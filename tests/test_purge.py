@@ -1,0 +1,116 @@
+"""Right-to-be-forgotten purge: exact erasure, untouched partitions
+keep their inodes (never rewritten), fully-purged partitions vanish,
+id-frame path, verify-before-swap audit arithmetic, no-op cases."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.purge import (
+    drop_purge_backup,
+    purge_rows,
+)
+
+ROWS = [
+    # (user_id, sink_id, msg)
+    (1, "es_main", "a"),
+    (1, "es_main", "b"),
+    (2, "es_main", "c"),
+    (3, "archive", "d"),
+    (4, "archive", "e"),
+    (5, "audit", "f"),
+    (5, "audit", "g"),
+    (5, "audit", "h"),
+]
+
+
+def _inodes(root):
+    out = {}
+    for r, _d, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(r, f)
+                out[p] = os.stat(p).st_ino
+    return out
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    p = str(tmp_path / "sink_table")
+    df = spark.createDataFrame(ROWS, "user_id long, sink_id string, msg string")
+    df.write.partitionBy("sink_id").parquet(p)
+    return p
+
+
+def test_purge_exact_and_untouched_partitions(spark, table):
+    before_inodes = _inodes(os.path.join(table, "sink_id=archive"))
+    res = purge_rows(spark, table, ["sink_id"], "user_id", [1])
+    assert res["rows_purged"] == 2
+    assert res["partitions_affected"] == 1
+    assert res["audit"] == [{"sink_id": "es_main", "n_before": 3, "n_purged": 2}]
+    left = spark.read.parquet(table)
+    assert left.where(F.col("user_id") == 1).count() == 0
+    assert sorted(r.msg for r in left.collect()) == list("cdefgh")
+    # the archive partition was never opened for write: same inodes
+    assert _inodes(os.path.join(table, "sink_id=archive")) == before_inodes
+    # backup holds the pre-purge partition
+    assert res["backup_path"] and os.path.isdir(
+        os.path.join(res["backup_path"], "sink_id=es_main")
+    )
+    assert drop_purge_backup(table) is True
+    assert drop_purge_backup(table) is False
+
+
+def test_fully_purged_partition_disappears(spark, table):
+    res = purge_rows(spark, table, ["sink_id"], "user_id", [5], keep_backup=False)
+    assert res["rows_purged"] == 3
+    assert res["backup_path"] is None
+    assert not os.path.isdir(os.path.join(table, "sink_id=audit"))
+    left = spark.read.parquet(table)
+    assert left.count() == 5
+    assert left.where(F.col("sink_id") == "audit").count() == 0
+
+
+def test_ids_as_dataframe_broadcast_anti(spark, table):
+    erasure_queue = spark.createDataFrame([(1,), (3,), (99,)], "uid long")
+    res = purge_rows(spark, table, ["sink_id"], "user_id", erasure_queue)
+    assert res["rows_purged"] == 3
+    assert res["partitions_affected"] == 2
+    left = spark.read.parquet(table)
+    assert left.where(F.col("user_id").isin(1, 3)).count() == 0
+    assert left.count() == 5
+
+
+def test_noop_cases(spark, table):
+    assert purge_rows(spark, table, ["sink_id"], "user_id", [])["rows_purged"] == 0
+    res = purge_rows(spark, table, ["sink_id"], "user_id", [42])
+    assert res["rows_purged"] == 0 and res["partitions_affected"] == 0
+    assert spark.read.parquet(table).count() == 8
+
+
+def test_multi_column_partitions(spark, tmp_path):
+    p = str(tmp_path / "sink_day")
+    rows = [
+        (1, "es_main", "d1", "a"),
+        (2, "es_main", "d1", "b"),
+        (1, "es_main", "d2", "c"),
+        (3, "archive", "d1", "d"),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, sink_id string, day string, msg string"
+    ).write.partitionBy("sink_id", "day").parquet(p)
+    res = purge_rows(spark, p, ["sink_id", "day"], "user_id", [1], keep_backup=False)
+    assert res["rows_purged"] == 2 and res["partitions_affected"] == 2
+    audit = {(a["sink_id"], a["day"]): a for a in res["audit"]}
+    assert audit[("es_main", "d1")]["n_before"] == 2
+    assert audit[("es_main", "d2")]["n_purged"] == 1
+    left = spark.read.parquet(p)
+    assert sorted(r.msg for r in left.collect()) == ["b", "d"]
+
+
+def test_unpartitioned_table_rejected(spark, table):
+    with pytest.raises(ValueError):
+        purge_rows(spark, table, [], "user_id", [1])
