@@ -70,6 +70,10 @@ _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.125, "zh": 0.0625}
 # (operators/search.py); the DuckDB twin replays the identical list
 _SEARCH_QUERY = ("merge", "spark", "window")
 
+# fixed stage sequence for the funnel audit in topk_users
+# (operators/funnel.py); the DuckDB twin replays the identical chain
+_FUNNEL_STAGES = ("signup", "view", "purchase")
+
 # CIDR table for the enrich_broadcast audit (operators/iplookup.py):
 # three NESTED prefixes so longest-prefix-match actually fires —
 # customers with c_nationkey%25==3 land in the /16, and within those the
@@ -424,13 +428,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- top-k with deterministic tie-break ---------------------------------
     def q_topk_users(spark, sf):
+        # + sequential funnel audit (r4: operators/funnel.py — signup →
+        # view → purchase with strict cross-stage timestamps, one-shuffle
+        # stacked-window plan; pytest-gated plan shape in test_funnel).
+        # Sectioned union within the 50-key cap: ('topk', user_id, n) +
+        # ('funnel', stage_idx, n_users); the DuckDB twin replays the
+        # identical running-min window chain.
+        from node_log_forwarder_spark.operators.funnel import funnel_counts
+
         ev = _t(spark, sf, "events")
-        return (
+        topk = (
             ev.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("user_id"))
             .limit(10)
+            .select(F.lit("topk").alias("section"), "user_id", "n")
         )
+        funnel = funnel_counts(ev, list(_FUNNEL_STAGES)).select(
+            F.lit("funnel").alias("section"),
+            F.col("stage_idx").alias("user_id"),
+            F.col("n_users").alias("n"),
+        )
+        return topk.unionByName(funnel)
     q["topk_users"] = q_topk_users
 
     # --- rollup (grouping sets) ------------------------------------------------
@@ -1505,9 +1524,42 @@ def oracle_sql() -> dict[str, str]:
           ON l.user_id = s.user_id AND l.ts >= s.ts
     """
 
-    sql["topk_users"] = """
-        SELECT user_id, count(*) AS n FROM events
-        GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+    # topk section + funnel section (operators/funnel.py twin: the same
+    # chained running-min windows; strict ts > t_prev makes the result
+    # independent of intra-timestamp row order in both engines)
+    _fs = _FUNNEL_STAGES
+    sql["topk_users"] = f"""
+        WITH topk AS (
+            SELECT 'topk' AS section, user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+        ),
+        f AS (SELECT user_id, event_type, ts FROM events
+              WHERE event_type IN ('{_fs[0]}','{_fs[1]}','{_fs[2]}')),
+        w1 AS (SELECT *, min(CASE WHEN event_type='{_fs[0]}' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS t0 FROM f),
+        w2 AS (SELECT *, min(CASE WHEN event_type='{_fs[1]}' AND t0 IS NOT NULL
+                                   AND ts > t0 THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS t1 FROM w1),
+        w3 AS (SELECT *, min(CASE WHEN event_type='{_fs[2]}' AND t1 IS NOT NULL
+                                   AND ts > t1 THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS t2 FROM w2),
+        u AS (SELECT user_id, max(t0 IS NOT NULL) AS m0,
+                     max(t1 IS NOT NULL) AS m1, max(t2 IS NOT NULL) AS m2
+              FROM w3 GROUP BY user_id),
+        fc AS (
+            SELECT 'funnel' AS section, CAST(1 AS BIGINT) AS user_id,
+                   CAST(coalesce(sum(CASE WHEN m0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n FROM u
+            UNION ALL
+            SELECT 'funnel', CAST(2 AS BIGINT),
+                   CAST(coalesce(sum(CASE WHEN m1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM u
+            UNION ALL
+            SELECT 'funnel', CAST(3 AS BIGINT),
+                   CAST(coalesce(sum(CASE WHEN m2 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM u
+        )
+        SELECT * FROM topk UNION ALL SELECT * FROM fc
     """
 
     sql["rollup_counts"] = """

@@ -1,0 +1,89 @@
+"""Sequential funnel analysis over an event stream.
+
+"Of the users who signed up, how many then viewed, and of those, how
+many then purchased?" — ordered-pattern matching, the analytics query
+shape none of the plain groupBy/window keys exercise.
+
+Semantics: a user reaches stage *i* iff they have a stage-*i* event at
+a timestamp STRICTLY GREATER than the earliest time they reached stage
+*i−1* (itself defined recursively). Strict `>` makes the result
+independent of intra-timestamp row order, so Spark and the DuckDB twin
+agree exactly with no tie-break column.
+
+Scale design: ONE shuffle. All stage columns are running-`min` window
+aggregates over the same (user, ts) window spec, so Catalyst plans one
+Exchange + one Sort and stacks k Window operators on top (no re-sort —
+pytest asserts a single Exchange). The per-user reduction then reuses
+the same hash partitioning. Nothing here is quadratic in events or
+stages; state per user is k timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_reached(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel progress: (user, reached_1 … reached_k booleans).
+
+    reached_i is true iff the user completed stages 1..i in order
+    (strictly increasing timestamps across stage boundaries).
+    """
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events.where(F.col(type_col).isin(*stages)).select(
+        user_col, type_col, ts_col
+    )
+    # chained running mins: _t{i} = earliest time stage i completes,
+    # visible as of each row; each refers to the PREVIOUS materialized
+    # column, so the plan is k stacked Window ops over one sort
+    for i, s in enumerate(stages):
+        cond = F.col(type_col) == s
+        if i > 0:
+            prev = F.col(f"_t{i - 1}")
+            cond = cond & prev.isNotNull() & (F.col(ts_col) > prev)
+        df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+    # the partition's last row sees every running min, so max(isNotNull)
+    # is exactly "some qualifying event exists"
+    return df.groupBy(user_col).agg(
+        *[
+            F.max(F.col(f"_t{i}").isNotNull()).alias(f"reached_{i + 1}")
+            for i in range(len(stages))
+        ]
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel stage counts: (stage_idx, stage, n_users), monotone
+    non-increasing in stage_idx by construction."""
+    per_user = funnel_reached(events, stages, user_col, type_col, ts_col)
+    agg = per_user.agg(
+        *[
+            F.sum(F.col(f"reached_{i + 1}").cast("long")).alias(f"n{i}")
+            for i in range(len(stages))
+        ]
+    )
+    stack = ", ".join(
+        f"{i + 1}L, '{s}', coalesce(n{i}, 0L)" for i, s in enumerate(stages)
+    )
+    return agg.selectExpr(
+        f"stack({len(stages)}, {stack}) as (stage_idx, stage, n_users)"
+    )
