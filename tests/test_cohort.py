@@ -1,0 +1,114 @@
+"""Cohort retention: exact semantics on a hand-built fixture, DuckDB
+twin on the synthetic events table, monotonicity (no retention bucket
+exceeds its cohort size), and the one-data-scale-shuffle plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.cohort import cohort_retention
+
+EV = "/root/testdata/sf0.001/events.parquet"
+
+
+def _ts(day, hour=0):
+    # 2025-01-06 is a Monday -> week cohorts align to it
+    return dt.datetime(2025, 1, 6) + dt.timedelta(days=day, hours=hour)
+
+
+ROWS = [
+    # user 1: first week 0, returns weeks 1 and 3 (twice in week 1 —
+    # distinct periods, counted once)
+    (1, _ts(0)),
+    (1, _ts(7)),
+    (1, _ts(8)),
+    (1, _ts(21)),
+    # user 2: same cohort, never returns
+    (2, _ts(2)),
+    # user 3: cohort week 1, returns week 2
+    (3, _ts(9)),
+    (3, _ts(15)),
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(ROWS, "user_id long, ts timestamp").cache()
+
+
+def test_retention_semantics(events):
+    got = {
+        (r.cohort.isoformat(), r.period_idx): r.n_users
+        for r in cohort_retention(events).collect()
+    }
+    assert got == {
+        ("2025-01-06", 0): 2,  # users 1, 2
+        ("2025-01-06", 1): 1,  # user 1
+        ("2025-01-06", 3): 1,  # user 1
+        ("2025-01-13", 0): 1,  # user 3
+        ("2025-01-13", 1): 1,  # user 3
+    }
+
+
+def test_day_granularity(events):
+    got = {
+        (r.cohort.isoformat(), r.period_idx): r.n_users
+        for r in cohort_retention(events, granularity="day").collect()
+    }
+    assert got[("2025-01-06", 0)] == 1
+    assert got[("2025-01-06", 7)] == 1  # user 1 returns on day 7
+    assert got[("2025-01-06", 8)] == 1  # ... and day 8
+    assert ("2025-01-08", 0) in got  # user 2's cohort day
+
+
+def test_bad_granularity_rejected(events):
+    with pytest.raises(ValueError):
+        cohort_retention(events, granularity="month")
+
+
+def test_duckdb_twin_on_synth_events(spark):
+    ev = spark.read.parquet(EV).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.cohort.isoformat(), r.period_idx): r.n_users
+        for r in cohort_retention(ev).collect()
+    }
+    twin = duckdb.connect().execute(
+        f"""
+        WITH p AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+                   FROM '{EV}'),
+        c AS (SELECT user_id, min(w) AS cohort FROM p GROUP BY user_id),
+        a AS (SELECT DISTINCT p.user_id, w, cohort FROM p JOIN c USING (user_id))
+        SELECT cohort, date_diff('day', cohort, w) // 7 AS period_idx,
+               count(*) AS n_users
+        FROM a GROUP BY 1, 2
+        """
+    ).fetchall()
+    twin_map = {(r[0].isoformat(), int(r[1])): r[2] for r in twin}
+    assert got == twin_map
+    assert len(got) > 3  # the synthetic table spans multiple weeks
+
+
+def test_monotone_vs_cohort_size(spark):
+    ev = spark.read.parquet(EV).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = cohort_retention(ev).collect()
+    size = {r.cohort: r.n_users for r in rows if r.period_idx == 0}
+    for r in rows:
+        assert r.cohort in size  # idx 0 always present
+        assert r.n_users <= size[r.cohort]
+
+
+def test_single_data_scale_shuffle(events):
+    plan = (
+        cohort_retention(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exchange 1: hash on user (the only data-scale shuffle); exchange 2:
+    # hash on (cohort, period_idx) over the already-reduced frame
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan

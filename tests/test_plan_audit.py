@@ -11,7 +11,16 @@ from __future__ import annotations
 # pattern (PLANS.md intro; reviewed in r4): a query vector, funnel
 # total, or trained-threshold row crossed onto the corpus. Additions
 # here require the same review.
-BNLJ_WHITELIST = {"cosine_near_dup_blocked", "ann_lsh", "lang_id", "cosine_topk"}
+# vocab_topk (reviewed r4 late): tfidf_int_topk crosses the 1-row
+# corpus-size aggregate onto the <=|query_terms|-row weights frame —
+# bounded on both sides, never data-scale.
+BNLJ_WHITELIST = {
+    "cosine_near_dup_blocked",
+    "ann_lsh",
+    "lang_id",
+    "cosine_topk",
+    "vocab_topk",
+}
 
 
 def test_all_query_plans_are_scale_shaped(spark):

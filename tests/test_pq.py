@@ -1,0 +1,121 @@
+"""Product quantization: codebook shape/determinism, code validity,
+ADC self-distance, recall of the ADC->rerank pipeline vs exact cosine
+on the synthetic embeddings table, and plan shape (no Python eval, no
+shuffle in the ADC scan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.pq import (
+    adc_dist,
+    _adc_lut,
+    _unit,
+    pq_encode,
+    pq_topk,
+    pq_topk_adc,
+    pq_train,
+)
+from node_log_forwarder_spark.operators.similarity import cosine_topk
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return pq_train(emb, m=16, ksub=16, iters=2)
+
+
+@pytest.fixture(scope="module")
+def codes(emb, codebooks):
+    # materialized once: every dependent test reuses the cached codes
+    # instead of re-compiling the m x ksub encode expression
+    return pq_encode(emb, codebooks).cache()
+
+
+def test_codebook_shape_and_determinism(emb, codebooks):
+    assert len(codebooks) == 16
+    assert all(len(cb) == 16 for cb in codebooks)
+    assert all(len(c) == 4 for cb in codebooks for c in cb)
+    again = pq_train(emb, m=16, ksub=16, iters=2)
+    assert again == codebooks
+
+
+def test_dim_not_divisible_rejected(emb):
+    with pytest.raises(ValueError):
+        pq_train(emb, m=7)
+
+
+def test_codes_valid_and_deterministic(emb, codebooks, codes):
+    stats = codes.agg(
+        F.min(F.size("pq_codes")).alias("mn"),
+        F.max(F.size("pq_codes")).alias("mx"),
+        F.max(F.array_max("pq_codes")).alias("cmax"),
+        F.min(F.array_min("pq_codes")).alias("cmin"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert (stats.mn, stats.mx) == (16, 16)
+    assert 0 <= stats.cmin and stats.cmax < 16
+    assert stats.n == 500
+    a = {r.vec_id: r.pq_codes for r in codes.collect()}
+    b = {r.vec_id: r.pq_codes for r in pq_encode(emb, codebooks).collect()}
+    assert a == b
+
+
+def test_adc_self_distance_is_codebook_residual(emb, codebooks):
+    # a vector's ADC distance to ITSELF equals its total quantization
+    # residual: small relative to the unit sphere (<< 2.0, the expected
+    # distance of unrelated unit vectors), and exactly 0 iff the vector
+    # sits on its centroids
+    q = emb.filter(F.col("vec_id") == 0)
+    qu = [float(x) for x in q.select(_unit(F.col("embedding"))).first()[0]]
+    lut = _adc_lut(qu, codebooks)
+    self_d = (
+        pq_encode(q, codebooks)
+        .select(adc_dist(F.col("pq_codes"), lut).alias("d"))
+        .first()[0]
+    )
+    assert 0.0 <= self_d < 0.5
+
+
+def test_adc_topk_finds_self(emb, codebooks, codes):
+    q = emb.filter(F.col("vec_id") == 0)
+    top = pq_topk_adc(codes, q, codebooks, k=10)
+    assert 0 in {r.vec_id for r in top.collect()}
+
+
+def test_rerank_recall_vs_exact(emb, codebooks, codes):
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    got = {r.vec_id for r in pq_topk(emb, q, codebooks, k=10, shortlist=50,
+                                     codes_df=codes).collect()}
+    assert len(exact & got) >= 8  # measured 9/10 (10/10 at shortlist=100)
+
+
+def test_rerank_with_precomputed_codes_matches(emb, codebooks, codes):
+    q = emb.filter(F.col("vec_id") == 0)
+    a = pq_topk(emb, q, codebooks, k=10).collect()
+    b = pq_topk(emb, q, codebooks, k=10, codes_df=codes).collect()
+    assert a == b
+
+
+def test_adc_plan_shape(emb, codebooks, codes):
+    q = emb.filter(F.col("vec_id") == 0)
+    plan = (
+        pq_topk_adc(codes, q, codebooks, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # ADC ranking is scan -> project -> TakeOrdered: no Python eval, no
+    # hash/range exchange anywhere (TakeOrdered does its own reduction)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
