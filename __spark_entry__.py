@@ -478,7 +478,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.date_format("cohort", "yyyy-MM-dd").alias("day"),
             F.col("n_users").alias("n"),
         )
-        return roll.unionByName(cohort)
+        # + tool-transition audit (r4: operators/toolchain.py — Markov
+        # view of tool usage over the derived transcripts; one lag
+        # window + tiny-key groupBy). Section: ('_chain', 'from>to', n).
+        from node_log_forwarder_spark.operators.toolchain import tool_transitions
+
+        chain = tool_transitions(transcripts_from_events(ev)).select(
+            F.lit("_chain").alias("event_type"),
+            F.concat_ws(">", "prev_tool", "tool").alias("day"),
+            "n",
+        )
+        return roll.unionByName(cohort).unionByName(chain)
     q["rollup_counts"] = q_rollup_counts
 
     # --- embedding vector math: L2 norms per label -----------------------------
@@ -1592,8 +1602,10 @@ def oracle_sql() -> dict[str, str]:
 
     # rollup section + weekly cohort-retention section (operators/
     # cohort.py twin: distinct active weeks per user, cohort = first
-    # week; ISO Monday date_trunc agrees between Spark and DuckDB)
-    sql["rollup_counts"] = """
+    # week; ISO Monday date_trunc agrees between Spark and DuckDB) +
+    # tool-transition section (operators/toolchain.py twin: same lag
+    # window over the replayed transcript mapping)
+    sql["rollup_counts"] = f"""
         SELECT coalesce(event_type, '<all>') AS event_type,
                coalesce(day, '<all>') AS day, n
         FROM (
@@ -1613,6 +1625,17 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS n
           FROM a GROUP BY 1, 2
         )
+        UNION ALL
+        SELECT '_chain' AS event_type, prev_tool || '>' || tool AS day,
+               count(*) AS n
+        FROM (
+          WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+          SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS prev_tool,
+                 tool
+          FROM t
+        )
+        WHERE prev_tool IS NOT NULL GROUP BY 1, 2
     """
 
     sql["embedding_norms"] = """

@@ -1,0 +1,69 @@
+"""Tool-transition mining over agent transcripts.
+
+"After a browser call, what does the agent do next?" — the Markov-/
+n-gram view of tool usage across conversations: transition counts
+(bigrams) and longer chain n-grams, per conversation order. The
+transcript-native companion to template mining (operators/
+templates.py): templates cluster WHAT each turn says, chains cluster
+WHAT the agent does next.
+
+Scale design: one shuffle on conv_id (the lag window), then a groupBy
+on the transition key — tool vocabularies are tiny (dozens), so the
+second aggregation collapses map-side to almost nothing. Chain
+n-grams of length L use L-1 stacked lags over the SAME window spec, so
+Catalyst plans one Exchange + one Sort regardless of L (the funnel
+stacking property, plan-asserted in tests). Per-row state is L tool
+names; nothing is quadratic in turns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tool_transitions(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """(prev_tool, tool, n) — counts of consecutive tool pairs within a
+    conversation, ordered by ``order_col``. First turns (no
+    predecessor) contribute nothing."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    return (
+        transcripts.select(
+            F.lag(F.col(tool_col)).over(w).alias("prev_tool"),
+            F.col(tool_col).alias("tool"),
+        )
+        .where(F.col("prev_tool").isNotNull())
+        .groupBy("prev_tool", "tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def tool_chain_ngrams(
+    transcripts: DataFrame,
+    n: int = 3,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+    sep: str = ">",
+) -> DataFrame:
+    """(chain, n) — counts of length-``n`` consecutive tool chains
+    (e.g. 'browser>search>sql'), one window sort for any n."""
+    if n < 1:
+        raise ValueError("chain length must be >= 1")
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    lags = [
+        F.lag(F.col(tool_col), n - 1 - i).over(w).alias(f"_t{i}")
+        for i in range(n)
+    ]
+    df = transcripts.select(*lags)
+    chain = F.concat_ws(sep, *[F.col(f"_t{i}") for i in range(n)])
+    return (
+        df.where(F.col("_t0").isNotNull())  # oldest lag null = incomplete
+        .groupBy(chain.alias("chain"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

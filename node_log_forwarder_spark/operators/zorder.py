@@ -1,0 +1,144 @@
+"""Z-order (Morton-curve) clustering for data-skipping file layout.
+
+Parquet readers prune files and row groups from footer min/max stats;
+pruning quality is entirely a function of HOW rows are laid out across
+files. A single-column sort gives perfect skipping on that column and
+none on any other; Z-ordering interleaves the bits of several columns
+so every file covers a small hyper-rectangle of the key space, and a
+selective filter on ANY of the z-columns prunes most files. This is
+the standard layout-maintenance operation of large lakehouse tables
+(Delta/Iceberg expose it as ``OPTIMIZE ... ZORDER BY``); here it is a
+plain DataFrame transform + writer that works on any parquet sink,
+composing with ``operators/compact.py`` (same maxRecordsPerFile
+discipline) as the second half of the sink-maintenance story.
+
+Scale design: two bounded passes. Pass 1 computes per-column min/max —
+one aggregation row, driver state is 2 doubles per column. Pass 2
+projects the z-value (pure bit arithmetic: scale each column to a
+``bits``-wide integer rank, then interleave with shiftleft/or — fully
+codegen'd, no UDF) and range-partitions on it, so each output file
+owns a contiguous z-range = a tight hyper-rectangle. The range
+exchange samples partition bounds exactly like any orderBy write; no
+extra shuffle beyond the one the layout rewrite inherently needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_rank(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Scale a numeric column to an integer in [0, 2^bits) using the
+    driver-computed [lo, hi] range (degenerate range -> rank 0)."""
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    maxrank = (1 << bits) - 1
+    frac = (col.cast("double") - F.lit(lo)) / F.lit(hi - lo)
+    clamped = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    return F.least(
+        (clamped * F.lit(float(1 << bits))).cast("long"), F.lit(maxrank)
+    )
+
+
+def zvalue(
+    ranks: list[Column],
+    bits: int = 16,
+) -> Column:
+    """Morton interleave of pre-scaled integer ranks: output bit
+    ``i*n + j`` = bit ``i`` of rank ``j``. Pure shift/or expression —
+    n*bits terms, linear growth, whole-stage codegen'd."""
+    n = len(ranks)
+    if not 1 <= n * bits <= 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, r in enumerate(ranks):
+            src_bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(src_bit, i * n + j))
+    return out
+
+
+def _quantile_rank(col: Column, boundaries: list[float]) -> Column:
+    """Rank = number of quantile boundaries <= value: a linear HOF over
+    the literal boundary array (codegen'd, no UDF, no per-row search
+    structure). Equal-mass ranks are what make z-order robust to
+    skew — a linear [min,max] scaling collapses a heavy-tailed column
+    into one rank bucket and its bits carry no information."""
+    b = F.array(*[F.lit(float(x)) for x in boundaries])
+    return F.aggregate(
+        b,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(col.cast("double") >= x, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def add_zvalue(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    out_col: str = "_z",
+    mode: str = "quantile",
+) -> DataFrame:
+    """Attach the z-value column.
+
+    mode='quantile' (default, what lakehouse OPTIMIZE ZORDER does via
+    range ids): per-column approxQuantile boundaries — 2^bits - 1
+    doubles of driver state per column — give equal-MASS ranks, robust
+    to skew. mode='linear': min/max scaling, exact hyper-rectangles,
+    right for uniform keys. Both are one bounded driver-side stats
+    pass + a row-local codegen'd projection."""
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    if mode == "quantile":
+        n_b = (1 << bits) - 1
+        qs = [i / (1 << bits) for i in range(1, n_b + 1)]
+        dd = df.select(
+            *[F.col(c).cast("double").alias(c) for c in cols]
+        )
+        ranks = [
+            _quantile_rank(F.col(c), dd.approxQuantile(c, qs, 0.001))
+            for c in cols
+        ]
+    elif mode == "linear":
+        stats = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"_hi_{c}") for c in cols],
+        ).first()
+        ranks = [
+            _to_rank(
+                F.col(c),
+                float(stats[f"_lo_{c}"]),
+                float(stats[f"_hi_{c}"]),
+                bits,
+            )
+            for c in cols
+        ]
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return df.withColumn(out_col, zvalue(ranks, bits))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+    mode: str = "quantile",
+) -> None:
+    """Rewrite ``df`` at ``path`` clustered by the Morton curve over
+    ``cols``: range-partition on the z-value into ``n_files`` output
+    files, drop the helper column, write. Each file's footer min/max on
+    EVERY z-column then covers only its hyper-rectangle — selective
+    filters on any of them skip most files (test_zorder measures the
+    skipping on real footer stats)."""
+    z = add_zvalue(df, cols, bits, mode=mode)
+    (
+        z.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

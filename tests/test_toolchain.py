@@ -1,0 +1,117 @@
+"""Tool-transition mining: exact counts on a hand fixture, bigram ==
+2-gram consistency, single-Exchange plan for stacked lags, and a
+DuckDB twin over the synthetic transcript mapping."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.toolchain import (
+    tool_chain_ngrams,
+    tool_transitions,
+)
+
+ROWS = [
+    ("c1", 0, "browser"),
+    ("c1", 1, "search"),
+    ("c1", 2, "sql"),
+    ("c1", 3, "search"),
+    ("c2", 0, "browser"),
+    ("c2", 1, "search"),
+    # single-turn conversation contributes no transitions
+    ("c3", 0, "bash"),
+]
+
+
+@pytest.fixture(scope="module")
+def tr(spark):
+    return spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, tool string"
+    ).cache()
+
+
+def test_transition_counts(tr):
+    got = {
+        (r.prev_tool, r.tool): r.n for r in tool_transitions(tr).collect()
+    }
+    assert got == {
+        ("browser", "search"): 2,
+        ("search", "sql"): 1,
+        ("sql", "search"): 1,
+    }
+
+
+def test_trigram_counts(tr):
+    got = {r.chain: r.n for r in tool_chain_ngrams(tr, n=3).collect()}
+    assert got == {"browser>search>sql": 1, "search>sql>search": 1}
+
+
+def test_bigram_equals_transitions(tr):
+    a = {
+        f"{r.prev_tool}>{r.tool}": r.n for r in tool_transitions(tr).collect()
+    }
+    b = {r.chain: r.n for r in tool_chain_ngrams(tr, n=2).collect()}
+    assert a == b
+
+
+def test_unigram_is_tool_histogram(tr):
+    got = {r.chain: r.n for r in tool_chain_ngrams(tr, n=1).collect()}
+    assert got == {"browser": 2, "search": 3, "sql": 1, "bash": 1}
+    with pytest.raises(ValueError):
+        tool_chain_ngrams(tr, n=0)
+
+
+def test_single_exchange_plan(tr):
+    # n-1 stacked lags share one window spec: one Exchange + one Sort,
+    # then the tiny-key groupBy reuses nothing data-scale
+    plan = (
+        tool_chain_ngrams(tr, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan  # window + agg
+    assert plan.count("Sort ") <= 1 or "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_duckdb_twin_on_synth_transcripts(spark):
+    from node_log_forwarder_spark.sources.transcripts import (
+        transcripts_from_events,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(path).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (r.prev_tool, r.tool): r.n
+        for r in tool_transitions(transcripts_from_events(ev)).collect()
+    }
+    twin = duckdb.connect().execute(
+        f"""
+        WITH t AS (
+          SELECT printf('conv_%06d', user_id) AS conv_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   - 1 AS turn_idx,
+                 CASE WHEN event_type = 'click' THEN 'browser'
+                      WHEN event_type = 'view' THEN 'search'
+                      WHEN event_type = 'purchase' THEN 'sql'
+                      WHEN event_type = 'error' THEN 'bash'
+                      ELSE 'email' END AS tool
+          FROM '{path}'
+        ),
+        b AS (
+          SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS prev_tool,
+                 tool
+          FROM t
+        )
+        SELECT prev_tool, tool, count(*) AS n
+        FROM b WHERE prev_tool IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert got == {(r[0], r[1]): r[2] for r in twin}
+    assert sum(got.values()) > 500  # transitions actually fire (985 at sf0.001)
