@@ -1,0 +1,69 @@
+"""Runtime bloom-filter join pruning (Spark's row-level runtime
+filtering, SPARK-32268): when one side of a shuffle equi-join carries
+a selective filter, the optimizer builds a bloom filter over its join
+keys and injects a ``might_contain`` predicate into the OTHER side's
+scan — at 100 TB this is what keeps a large-large join from shuffling
+rows that can never match. The engine leaves the feature at its
+default (enabled); this test pins that it actually fires on the
+repo's canonical large-large join shape (orders x lineitem with a
+selective dimension-side predicate) and that results are unchanged.
+
+Thresholds are lowered only inside this test: the defaults gate
+injection on a 10 GB application-side scan, which no sandbox-scale
+input reaches — the point here is plan shape, not the gate values.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import functions as F
+
+ORD = "/root/testdata/sf0.001/orders.parquet"
+LI = "/root/testdata/sf0.001/lineitem.parquet"
+
+
+@contextmanager
+def _conf(spark, settings: dict[str, str]):
+    old = {k: spark.conf.get(k, None) for k in settings}
+    try:
+        for k, v in settings.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _join(spark):
+    orders = spark.read.parquet(ORD).where(F.col("o_orderpriority") == "1-URGENT")
+    li = spark.read.parquet(LI)
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+    )
+
+
+def test_bloom_filter_injected_and_result_unchanged(spark):
+    settings = {
+        # force the shuffle-join path (broadcast would subsume the bloom)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # sandbox inputs are MBs; drop the 10GB application-side gate
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    with _conf(spark, settings):
+        df = _join(spark)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        filtered = df.first()
+    # identical numbers without the runtime filter (pure pruning)
+    with _conf(spark, {"spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
+                       "spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        plain = _join(spark).first()
+    assert (filtered.n, filtered.rev) == (plain.n, plain.rev)
+    assert filtered.n > 0

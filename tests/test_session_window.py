@@ -1,0 +1,88 @@
+"""Built-in session windows (F.session_window) vs the lag+cumsum
+sessionizer: the two mechanisms must produce identical sessions on the
+synthetic events table when given the same boundary rule.
+
+Boundary subtlety this test pins: session_window(ts, g) MERGES an
+event at exactly prev_ts + g (a new session starts only when the gap
+is strictly greater than g) — the same strict-> rule the driver's
+`sessionize` key uses, so the built-in is a drop-in equivalent of the
+production sessionizer, verified on a hand fixture that sits exactly
+on the boundary. At scale both plan the same single shuffle on the
+user key; session_window is also the streaming-native form (works
+under watermarks), which the lag formulation is not.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+EV = "/root/testdata/sf0.001/events.parquet"
+GAP_S = 1800
+
+
+def _lag_sessions(ev):
+    """Reference: new session iff gap > GAP_S — the driver `sessionize`
+    rule, which the built-in matches (boundary-tested below)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    new = F.when(gap.isNull() | (gap > GAP_S), 1).otherwise(0)
+    sess = ev.withColumn("_s", F.sum(new).over(w))
+    return sess.groupBy("user_id", "_s").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start"),
+        F.max("ts").alias("last"),
+    )
+
+
+def _builtin_sessions(ev):
+    return ev.groupBy(
+        "user_id", F.session_window("ts", f"{GAP_S} seconds").alias("_w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start"),
+        F.max("ts").alias("last"),
+    )
+
+
+def _key_sets(df):
+    return {
+        (r.user_id, r.start, r.last, r.n_events) for r in df.collect()
+    }
+
+
+def test_builtin_matches_lag_on_synth_events(spark):
+    ev = spark.read.parquet(EV).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert _key_sets(_builtin_sessions(ev)) == _key_sets(_lag_sessions(ev))
+
+
+def test_exact_gap_boundary(spark):
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(seconds=GAP_S - 1)),  # merges
+        (1, 3, t0 + dt.timedelta(seconds=2 * GAP_S - 1)),  # merges (gap < g)
+        (2, 4, t0),
+        (2, 5, t0 + dt.timedelta(seconds=GAP_S)),  # exactly g -> MERGES
+        (3, 6, t0),
+        (3, 7, t0 + dt.timedelta(seconds=GAP_S + 1)),  # g+1 -> new session
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    )
+    got = {
+        (r.user_id, r.n_events)
+        for r in _builtin_sessions(ev).collect()
+    }
+    assert got == {(1, 3), (2, 2), (3, 1)}
+    counts = (
+        _builtin_sessions(ev).groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions")).collect()
+    )
+    assert {(r.user_id, r.n_sessions) for r in counts} == {(1, 1), (2, 1), (3, 2)}
+    # and the lag reference agrees even on the exact-gap edge
+    assert _key_sets(_builtin_sessions(ev)) == _key_sets(_lag_sessions(ev))
