@@ -488,7 +488,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat_ws(">", "prev_tool", "tool").alias("day"),
             "n",
         )
-        return roll.unionByName(cohort).unionByName(chain)
+        # + snapshot-drift audit (r4: operators/drift.py — exact
+        # rational TV distance between the odd/even documents halves'
+        # token distributions + top movers; every value BIGINT, so the
+        # gate is hash-exact with no float/log hazard).
+        from node_log_forwarder_spark.functions.text import tokens as _tok
+        from node_log_forwarder_spark.operators.drift import distribution_drift
+
+        docs = _t(spark, sf, "documents")
+        cur = docs.where(F.col("doc_id") % 2 == 1).select(
+            F.explode(_tok(F.col("text"))).alias("token")
+        )
+        ref = docs.where(F.col("doc_id") % 2 == 0).select(
+            F.explode(_tok(F.col("text"))).alias("token")
+        )
+        drift = distribution_drift(cur, ref, k_movers=5).select(
+            F.concat(F.lit("_drift:"), F.col("metric")).alias("event_type"),
+            F.col("key").alias("day"),
+            F.col("value").alias("n"),
+        )
+        return (
+            roll.unionByName(cohort).unionByName(chain).unionByName(drift)
+        )
     q["rollup_counts"] = q_rollup_counts
 
     # --- embedding vector math: L2 norms per label -----------------------------
@@ -1636,6 +1657,32 @@ def oracle_sql() -> dict[str, str]:
           FROM t
         )
         WHERE prev_tool IS NOT NULL GROUP BY 1, 2
+        UNION ALL
+        SELECT '_drift:' || metric AS event_type, key AS day, value AS n
+        FROM (
+          WITH cur AS (SELECT unnest({_TOKENS}) AS token
+                       FROM documents WHERE doc_id % 2 = 1),
+          ref AS (SELECT unnest({_TOKENS}) AS token
+                  FROM documents WHERE doc_id % 2 = 0),
+          c AS (SELECT token, count(*) AS n FROM cur GROUP BY token),
+          r AS (SELECT token, count(*) AS m FROM ref GROUP BY token),
+          nm AS (SELECT (SELECT count(*) FROM cur) AS n_tot,
+                        (SELECT count(*) FROM ref) AS m_tot),
+          j AS (SELECT coalesce(c.token, r.token) AS key,
+                       coalesce(n, 0) AS n, coalesce(m, 0) AS m
+                FROM c FULL OUTER JOIN r ON c.token = r.token),
+          s AS (SELECT key, abs(n * (SELECT m_tot FROM nm)
+                                - m * (SELECT n_tot FROM nm)) AS score
+                FROM j)
+          SELECT 'tv_num' AS metric, '_all' AS key, sum(score) AS value FROM s
+          UNION ALL
+          SELECT 'tv_den', '_all', 2 * n_tot * m_tot FROM nm
+          UNION ALL
+          SELECT * FROM (
+            SELECT 'mover', key, score FROM s
+            ORDER BY score DESC, key LIMIT 5
+          )
+        )
     """
 
     sql["embedding_norms"] = """

@@ -1,0 +1,94 @@
+"""Distribution drift between two corpus snapshots — exact integers.
+
+"Did this week's transcripts change vocabulary / tool mix / template
+mix vs the reference snapshot?" — the monitoring primitive behind
+dataset-drift alerts and training/serving skew checks. The metric is
+total-variation distance, computed as a RATIONAL number:
+
+    TV = 1/2 * sum_i |n_i/N - m_i/M| = sum_i |n_i*M - m_i*N| / (2*N*M)
+
+so the operator returns the integer numerator and denominator
+(plus the top-k movers by the same integer score) and never touches a
+float: the driver gate is hash-exact with no log/float-summation
+hazard, unlike a PSI/KL formulation. At 10^12-token totals the
+products need DECIMAL(38,0) — the expression is annotated; at any
+driver-checkable scale BIGINT is exact.
+
+Scale design: one groupBy per snapshot (shuffles on the category key,
+map-side combined), a full-outer join on the SAME key (co-partitioned
+— with AQE no extra exchange), one 1-row aggregation for the
+numerator, one TakeOrdered for the movers. Totals N and M are
+driver-side scalars (two count jobs, bounded state) embedded as
+literals — no 1-row crossJoin, keeping the plan BNLJ-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _counts(df: DataFrame, key_col: str, alias: str) -> DataFrame:
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias(alias)
+    )
+
+
+def drift_scores(
+    cur: DataFrame,
+    ref: DataFrame,
+    key_col: str = "token",
+) -> tuple[DataFrame, int, int]:
+    """Per-key integer drift scores |n_i*M - m_i*N| plus the totals
+    (N, M). Keys absent from one snapshot count as zero there."""
+    n = cur.count()
+    m = ref.count()
+    joined = (
+        _counts(cur, key_col, "n")
+        .join(_counts(ref, key_col, "m"), "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("m", F.lit(0)).alias("m"),
+        )
+    )
+    # BIGINT-exact here; a 10^12-total deployment swaps these casts for
+    # DECIMAL(38, 0) — same expression shape
+    score = F.abs(
+        F.col("n").cast("long") * F.lit(m) - F.col("m").cast("long") * F.lit(n)
+    )
+    return joined.select("key", score.alias("score")), n, m
+
+
+def distribution_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    key_col: str = "token",
+    k_movers: int = 5,
+) -> DataFrame:
+    """(metric, key, value) rows, all BIGINT-exact:
+
+    * ('tv_num', '_all', sum_i |n_i*M - m_i*N|)
+    * ('tv_den', '_all', 2*N*M)  — TV distance = tv_num / tv_den
+    * ('mover', key_i, |n_i*M - m_i*N|) for the k largest movers
+      (ties broken by key for engine-independent selection)
+    """
+    scores, n, m = drift_scores(cur, ref, key_col)
+    total = scores.agg(
+        F.lit("tv_num").alias("metric"),
+        F.lit("_all").alias("key"),
+        F.sum("score").alias("value"),
+    )
+    den = total.sparkSession.createDataFrame(
+        [("tv_den", "_all", 2 * n * m)], "metric string, key string, value long"
+    )
+    movers = (
+        scores.orderBy(F.col("score").desc(), F.col("key"))
+        .limit(k_movers)
+        .select(
+            F.lit("mover").alias("metric"),
+            "key",
+            F.col("score").alias("value"),
+        )
+    )
+    return total.unionByName(den).unionByName(movers)

@@ -281,3 +281,62 @@ def pq_topk(
     ).select(id_col)
     cand = df.join(F.broadcast(short), id_col)
     return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """The classic IVF-PQ serving stack, composed end to end: IVF
+    coarse pruning (scan only the ``nprobe`` nearest clusters) → PQ-ADC
+    ranking over the survivors' codes → exact cosine rerank of the
+    shortlist. Same output contract as ``cosine_topk``.
+
+    At 10^12 vectors the three tiers are exactly the physical layout:
+    the IVF cluster id is the table's partition key (cluster pruning =
+    partition pruning), the partition's PQ codes are the bytes the ADC
+    scan reads, and only ``shortlist`` rows ever touch a real vector.
+    ``codes_df`` may carry precomputed codes (id, pq_codes); cluster
+    assignment is recomputed here row-locally — at scale it is the
+    partition key and costs nothing at query time.
+    """
+    from node_log_forwarder_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+    )
+
+    qvec = [float(x) for x in query.select(vec_col).first()[0]]
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(centroids[i], qvec)),
+    )
+    probe = order[: max(1, nprobe)]
+    cand = ivf_assign(df, centroids, vec_col).filter(
+        F.col("ivf_cluster").isin(probe)
+    )
+    # NOTE: the codes lookup is a plain equi-join, NOT a broadcast —
+    # the candidate set is |corpus|/k * nprobe rows, data-scale. On a
+    # cluster-partitioned store the join disappears entirely (codes
+    # live in the pruned partitions); only the final shortlist below
+    # is small enough to broadcast.
+    cand_codes = (
+        cand.select(id_col).join(codes_df, id_col)
+        if codes_df is not None
+        else pq_encode(cand, codebooks, id_col=id_col, vec_col=vec_col)
+    )
+    short = pq_topk_adc(
+        cand_codes, query, codebooks, k=max(k, shortlist),
+        id_col=id_col, vec_col=vec_col,
+    ).select(id_col)
+    return cosine_topk(
+        df.join(F.broadcast(short), id_col), query, k=k,
+        id_col=id_col, vec_col=vec_col,
+    )

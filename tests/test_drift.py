@@ -1,0 +1,118 @@
+"""Distribution drift: exact rational TV on hand-computed fixtures,
+identity/disjoint extremes, symmetry, mover selection, and a DuckDB
+twin over the synthetic documents split."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.text import tokens
+from node_log_forwarder_spark.operators.drift import distribution_drift
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+TOKENS_SQL = (
+    "CASE WHEN trim(text) = '' THEN [] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+
+def _kv(df):
+    rows = df.collect()
+    out = {(r.metric, r.key): r.value for r in rows}
+    assert len(out) == len(rows)
+    return out
+
+
+def _mk(spark, toks):
+    return spark.createDataFrame([(t,) for t in toks], "token string")
+
+
+def test_hand_computed_tv(spark):
+    # cur: a,a,b (N=3)  ref: a,b,b,c (M=4)
+    # scores: a |2*4-1*3|=5, b |1*4-2*3|=2, c |0*4-1*3|=3
+    # tv_num = 10, tv_den = 24 -> TV = 10/24 = 5/12
+    got = _kv(
+        distribution_drift(
+            _mk(spark, ["a", "a", "b"]), _mk(spark, ["a", "b", "b", "c"])
+        )
+    )
+    assert got[("tv_num", "_all")] == 10
+    assert got[("tv_den", "_all")] == 24
+    assert got[("mover", "a")] == 5
+    assert got[("mover", "c")] == 3
+    assert got[("mover", "b")] == 2
+    assert Fraction(10, 24) == Fraction(5, 12)
+
+
+def test_identity_and_disjoint_extremes(spark):
+    same = _mk(spark, ["x", "y", "y"])
+    got = _kv(distribution_drift(same, _mk(spark, ["x", "y", "y"])))
+    assert got[("tv_num", "_all")] == 0  # TV = 0
+    dis = _kv(
+        distribution_drift(_mk(spark, ["x", "x"]), _mk(spark, ["z"]))
+    )
+    # fully disjoint -> TV = 1 -> num == den
+    assert dis[("tv_num", "_all")] == dis[("tv_den", "_all")]
+
+
+def test_symmetry(spark):
+    a, b = _mk(spark, ["a", "b", "b"]), _mk(spark, ["b", "c"])
+    x = _kv(distribution_drift(a, b))
+    y = _kv(distribution_drift(b, a))
+    assert x[("tv_num", "_all")] == y[("tv_num", "_all")]
+    assert x[("tv_den", "_all")] == y[("tv_den", "_all")]
+
+
+def test_duckdb_twin_on_documents_split(spark):
+    docs = spark.read.parquet(DOCS)
+    cur = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    got = _kv(distribution_drift(cur, ref, k_movers=5))
+    twin = duckdb.connect().execute(
+        f"""
+        WITH cur AS (SELECT unnest({TOKENS_SQL}) AS token
+                     FROM '{DOCS}' WHERE doc_id % 2 = 1),
+        ref AS (SELECT unnest({TOKENS_SQL}) AS token
+                FROM '{DOCS}' WHERE doc_id % 2 = 0),
+        c AS (SELECT token, count(*) AS n FROM cur GROUP BY token),
+        r AS (SELECT token, count(*) AS m FROM ref GROUP BY token),
+        nm AS (SELECT (SELECT count(*) FROM cur) AS n_tot,
+                      (SELECT count(*) FROM ref) AS m_tot),
+        j AS (SELECT coalesce(c.token, r.token) AS key,
+                     coalesce(n, 0) AS n, coalesce(m, 0) AS m
+              FROM c FULL OUTER JOIN r ON c.token = r.token),
+        s AS (SELECT key, abs(n * (SELECT m_tot FROM nm)
+                              - m * (SELECT n_tot FROM nm)) AS score FROM j)
+        SELECT 'tv_num' AS metric, '_all' AS key, sum(score) AS value FROM s
+        UNION ALL
+        SELECT 'tv_den', '_all', 2 * n_tot * m_tot FROM nm
+        UNION ALL
+        SELECT * FROM (
+          SELECT 'mover', key, score FROM s
+          ORDER BY score DESC, key LIMIT 5
+        )
+        """
+    ).fetchall()
+    assert got == {(r[0], r[1]): r[2] for r in twin}
+    assert got[("tv_num", "_all")] > 0  # the halves genuinely differ
+
+
+def test_plan_has_no_bnlj(spark):
+    a, b = _mk(spark, ["a", "b"]), _mk(spark, ["b", "c"])
+    plan = (
+        distribution_drift(a, b)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

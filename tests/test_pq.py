@@ -119,3 +119,34 @@ def test_adc_plan_shape(emb, codebooks, codes):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_stack_recall(emb, codebooks, codes):
+    from node_log_forwarder_spark.operators.pq import ivfpq_topk
+    from node_log_forwarder_spark.operators.similarity import ivf_centroids
+
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    cents = ivf_centroids(emb, k=4, iters=1)
+    got = {
+        r.vec_id
+        for r in ivfpq_topk(
+            emb, q, cents, codebooks, k=10, nprobe=2, shortlist=50,
+            codes_df=codes,
+        ).collect()
+    }
+    assert len(exact & got) >= 7  # two lossy tiers compose (measured below)
+    # nprobe = k degenerates the IVF tier: recall equals the pure-PQ path
+    full = {
+        r.vec_id
+        for r in ivfpq_topk(
+            emb, q, cents, codebooks, k=10, nprobe=4, shortlist=50,
+            codes_df=codes,
+        ).collect()
+    }
+    pq_only = {
+        r.vec_id
+        for r in pq_topk(emb, q, codebooks, k=10, shortlist=50,
+                         codes_df=codes).collect()
+    }
+    assert full == pq_only
