@@ -1,0 +1,75 @@
+"""AQE skew-join splitting: the engine leaves
+spark.sql.adaptive.skewJoin.enabled on (session.py) as the runtime
+backstop behind the explicit salting operator (operators/skew.py) —
+salting defuses the KNOWN hot keys the pipeline tracks, AQE catches
+whatever skew remains at run time by splitting oversized partitions of
+a sort-merge join. This test pins that the backstop actually fires:
+with the skew thresholds scaled to sandbox data, a join against a
+hot-keyed frame shows ``skew=true`` on the SMJ node, and results are
+identical with the feature off.
+
+Thresholds are lowered only inside this test — defaults gate on
+256 MB partitions, which sandbox inputs never reach; the pinned
+behavior is the split itself, not the gate values.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import functions as F
+
+
+@contextmanager
+def _conf(spark, settings: dict[str, str]):
+    old = {k: spark.conf.get(k, None) for k in settings}
+    try:
+        for k, v in settings.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _skewed_join(spark):
+    # left: 200k rows, 90% on one hot key; right: 50 rows per key
+    left = spark.range(200_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(50).select(F.col("id").alias("k"),
+                                   (F.col("id") * 100).alias("w"))
+    return left.join(right, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    )
+
+
+def test_skew_split_fires_and_result_unchanged(spark):
+    on = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    with _conf(spark, on):
+        df = _skewed_join(spark)
+        # collect() executes THIS df's plan (first() would build a
+        # separate limit plan and leave this one un-finalized)
+        row = df.collect()[0]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    with _conf(spark, {**on, "spark.sql.adaptive.skewJoin.enabled": "false"}):
+        df2 = _skewed_join(spark)
+        row2 = df2.collect()[0]
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan2
+    assert (row.n, row.s) == (row2.n, row2.s)
+    assert row.n == 200_000

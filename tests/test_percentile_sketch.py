@@ -1,0 +1,92 @@
+"""Mergeable percentile sketches (approx_percentile) vs the exact
+percentiles the `value_percentiles` driver key computes.
+
+At 100 TB the exact `percentile()` aggregate is the wrong tool — it
+buffers per-group values; `approx_percentile` (Greenwald-Khanna) keeps
+bounded per-partition state and merges across partitions, which is the
+only shape that survives a 1000-executor rollup. This pins (a) the
+rank-error contract of the sketch against the exact answer on the
+events table at two accuracy settings, and (b) determinism — GK is
+deterministic for a given dataset, so sketch results are stable across
+runs (what makes it safe to surface in a gated metrics table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+EV = "/root/testdata/sf0.001/events.parquet"
+QS = [0.5, 0.9, 0.99]
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.read.parquet(EV).cache()
+
+
+def _exact(ev):
+    return {
+        r.event_type: r.p
+        for r in ev.groupBy("event_type")
+        .agg(F.expr(f"percentile(value, array({','.join(map(str, QS))}))").alias("p"))
+        .collect()
+    }
+
+
+def _sketch(ev, acc):
+    return {
+        r.event_type: r.p
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "approx_percentile(value, "
+                f"array({','.join(map(str, QS))}), {acc})"
+            ).alias("p")
+        )
+        .collect()
+    }
+
+
+def test_rank_error_contract(ev):
+    exact = _exact(ev)
+    ranks = {
+        t: sorted(r.value for r in ev.where(F.col("event_type") == t)
+                  .select("value").collect())
+        for t in exact
+    }
+    for acc, tol in ((100, 0.02), (10_000, 0.001)):
+        sk = _sketch(ev, acc)
+        for t, vals in ranks.items():
+            n = len(vals)
+            for q, v in zip(QS, sk[t]):
+                # rank error: the sketch value's empirical quantile must
+                # be within ~1/acc of the requested quantile
+                import bisect
+
+                lo = bisect.bisect_left(vals, v) / n
+                hi = bisect.bisect_right(vals, v) / n
+                assert lo - tol <= q <= hi + tol, (t, q, acc, lo, hi)
+
+
+def test_sketch_deterministic_across_runs(ev):
+    a = _sketch(ev, 1000)
+    b = _sketch(ev, 1000)
+    assert a == b
+
+
+def test_high_accuracy_is_rank_exact(ev):
+    # at accuracy >> group size the sketch value must sit exactly at
+    # the requested rank (value-equality with exact percentile() is the
+    # wrong check — that aggregate INTERPOLATES between data values,
+    # the sketch returns a real data value)
+    import bisect
+
+    sk = _sketch(ev, 100_000)
+    for t, p in sk.items():
+        vals = sorted(r.value for r in ev.where(F.col("event_type") == t)
+                      .select("value").collect())
+        n = len(vals)
+        for q, v in zip(QS, p):
+            lo = bisect.bisect_left(vals, v) / n
+            hi = bisect.bisect_right(vals, v) / n
+            assert lo - 1.0 / n <= q <= hi + 1.0 / n, (t, q, lo, hi)
