@@ -765,11 +765,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("top_c").alias("sum_top_bigram"),
             F.sum("tot_c").alias("sum_bigrams"),
         )
-        return base.join(rep, "source", "left").select(
-            "source", "n_docs", "sum_tokens", "sum_punct", "sum_stop",
-            "sum_lines", "sum_distinct_lines",
-            F.coalesce(F.col("sum_top_bigram"), F.lit(0)).alias("sum_top_bigram"),
-            F.coalesce(F.col("sum_bigrams"), F.lit(0)).alias("sum_bigrams"),
+        # + bigram-LM coverage audit (r4 session 6: operators/lmscore.py —
+        # CCNet-family LM quality scoring, integer-exact face): the model
+        # is bigram counts over the doc_id % 7 == 0 reference slice;
+        # sum_lm_known counts corpus bigram occurrences present in the
+        # model, sum_lm_hits sums their model counts. The float
+        # perplexity path is pytest-gated (transcendentals aren't
+        # bit-portable across engines).
+        from node_log_forwarder_spark.operators.lmscore import (
+            bigram_model,
+            lm_audit,
+        )
+
+        model = bigram_model(docs.filter(F.col("doc_id") % 7 == 0))
+        lm = lm_audit(docs, model, group_col="source")
+        return (
+            base.join(rep, "source", "left")
+            .join(lm, "source", "left")
+            .select(
+                "source", "n_docs", "sum_tokens", "sum_punct", "sum_stop",
+                "sum_lines", "sum_distinct_lines",
+                F.coalesce(F.col("sum_top_bigram"), F.lit(0)).alias("sum_top_bigram"),
+                F.coalesce(F.col("sum_bigrams"), F.lit(0)).alias("sum_bigrams"),
+                F.coalesce(F.col("sum_lm_known"), F.lit(0)).alias("sum_lm_known"),
+                F.coalesce(F.col("sum_lm_hits"), F.lit(0)).alias("sum_lm_hits"),
+            )
         )
     q["quality_components"] = q_quality_components
 
@@ -910,6 +930,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # subset_ok (blocked ⊆ exact) and recall_ok (≥0.9, measured 0.975-1.0)
     # are computed Spark-side and must both be TRUE like the oracle's literals.
     def q_cosine_near_dup_blocked(spark, sf):
+        # + semantic-dedup invariant (r4 session 6: operators/semdedup.py
+        # — SemDeDup-family cluster-blocked dedup, driver-gated within
+        # the 50-key cap). sem_subset_ok: every semantic drop is
+        # justified by a brute-force near-dup CC drop (within-block
+        # cosine is exact, so this checks the CC + keep-policy
+        # composition); sem_recall_ok: the two-probe k=4 blocker finds
+        # ≥0.7 of the brute-force drop set (measured 0.95-0.975 at
+        # sf0.001/0.01; single-probe measures 0.45-0.56 on this corpus,
+        # which is why the multi-probe knob exists).
+        from node_log_forwarder_spark.operators.cluster import (
+            connected_components,
+        )
+        from node_log_forwarder_spark.operators.semdedup import semantic_dedup
+        from node_log_forwarder_spark.operators.similarity import ivf_centroids
+
         emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
         e = cosine_near_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
         bl = cosine_near_dup_pairs(
@@ -920,10 +955,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nx = bl.join(e, ["id_a", "id_b"], "left_anti").agg(
             F.count(F.lit(1)).alias("_n_extra")
         )
-        return ne.crossJoin(nb).crossJoin(nx).select(
-            "n_exact_pairs",
-            (F.col("_n_extra") == 0).alias("subset_ok"),
-            (F.col("_n_blocked") >= F.ceil(F.col("n_exact_pairs") * 0.9)).alias("recall_ok"),
+        ep = e.localCheckpoint(eager=True)
+        brute_drops = (
+            connected_components(ep)
+            .filter(F.col("id") != F.col("component"))
+            .select("id")
+        )
+        cents = ivf_centroids(emb, k=4, iters=1)
+        sem_drops = (
+            semantic_dedup(emb, cents, threshold=0.35, probes=2)
+            .filter(~F.col("keep"))
+            .select("id")
+        )
+        nbr = brute_drops.agg(F.count(F.lit(1)).alias("_n_brute_drops"))
+        nsd = sem_drops.agg(F.count(F.lit(1)).alias("_n_sem_drops"))
+        nsx = sem_drops.join(brute_drops, "id", "left_anti").agg(
+            F.count(F.lit(1)).alias("_n_sem_extra")
+        )
+        return (
+            ne.crossJoin(nb).crossJoin(nx).crossJoin(nbr).crossJoin(nsd)
+            .crossJoin(nsx)
+            .select(
+                "n_exact_pairs",
+                (F.col("_n_extra") == 0).alias("subset_ok"),
+                (F.col("_n_blocked") >= F.ceil(F.col("n_exact_pairs") * 0.9)).alias("recall_ok"),
+                (F.col("_n_sem_extra") == 0).alias("sem_subset_ok"),
+                (F.col("_n_sem_drops") >= F.ceil(F.col("_n_brute_drops") * 0.7)).alias("sem_recall_ok"),
+            )
         )
     q["cosine_near_dup_blocked"] = q_cosine_near_dup_blocked
 
@@ -1843,12 +1901,32 @@ def oracle_sql() -> dict[str, str]:
           SELECT source, CAST(sum(top_c) AS BIGINT) AS sum_top_bigram,
                  CAST(sum(tot_c) AS BIGINT) AS sum_bigrams
           FROM per_doc GROUP BY source
+        ),
+        -- bigram-LM coverage twin (operators/lmscore.py): model =
+        -- bigram counts over the doc_id % 7 = 0 reference slice, same
+        -- _NGRAM2 construction as bg
+        model AS (
+          SELECT g, count(*) AS c FROM (
+            SELECT unnest({_NGRAM2}) AS g
+            FROM (SELECT {_TOKENS} AS w FROM documents WHERE doc_id % 7 = 0)
+          ) GROUP BY g
+        ),
+        lm AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN m.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS sum_lm_known,
+                 CAST(coalesce(sum(m.c), 0) AS BIGINT) AS sum_lm_hits
+          FROM bg LEFT JOIN model m ON bg.g = m.g
+          GROUP BY source
         )
         SELECT base.source, n_docs, sum_tokens, sum_punct, sum_stop,
                sum_lines, sum_distinct_lines,
                coalesce(sum_top_bigram, 0) AS sum_top_bigram,
-               coalesce(sum_bigrams, 0) AS sum_bigrams
+               coalesce(sum_bigrams, 0) AS sum_bigrams,
+               coalesce(lm.sum_lm_known, 0) AS sum_lm_known,
+               coalesce(lm.sum_lm_hits, 0) AS sum_lm_hits
         FROM base LEFT JOIN rep ON base.source = rep.source
+        LEFT JOIN lm ON base.source = lm.source
     """
 
     # language-ID: argmax of stopword hits, ties → earlier lang code wins
@@ -2272,7 +2350,8 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                    FROM embeddings WHERE vec_id < 200)
         SELECT count(*) AS n_exact_pairs,
-               TRUE AS subset_ok, TRUE AS recall_ok
+               TRUE AS subset_ok, TRUE AS recall_ok,
+               TRUE AS sem_subset_ok, TRUE AS sem_recall_ok
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) > 0.35
     """

@@ -1,0 +1,171 @@
+"""n-gram language-model quality scoring (CCNet-family, Wenzek et al.
+2020 — public literature: score web documents by LM perplexity against
+an in-domain reference corpus; low-perplexity ≈ fluent prose, the
+standard pretraining quality filter).
+
+Spark-first shape: the "model" is just a (bigram, count) DataFrame
+aggregated from a reference slice — not an external KenLM binary, so
+the whole train → score lifecycle is two declarative jobs:
+
+* train  = explode bigrams over the reference slice + one groupBy —
+  the model table is O(|distinct bigrams|), orders of magnitude
+  smaller than the corpus (Zipf), and can be pruned to top-M by count
+  (``prune_min_count``) to force broadcast-size;
+* score  = explode bigrams over the target corpus + a (broadcast)
+  left join against the model + one per-doc aggregate. No UDFs —
+  the log-probability is a native expression, so scoring fuses into
+  whole-stage codegen and the only shuffle is the per-doc groupBy.
+
+At 100 TB the model either broadcasts (pruned, the normal case) or
+shuffle-joins on the bigram string; the scoring pass is otherwise
+embarrassingly parallel.
+
+Exactness split (the repo convention): the INTEGER audit — bigram
+occurrences known to the model and the sum of their model counts — is
+engine-exact and drives the DuckDB oracle gate (folded into
+``quality_components``); the FLOAT perplexity (transcendental ln/exp,
+not bit-portable across engines) is pytest-gated against a pure-Python
+reference instead.
+
+Tokenizer: ``functions.text.tokens`` (the repo-wide RE2∩Java-compatible
+whitespace split), bigrams via ``ngrams_from_tokens`` — byte-identical
+to the ``quality_components`` twin's ``_NGRAM2`` construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import ngrams_from_tokens, tokens
+
+
+def _bigrams(text_col: str):
+    return ngrams_from_tokens(tokens(F.col(text_col)), 2)
+
+
+def bigram_model(
+    ref: DataFrame,
+    text_col: str = "text",
+    prune_min_count: int = 1,
+) -> DataFrame:
+    """(g, c): bigram → occurrence count over the reference slice.
+
+    ``prune_min_count`` drops the long tail (c < threshold) — the
+    standard size/quality dial that keeps the model broadcastable."""
+    m = (
+        ref.select(F.explode(_bigrams(text_col)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if prune_min_count > 1:
+        m = m.filter(F.col("c") >= prune_min_count)
+    return m
+
+
+def lm_audit(
+    docs: DataFrame,
+    model: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-group integer-exact audit of model coverage:
+    (group, sum_lm_known, sum_lm_hits) where sum_lm_known counts the
+    corpus bigram OCCURRENCES present in the model and sum_lm_hits sums
+    their model counts. Both are exact BIGINTs — the driver-gateable
+    face of the scorer."""
+    bg = docs.select(F.col(group_col), F.explode(_bigrams(text_col)).alias("g"))
+    m = F.broadcast(model) if broadcast else model
+    return (
+        bg.join(m, "g", "left")
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0)).alias(
+                "sum_lm_known"
+            ),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("sum_lm_hits"),
+        )
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+    broadcast: bool = True,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logprob, ppl) — add-k-smoothed bigram
+    perplexity per document, all native expressions.
+
+    P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V) with V = |distinct
+    continuations| + 1 (one shared OOV bucket); ppl = exp(-avg ln P).
+    Context counts c(w1 ·) derive from the model itself (one groupBy on
+    the first token), so the scorer needs no second artifact. Documents
+    with no bigrams get a null ppl (callers decide the policy).
+
+    V and nothing else is a driver scalar (one bounded collect of one
+    number); the model and context tables broadcast when ``broadcast``
+    (use False to shuffle-join an unpruned web-scale model)."""
+    ctx = model.select(
+        F.split(F.col("g"), " ").getItem(0).alias("w1"), F.col("c")
+    ).groupBy("w1").agg(F.sum("c").alias("cw1"))
+    vrow = model.select(
+        F.countDistinct(F.split(F.col("g"), " ").getItem(1)).alias("v")
+    ).first()
+    vocab = float((vrow["v"] or 0) + 1)
+
+    m = F.broadcast(model) if broadcast else model
+    cx = F.broadcast(ctx) if broadcast else ctx
+    bg = docs.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("g")
+    ).withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+    num = F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(float(add_k))
+    den = F.coalesce(F.col("cw1"), F.lit(0)).cast("double") + F.lit(
+        float(add_k) * vocab
+    )
+    logp = F.log(num / den)
+    return (
+        bg.join(m, "g", "left")
+        .join(cx, "w1", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(logp).alias("avg_logprob"),
+        )
+        .withColumn("ppl", F.exp(-F.col("avg_logprob")))
+    )
+
+
+def lm_perplexity_py(
+    ref_texts: list[str], doc_text: str, add_k: float = 1.0
+) -> tuple[int, float | None, float | None]:
+    """Pure-Python reference for pytest: returns (n_bigrams,
+    avg_logprob, ppl) with the identical smoothing arithmetic."""
+    model: dict[str, int] = {}
+    ctx: dict[str, int] = {}
+    conts: set[str] = set()
+    for t in ref_texts:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            g = f"{a} {b}"
+            model[g] = model.get(g, 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+            conts.add(b)
+    vocab = float(len(conts) + 1)
+    ws = doc_text.split()
+    grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    if not grams:
+        return 0, None, None
+    tot = 0.0
+    for g in grams:
+        w1 = g.split(" ")[0]
+        num = model.get(g, 0) + add_k
+        den = ctx.get(w1, 0) + add_k * vocab
+        tot += math.log(num / den)
+    avg = tot / len(grams)
+    return len(grams), avg, math.exp(-avg)

@@ -59,6 +59,30 @@ def mixture_sample(
     return df.filter(hash_uniform(F.col(key_col), salt) < rate)
 
 
+def temperature_rates(counts: dict[str, int], alpha: float = 0.3) -> dict[str, float]:
+    """Temperature-based mixture rates (the multilingual-pretraining
+    standard, XLM-R-family, public literature): target share of group g
+    ∝ count_g^alpha. alpha=1 keeps natural proportions (all rates 1.0);
+    alpha→0 approaches uniform, upweighting low-resource groups by
+    downsampling the rest. Rates are scaled so the most-downsampled
+    constraint binds at 1.0 — maximal retention, like mixture_rates.
+    Driver arithmetic over |groups| numbers; feed the result to
+    mixture_sample."""
+    pos = {g: c for g, c in counts.items() if c > 0}
+    if not pos:
+        return {g: 0.0 for g in counts}
+    tot = sum(pos.values())
+    wt = {g: (c / tot) ** alpha for g, c in pos.items()}
+    wtot = sum(wt.values())
+    # rate_g ∝ target_share_g / natural_share_g; normalize to max 1.0
+    raw = {g: (wt[g] / wtot) / (c / tot) for g, c in pos.items()}
+    mx = max(raw.values())
+    out = {g: raw[g] / mx for g in pos}
+    for g in counts:
+        out.setdefault(g, 0.0)
+    return out
+
+
 def mixture_rates(
     counts: dict[str, int], target: dict[str, float]
 ) -> dict[str, float]:

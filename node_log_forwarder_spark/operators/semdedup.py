@@ -1,0 +1,199 @@
+"""Semantic deduplication (SemDeDup-family, Abbas et al. 2023 — public
+literature): k-means-cluster the embedding space, mine exact-cosine
+near-dup pairs ONLY within clusters, connect them into components, and
+keep one representative per component.
+
+Why this shape at 100 TB: all-pairs cosine is O(n²) and unshardable;
+clustering first makes the quadratic term per-cluster (the paper's own
+cost model — k is chosen so clusters fit an executor), and the cluster
+id is row-local, so at scale it doubles as the partition/bucket key of
+the embedding table: the within-cluster self-join becomes co-located
+(zero extra shuffle when the table is bucketed by cluster), exactly like
+the SRP bucket in ``similarity.cosine_near_dup_pairs(blocked=True)``.
+The two blockers are complementary: SRP bands block by random
+hyperplane signs (recall is tunable via bands), the semantic blocker
+reuses the IVF coarse quantizer the ANN path already trains — one
+K-byte centroid table serves search AND dedup.
+
+Pair mining inside a cluster is EXACT cosine, so every emitted pair is
+a true near-dup (precision 1 relative to the brute-force reference by
+construction); recall < 1 only when k-means splits a true pair across
+clusters — measured ≥0.7 on the driver corpus and pytest-pinned.
+Components then merge transitively via ``cluster.connected_components``
+(pointer-jumping min-label, O(log diameter) rounds); since edges never
+cross clusters, components are always cluster-local.
+
+Representative policies (both deterministic):
+* ``min_id``  — keep the component's min id (the CC label itself; zero
+  extra work, the convention every dedup op here uses).
+* ``far``     — keep the member LEAST similar to its cluster centroid
+  (the SemDeDup paper's choice: retain the least prototypical example);
+  one row_number window per component, ties broken by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cluster import connected_components
+from .similarity import _dot, _norm, cosine, ivf_assign
+
+
+def _assign_multi(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    probes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One row per (vector, block): each vector lands in its ``probes``
+    nearest clusters. Multi-probe assignment is the standard blocking
+    fix for pairs that straddle a k-means boundary (recall knob, cost
+    knob: each extra probe multiplies a cluster's candidate pool).
+    Distances are ranked via array_sort + array_position — ties keep
+    the first position, so a tied second probe degenerates to the
+    first (deduped downstream), never an error."""
+    from .similarity import _dist2_to_literal
+
+    d2 = F.array(*[_dist2_to_literal(F.col(vec_col), c) for c in centroids])
+    srt = F.array_sort(d2)
+    picks = [
+        (F.array_position(d2, F.get(srt, p)) - 1).cast("int")
+        for p in range(min(probes, len(centroids)))
+    ]
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.array_distinct(F.array(*picks))).alias("ivf_cluster"),
+    )
+
+
+def cluster_near_dup_pairs(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, sim) with id_a < id_b — exact-cosine near-dup pairs
+    mined within each k-means block; ``probes`` > 1 unions each
+    vector's nearest blocks (multi-probe blocking) for recall.
+
+    The self-join key is the row-local cluster id: both sides shuffle
+    on an int (or neither does, when the table is bucketed by cluster
+    at scale). Quadratic cost is bounded per cluster, not global; a
+    pair found in two shared blocks is collapsed by the trailing
+    per-pair groupBy (which also carries block provenance as the min
+    block id)."""
+    if probes <= 1:
+        assigned = ivf_assign(emb, centroids, vec_col=vec_col).select(
+            id_col, vec_col, "ivf_cluster"
+        )
+    else:
+        assigned = _assign_multi(emb, centroids, probes, id_col, vec_col)
+    a = assigned.select(
+        F.col("ivf_cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("ivf_cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, "ivf_cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_raw_sim", sim)
+        .filter(F.col("_raw_sim") >= F.lit(float(threshold)))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.round(F.first("_raw_sim"), 4).alias("sim"),
+            F.min("ivf_cluster").alias("ivf_cluster"),
+        )
+    )
+
+
+def _centroid_sim(vec_col: str, centroids: list[list[float]], cluster_col: str):
+    """Cosine similarity of each row to ITS OWN cluster centroid, as one
+    expression: an array of per-centroid sims indexed by the cluster id.
+    Centroid norms are Python-side constants (k×dim literals, KB-scale),
+    so each sim costs one dot product + the row-norm."""
+    sims = []
+    for c in centroids:
+        cn = sum(x * x for x in c) ** 0.5
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        if cn == 0.0:
+            sims.append(F.lit(0.0))
+        else:
+            sims.append(_dot(F.col(vec_col), lit) / (_norm(F.col(vec_col)) * F.lit(cn)))
+    # F.get: null on OOB instead of throwing (Spark 4 eager-codegen
+    # lesson, NOTES r5) — cluster ids are always in range here anyway
+    return F.get(F.array(*sims), F.col(cluster_col))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.35,
+    policy: str = "min_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 1,
+) -> DataFrame:
+    """(id, ivf_cluster, component, keep) for EVERY input row.
+    ``ivf_cluster`` is always the single nearest cluster (the partition
+    key); ``probes`` only widens PAIR MINING blocks.
+
+    ``component`` = min id reachable through the within-cluster pair
+    graph (singletons: their own id). ``keep`` marks the survivor under
+    ``policy``; exactly one row per component has keep = true.
+
+    Scale notes: the pair frame is localCheckpoint'd so the CC rounds
+    don't re-execute the quadratic self-join through lineage (same
+    lesson as q_cosine_near_dup); at cluster scale use a reliable
+    checkpoint or a written table. The ``far`` policy adds one
+    row_number window partitioned by component — a shuffle of
+    (id, component, sim) triples, never vectors."""
+    if policy not in ("min_id", "far"):
+        raise ValueError(f"unknown policy {policy!r}")
+    pairs = cluster_near_dup_pairs(
+        emb, centroids, threshold, id_col, vec_col, probes
+    ).localCheckpoint(eager=True)
+    cc = connected_components(pairs)
+    base = ivf_assign(emb, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("id"), "ivf_cluster", F.col(vec_col).alias("_v")
+    )
+    lab = base.join(cc, "id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("id"))
+    )
+    if policy == "min_id":
+        out = lab.withColumn("keep", F.col("component") == F.col("id"))
+    else:
+        from pyspark.sql import Window
+
+        csim = _centroid_sim("_v", centroids, "ivf_cluster")
+        w = Window.partitionBy("component").orderBy(
+            F.col("_csim").asc(), F.col("id").asc()
+        )
+        out = (
+            lab.withColumn("_csim", csim)
+            .withColumn("keep", F.row_number().over(w) == 1)
+            .drop("_csim")
+        )
+    return out.select("id", "ivf_cluster", "component", "keep")
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Filter ``df`` to semantic-dedup survivors via a join on the
+    (id, keep) label frame — 2 narrow columns, broadcast-size relative
+    to the payload table it prunes."""
+    keep = labels.filter(F.col("keep")).select(F.col("id").alias(id_col))
+    return df.join(keep, id_col)

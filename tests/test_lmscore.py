@@ -1,0 +1,95 @@
+"""Bigram-LM quality scoring (operators/lmscore.py): the integer audit
+must match hand counts, the float perplexity must match the pure-Python
+reference to 1e-9, fluent text must score lower perplexity than
+gibberish, and pruning must only ever shrink the model."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.lmscore import (
+    bigram_model,
+    lm_audit,
+    lm_perplexity,
+    lm_perplexity_py,
+)
+
+REF = [
+    "the cat sat on the mat",
+    "the dog sat on the rug",
+    "a cat and a dog",
+]
+DOCS = [
+    (0, "src1", "the cat sat on the mat"),          # in-domain
+    (1, "src1", "zq xv qqq zzz vvv"),               # gibberish, all-OOV
+    (2, "src2", "the dog sat quietly"),             # partial overlap
+    (3, "src2", "x"),                               # no bigrams
+]
+
+
+@pytest.fixture(scope="module")
+def ref_df(spark):
+    return spark.createDataFrame([(t,) for t in REF], "text string")
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, source string, text string")
+
+
+def test_model_counts(spark, ref_df):
+    m = {r["g"]: r["c"] for r in bigram_model(ref_df).collect()}
+    assert m["the cat"] == 1
+    assert m["sat on"] == 2
+    assert m["on the"] == 2
+    assert m["a cat"] == 1
+    assert sum(m.values()) == sum(len(t.split()) - 1 for t in REF)
+
+
+def test_model_pruning_shrinks(spark, ref_df):
+    full = bigram_model(ref_df)
+    pruned = bigram_model(ref_df, prune_min_count=2)
+    assert pruned.count() < full.count()
+    assert pruned.filter(F.col("c") < 2).count() == 0
+
+
+def test_audit_exact_integers(spark, ref_df, docs_df):
+    m = bigram_model(ref_df)
+    out = {r["source"]: r for r in lm_audit(docs_df, m).collect()}
+    # src1 doc0: bigrams (the cat, cat sat, sat on, on the, the mat) —
+    # all 5 in model; hits = 1+1+2+2+1 = 7. doc1: 4 bigrams, 0 known.
+    assert out["src1"]["sum_lm_known"] == 5
+    assert out["src1"]["sum_lm_hits"] == 7
+    # src2 doc2: (the dog → c=1, dog sat → c=1, sat quietly → OOV);
+    # doc3 contributes nothing
+    assert out["src2"]["sum_lm_known"] == 2
+    assert out["src2"]["sum_lm_hits"] == 2
+
+
+def test_perplexity_matches_python_reference(spark, ref_df, docs_df):
+    m = bigram_model(ref_df)
+    got = {r["doc_id"]: r for r in lm_perplexity(docs_df, m).collect()}
+    for doc_id, _src, text in DOCS:
+        n, avg, ppl = lm_perplexity_py(REF, text)
+        if n == 0:
+            assert doc_id not in got or got[doc_id]["avg_logprob"] is None
+            continue
+        r = got[doc_id]
+        assert r["n_bigrams"] == n
+        assert abs(r["avg_logprob"] - avg) < 1e-9
+        assert abs(r["ppl"] - ppl) < 1e-6 * max(1.0, ppl)
+
+
+def test_fluent_beats_gibberish(spark, ref_df, docs_df):
+    m = bigram_model(ref_df)
+    got = {r["doc_id"]: r["ppl"] for r in lm_perplexity(docs_df, m).collect()}
+    assert got[0] < got[2] < got[1]
+
+
+def test_broadcast_plan(spark, ref_df, docs_df):
+    """The scoring joins must broadcast the model — no sort-merge
+    exchange of the exploded corpus beyond the final groupBy."""
+    m = bigram_model(ref_df)
+    plan = lm_perplexity(docs_df, m)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -9,6 +9,7 @@ from node_log_forwarder_spark.operators.sampling import (
     hash_uniform,
     mixture_rates,
     mixture_sample,
+    temperature_rates,
 )
 
 
@@ -54,3 +55,21 @@ def test_mixture_rates_math():
     assert abs(rates["b"] - 1.0 / 3.0) < 1e-12
     assert mixture_rates({"a": 10}, {}) == {"a": 0.0}
     assert mixture_rates({"a": 10, "b": 0}, {"a": 1.0, "b": 0.5})["b"] == 0.0
+
+
+def test_temperature_rates_math():
+    # alpha=1 → natural proportions preserved → everyone keeps rate 1.0
+    r1 = temperature_rates({"en": 900, "fr": 100}, alpha=1.0)
+    assert abs(r1["en"] - 1.0) < 1e-12 and abs(r1["fr"] - 1.0) < 1e-12
+    # alpha<1 upweights the low-resource group: the big group is
+    # downsampled, the scarce one binds at 1.0
+    r = temperature_rates({"en": 900, "fr": 100}, alpha=0.3)
+    assert r["fr"] == 1.0
+    assert 0.0 < r["en"] < 1.0
+    # resulting mix matches count^alpha shares: out_g = c_g * rate_g
+    out_en, out_fr = 900 * r["en"], 100 * r["fr"]
+    want = (900 ** 0.3) / (100 ** 0.3)
+    assert abs(out_en / out_fr - want) < 1e-9
+    # degenerate inputs
+    assert temperature_rates({})== {}
+    assert temperature_rates({"a": 0}) == {"a": 0.0}

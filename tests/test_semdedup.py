@@ -1,0 +1,143 @@
+"""Semantic dedup (operators/semdedup.py): cluster-blocked pair mining
+must be a subset of brute-force near-dup pairs (exact cosine within
+clusters → precision 1 by construction), components must match the
+brute-force CC restricted to surviving edges, and both keep policies
+must pick exactly one deterministic survivor per component."""
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.cluster import connected_components
+from node_log_forwarder_spark.operators.semdedup import (
+    cluster_near_dup_pairs,
+    semantic_dedup,
+    semantic_dedup_survivors,
+)
+from node_log_forwarder_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    ivf_centroids,
+)
+
+
+def _fixture(spark):
+    """3 obvious groups in R^4 + jitter; near-dups within groups only."""
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    for i in range(30):
+        g = i % 3
+        # deterministic jitter, small enough to keep in-group cosine high
+        eps = [((i * 7 + d * 3) % 5) * 0.02 for d in range(4)]
+        v = [b + e for b, e in zip(base[g], eps)]
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _brute_drops(spark, emb, threshold):
+    pairs = cosine_near_dup_pairs(emb, threshold=threshold).localCheckpoint(True)
+    if pairs.isEmpty():
+        return set()
+    cc = connected_components(pairs)
+    return {r["id"] for r in cc.filter(F.col("id") != F.col("component")).collect()}
+
+
+def test_pairs_subset_of_brute_force(spark):
+    emb = _fixture(spark)
+    cents = ivf_centroids(emb, k=3, iters=2)
+    blocked = cluster_near_dup_pairs(emb, cents, threshold=0.9)
+    exact = cosine_near_dup_pairs(emb, threshold=0.9).select("id_a", "id_b")
+    extra = blocked.select("id_a", "id_b").join(exact, ["id_a", "id_b"], "left_anti")
+    assert extra.count() == 0
+    assert blocked.count() > 0
+
+
+def test_semantic_dedup_matches_brute_force_on_separable_groups(spark):
+    emb = _fixture(spark)
+    cents = ivf_centroids(emb, k=3, iters=2)
+    lab = semantic_dedup(emb, cents, threshold=0.9)
+    rows = {r["id"]: r for r in lab.collect()}
+    assert set(rows) == set(range(30))
+    sem_drops = {i for i, r in rows.items() if not r["keep"]}
+    brute = _brute_drops(spark, emb, 0.9)
+    # every semantic drop is justified by a true near-dup pair
+    assert sem_drops <= brute
+    # groups are well separated at threshold 0.9 → k-means with k=3
+    # recovers them and recall is total
+    assert sem_drops == brute
+    # min_id policy: survivor IS the component label
+    for i, r in rows.items():
+        assert r["keep"] == (r["component"] == i)
+
+
+def test_one_survivor_per_component_far_policy(spark):
+    emb = _fixture(spark)
+    cents = ivf_centroids(emb, k=3, iters=2)
+    lab = semantic_dedup(emb, cents, threshold=0.9, policy="far").collect()
+    by_comp: dict[int, list] = {}
+    for r in lab:
+        by_comp.setdefault(r["component"], []).append(r)
+    vecs = {r["vec_id"]: r["embedding"] for r in _fixture(spark).collect()}
+
+    def csim(i, cid):
+        v, c = vecs[i], cents[cid]
+        num = sum(a * b for a, b in zip(v, c))
+        dn = math.sqrt(sum(a * a for a in v)) * math.sqrt(sum(b * b for b in c))
+        return num / dn if dn else 0.0
+
+    for comp, members in by_comp.items():
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1
+        # survivor = least similar to its cluster centroid (ties → min id)
+        want = min(
+            members, key=lambda m: (round(csim(m["id"], m["ivf_cluster"]), 12), m["id"])
+        )
+        assert keeps[0]["id"] == want["id"]
+
+
+def test_no_drops_when_nothing_similar(spark):
+    emb = _fixture(spark)
+    cents = ivf_centroids(emb, k=3, iters=2)
+    lab = semantic_dedup(emb, cents, threshold=1.01)
+    assert lab.filter(~F.col("keep")).count() == 0
+    # every row is its own component
+    assert lab.filter(F.col("component") != F.col("id")).count() == 0
+
+
+def test_survivors_filter(spark):
+    emb = _fixture(spark)
+    cents = ivf_centroids(emb, k=3, iters=2)
+    lab = semantic_dedup(emb, cents, threshold=0.9)
+    surv = semantic_dedup_survivors(emb, lab)
+    assert surv.count() == lab.filter(F.col("keep")).count()
+    assert surv.count() < 30  # fixture does contain near-dups
+
+
+def test_real_embeddings_recall(spark):
+    """Driver-data shape: recall vs brute force ≥ 0.7 (the bound the
+    cosine_near_dup_blocked driver gate pins), precision exact."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 200)
+    )
+    cents = ivf_centroids(emb, k=4, iters=1)
+    # single-probe measures 0.45-0.56 on this corpus (the 0.35-cosine
+    # pair graph straddles k-means boundaries); two-probe blocking
+    # recovers 0.95+ — the recall knob the driver gate relies on
+    lab = semantic_dedup(emb, cents, threshold=0.35, probes=2)
+    sem_drops = {r["id"] for r in lab.filter(~F.col("keep")).collect()}
+    brute = _brute_drops(spark, emb, 0.35)
+    assert sem_drops <= brute
+    if brute:
+        assert len(sem_drops) >= math.ceil(0.7 * len(brute))
+
+
+def test_bad_policy_raises(spark):
+    emb = _fixture(spark)
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, [[1.0, 0.0, 0.0, 0.0]], policy="nope")
