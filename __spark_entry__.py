@@ -666,13 +666,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     paths on real data; the exact path can't fire here (the
     #     testdata documents table has zero exact-dup groups — verified
     #     at sf0.01) and is covered by tests/test_incremental_dedup.py's
-    #     duplicate-bearing fixture instead. -----------------------------------
+    #     duplicate-bearing fixture instead.
+    #     + duplicate-substring audit (r4 session 6:
+    #     operators/substring.py — ExactSubstr-family span dedup, Lee et
+    #     al. 2021): every surviving row carries its duplicated k=5-token
+    #     window count and interval-union token coverage, exact integers
+    #     gated per ROW by the driver hash. The span-REMOVAL transform is
+    #     pytest-gated (kept == n_tokens - dup_tokens invariant,
+    #     tests/test_substring.py). -----------------------------------------
     def q_dedup_survivors(spark, sf):
         from node_log_forwarder_spark.operators.dedup import (
             build_dedup_index,
             exact_dedup,
             incremental_dedup,
         )
+        from node_log_forwarder_spark.operators.substring import dup_span_stats
 
         docs = _t(spark, sf, "documents")
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
@@ -692,10 +700,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("inc_status"),
         )
         surv = exact_dedup(docs).select("doc_id", "lang")
-        return surv.join(cls, "doc_id", "left").select(
-            "doc_id",
-            "lang",
-            F.coalesce("inc_status", F.lit("corpus")).alias("inc_status"),
+        sub = dup_span_stats(docs, k=5).select(
+            "doc_id", "n_dup_windows", "dup_tokens"
+        )
+        return (
+            surv.join(cls, "doc_id", "left")
+            .join(sub, "doc_id", "left")
+            .select(
+                "doc_id",
+                "lang",
+                F.coalesce("inc_status", F.lit("corpus")).alias("inc_status"),
+                F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+                F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            )
         )
     q["dedup_survivors"] = q_dedup_survivors
 
@@ -2098,12 +2115,40 @@ def oracle_sql() -> dict[str, str]:
         status AS (SELECT doc_id, 'exact' AS inc_status FROM exact_ids
                    UNION ALL SELECT doc_id, 'near' FROM near_ids),
         surv AS (SELECT doc_id, lang FROM documents
-                 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {_FP}))
+                 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {_FP})),
+        -- duplicate-substring twin (operators/substring.py, k=5): the
+        -- two unnests zip positionally (DuckDB posexplode); only the
+        -- position DIFFERENCE feeds the interval union, so 1-based is
+        -- fine. Within-doc repeats count (HAVING >= 2 over all sites).
+        w5 AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+        g5 AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, greatest(len(w) - 4, 0))) AS pos,
+                 unnest(list_transform(
+                     generate_series(1, greatest(len(w) - 4, 0)),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+          FROM w5
+        ),
+        h5 AS (SELECT doc_id, pos, md5(gram) AS wh FROM g5),
+        dup5 AS (SELECT wh FROM h5 GROUP BY wh HAVING count(*) >= 2),
+        c5 AS (
+          SELECT doc_id, count(*) AS ndw,
+                 CAST(sum(CASE WHEN prev IS NULL THEN 5
+                          ELSE least(5, pos - prev) END) AS BIGINT) AS dtok
+          FROM (SELECT h5.doc_id, pos,
+                       lag(pos) OVER (PARTITION BY h5.doc_id ORDER BY pos) AS prev
+                FROM h5 JOIN dup5 USING (wh))
+          GROUP BY doc_id
+        )
         SELECT s.doc_id, s.lang,
                coalesce(st.inc_status,
                         CASE WHEN s.doc_id % 5 = 0 THEN 'novel'
-                             ELSE 'corpus' END) AS inc_status
+                             ELSE 'corpus' END) AS inc_status,
+               coalesce(c5.ndw, 0) AS n_dup_windows,
+               coalesce(c5.dtok, 0) AS dup_tokens
         FROM surv s LEFT JOIN status st ON s.doc_id = st.doc_id
+        LEFT JOIN c5 ON s.doc_id = c5.doc_id
     """
 
     sql["ngram_jaccard"] = f"""

@@ -1,0 +1,233 @@
+"""MERGE INTO (upsert + delete) over partitioned parquet sink tables —
+the copy-on-write maintenance op that turns an append-only log sink
+into a correctable store (late-arriving fixups, dimension refreshes,
+tombstone application) without rewriting 100 TB.
+
+At prod scale this is exactly Iceberg's ``MERGE INTO target USING
+source ON key WHEN MATCHED THEN UPDATE/DELETE WHEN NOT MATCHED THEN
+INSERT`` (BASELINE.json's table contract); this operator implements the
+identical logical semantics over plain partitioned parquet with the
+same copy-on-write shape Iceberg's Spark writer uses, so a deployment
+can swap in the one-line Iceberg SQL form without changing callers
+(same contract as `catalog.py`).
+
+Scale design (sibling of `operators/purge.py`, same swap machinery):
+
+- **Touch only the source's partitions.** CONTRACT: a key's partition
+  value is immutable (standard MERGE-on-partitioned-table practice —
+  the partition column is part of the row identity, e.g. event day).
+  Affected partitions are then the distinct partition tuples IN THE
+  SOURCE — metadata-sized, safe to collect — and the target scan is
+  partition-pruned to exactly those; every other partition's files are
+  never opened (pytest pins inode identity).
+- **Broadcast the batch.** The source is a fix-up batch, orders of
+  magnitude smaller than the sink: its key set broadcasts into the
+  pruned target scan (left_anti — the data side never shuffles).
+- **Verify before swap.** The rewrite lands in a staging dir; per
+  partition, ``after == before - matched + inserted`` must hold
+  exactly, else the staging dir is dropped and the source table is
+  untouched. The swap keeps a ``__premerge`` backup until the caller
+  validates (`drop_merge_backup`) — ADVICE r3's compact.py lesson.
+- **Audit, not silence.** Returns per-partition
+  (n_before, n_matched, n_inserted, n_after).
+
+Semantics detail: every target row whose key matches a source key is
+removed and replaced by the source's row(s) for that key — so a
+matched key UPDATEs, a source row flagged ``delete_col`` DELETEs
+(matched target rows removed, nothing inserted), and an unmatched
+non-delete source row INSERTs. Duplicate keys in the target (the
+at-least-once sink case) all collapse to the source's version.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _partition_dir(root: str, cols: list[str], values: dict) -> str:
+    parts = [f"{c}={values[c]}" for c in cols]
+    return os.path.join(root.rstrip("/"), *parts)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    key_cols: list[str],
+    source: DataFrame,
+    delete_col: str | None = None,
+    keep_backup: bool = True,
+) -> dict:
+    """Merge ``source`` into the partitioned parquet table at ``path``.
+
+    ``source`` must carry the target's columns (including the partition
+    columns — the immutable-partition contract) plus, optionally, a
+    boolean ``delete_col`` marking tombstones. Returns
+    ``{rows_matched, rows_inserted, rows_deleted, partitions_affected,
+    audit, backup_path}``.
+    """
+    if not partition_cols:
+        raise ValueError("merge_upsert requires a partitioned table")
+    if delete_col is not None:
+        tombstones = source.filter(F.col(delete_col))
+        upserts = source.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    else:
+        tombstones = None
+        upserts = source
+
+    df = spark.read.parquet(path)
+    data_cols = df.columns
+
+    # affected partitions: distinct partition tuples in the source —
+    # bounded by the batch's partition spread, metadata-sized
+    affected = [
+        {c: r[c] for c in partition_cols}
+        for r in source.select(*partition_cols).distinct().collect()
+    ]
+    if not affected:
+        return {
+            "rows_matched": 0,
+            "rows_inserted": 0,
+            "rows_deleted": 0,
+            "partitions_affected": 0,
+            "audit": [],
+            "backup_path": None,
+        }
+
+    prune = None
+    for vals in affected:
+        cond = None
+        for c in partition_cols:
+            eq = F.col(c) == F.lit(vals[c])
+            cond = eq if cond is None else (cond & eq)
+        prune = cond if prune is None else (prune | cond)
+    pruned = df.where(prune)
+
+    # per-partition before/matched counts in one pass each; the key set
+    # broadcasts (fix-up batch << sink)
+    keys = F.broadcast(source.select(*key_cols).distinct())
+    before_by_part = {
+        tuple(r[c] for c in partition_cols): r["n"]
+        for r in pruned.groupBy(*partition_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    matched_by_part = {
+        tuple(r[c] for c in partition_cols): r["n"]
+        for r in pruned.join(keys, key_cols, "left_semi")
+        .groupBy(*partition_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    insert_by_part = {
+        tuple(r[c] for c in partition_cols): r["n"]
+        for r in upserts.groupBy(*partition_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_deleted = 0
+    if tombstones is not None:
+        tomb_keys = F.broadcast(tombstones.select(*key_cols).distinct())
+        n_deleted = pruned.join(tomb_keys, key_cols, "left_semi").count()
+
+    # the merge itself: matched target rows drop out (anti-join against
+    # the broadcast key set), source upserts take their place
+    kept = pruned.join(keys, key_cols, "left_anti")
+    merged = kept.unionByName(upserts.select(*data_cols))
+
+    stage = path.rstrip("/") + "__merge_stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(stage)
+
+    def _has_parquet(p: str) -> bool:
+        for _r, _d, fs in os.walk(p):
+            if any(f.endswith(".parquet") for f in fs):
+                return True
+        return False
+
+    after_by_part: dict = {}
+    if _has_parquet(stage):
+        staged = spark.read.option("basePath", stage).parquet(stage)
+        after_by_part = {
+            tuple(r[c] for c in partition_cols): r["n"]
+            for r in staged.groupBy(*partition_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    all_parts = {tuple(v[c] for c in partition_cols) for v in affected}
+    for key in all_parts:
+        want = (
+            before_by_part.get(key, 0)
+            - matched_by_part.get(key, 0)
+            + insert_by_part.get(key, 0)
+        )
+        got = after_by_part.get(key, 0)
+        if got != want:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise RuntimeError(
+                f"merge verification failed for partition {key}: expected "
+                f"{before_by_part.get(key, 0)} - {matched_by_part.get(key, 0)}"
+                f" + {insert_by_part.get(key, 0)} = {want}, staged {got}; "
+                "target untouched"
+            )
+
+    backup = path.rstrip("/") + "__premerge" if keep_backup else None
+    if backup:
+        shutil.rmtree(backup, ignore_errors=True)
+        os.makedirs(backup)
+    for vals in affected:
+        live = _partition_dir(path, partition_cols, vals)
+        staged_dir = _partition_dir(stage, partition_cols, vals)
+        if os.path.isdir(live):
+            if backup:
+                dst = _partition_dir(backup, partition_cols, vals)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(live, dst)
+            else:
+                shutil.rmtree(live)
+        if os.path.isdir(staged_dir):
+            # an all-deleted partition writes no staged rows → dir absent
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            os.rename(staged_dir, live)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    audit = [
+        {
+            **vals,
+            "n_before": before_by_part.get(
+                tuple(vals[c] for c in partition_cols), 0
+            ),
+            "n_matched": matched_by_part.get(
+                tuple(vals[c] for c in partition_cols), 0
+            ),
+            "n_inserted": insert_by_part.get(
+                tuple(vals[c] for c in partition_cols), 0
+            ),
+            "n_after": after_by_part.get(
+                tuple(vals[c] for c in partition_cols), 0
+            ),
+        }
+        for vals in affected
+    ]
+    return {
+        "rows_matched": sum(a["n_matched"] for a in audit),
+        "rows_inserted": sum(a["n_inserted"] for a in audit),
+        "rows_deleted": n_deleted,
+        "partitions_affected": len(audit),
+        "audit": audit,
+        "backup_path": backup,
+    }
+
+
+def drop_merge_backup(path: str) -> bool:
+    """Delete the ``__premerge`` backup after caller-side validation."""
+    old = path.rstrip("/") + "__premerge"
+    existed = os.path.isdir(old)
+    shutil.rmtree(old, ignore_errors=True)
+    return existed

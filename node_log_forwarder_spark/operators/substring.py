@@ -1,0 +1,208 @@
+"""Duplicate-substring detection and removal (ExactSubstr family —
+Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+Better", public literature): any text span repeated verbatim elsewhere
+in the corpus is memorization fuel and should be measured / removed at
+span granularity, not document granularity (near-dup docs are a
+DIFFERENT failure mode — see ``dedup.py``).
+
+The paper builds one corpus-wide suffix array — a single-machine shape
+that cannot shard. The distributed equivalent implemented here: hash
+every k-token sliding window and call a window duplicated when its hash
+occurs at ≥ ``min_sites`` (doc, pos) sites corpus-wide. A span repeated
+verbatim of length ≥ k always contains ≥ 1 duplicated window, and every
+duplicated window lies inside a repeated span of length ≥ k, so window
+coverage = the paper's "part of a duplicated substring" predicate at
+k-token resolution (md5 collisions are the only approximation: ~n²/2¹²⁸,
+irrelevant at 10¹² windows).
+
+Spark-first cost shape, stage by stage:
+* window hashing is map-side (tokens → posexplode of the n-gram array —
+  the composed slice+zip_with builder from ``functions.text``, constant
+  re-evaluation of the token array);
+* the duplicate set is ONE hash-groupBy on the 32-char md5 — the only
+  data-scale shuffle, carrying (wh, id, pos) tuples, never text;
+* the join-back is a shuffle join on wh (the duplicate set is
+  corpus-sized in the worst case, so no broadcast assumption);
+* per-doc coverage is an interval union done as one lag window over
+  (id, pos) — exact integer token counts, no UDF anywhere.
+
+At 100 TB every stage is embarrassingly parallel between its shuffles,
+and AQE handles the Zipf skew of hot window hashes (boilerplate
+license headers etc.) the same way the salted aggregates do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.text import ngrams_from_tokens, tokens
+
+
+def window_hashes(
+    df: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, wh): md5 of each k-token sliding window, one row per
+    position (0-based token offset). Docs shorter than k tokens emit
+    nothing. The paper's k is 50 BPE tokens; pick k per corpus."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(ngrams_from_tokens(F.col("_w"), k)).alias("pos", "_gram"),
+    ).select(id_col, "pos", F.md5(F.col("_gram")).alias("wh"))
+
+
+def duplicated_positions(
+    wh: DataFrame,
+    id_col: str = "doc_id",
+    min_sites: int = 2,
+) -> DataFrame:
+    """(id, pos) of every window whose hash occurs at ≥ min_sites sites
+    corpus-wide (within-doc repeats count — verbatim self-repetition is
+    the same memorization fuel). One groupBy on wh + one join back."""
+    dup = (
+        wh.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("_n_sites"))
+        .filter(F.col("_n_sites") >= min_sites)
+        .select("wh")
+    )
+    return wh.join(dup, "wh").select(id_col, "pos")
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sites: int = 2,
+) -> DataFrame:
+    """Per-doc duplicated-span accounting, all exact integers:
+    (id, n_tokens, n_dup_windows, dup_tokens, dup_frac) where
+    dup_tokens = |union over duplicated windows of [pos, pos+k)| —
+    the interval union computed as one lag window (sorted positions:
+    a window contributes min(k, pos - prev_pos) new tokens; the first
+    contributes k). Every input doc gets a row (zeroes when clean)."""
+    dpos = duplicated_positions(
+        window_hashes(df, k, id_col, text_col), id_col, min_sites
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = (
+        dpos.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(F.col("_prev").isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), F.col("pos") - F.col("_prev"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("_new").alias("dup_tokens"),
+        )
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+    joined = base.join(cov, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("dup_frac", F.round(frac, 4))
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sites: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """The paper's actual transform: delete the duplicated spans
+    themselves (not the documents). Every token index covered by some
+    duplicated window is dropped; survivors are re-joined with single
+    spaces in original order. Docs losing everything get '' (callers
+    filter on it or on ``dup_span_stats``).
+
+    Plan: covered = distinct (id, idx) from exploding each duplicated
+    window position into its k indices (bounded: ≤ k × dup_sites rows,
+    and only for the duplicated minority of positions); tokens are
+    posexploded once; an anti-join drops covered indices; the rebuild is
+    array_join(array_sort(collect_list(struct(idx, tok)))) — order
+    restored by the struct sort, no window needed."""
+    dpos = duplicated_positions(
+        window_hashes(df, k, id_col, text_col), id_col, min_sites
+    )
+    covered = dpos.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+            "idx"
+        ),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("idx", "tok")
+    )
+    kept = toks.join(covered, [id_col, "idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("idx", "tok"))).getField("tok"),
+            " ",
+        ).alias(out_col)
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+    )
+
+
+def dup_span_stats_py(
+    texts: dict[int, str], k: int, min_sites: int = 2
+) -> dict[int, tuple[int, int, int]]:
+    """Pure-Python reference for pytest: id → (n_tokens, n_dup_windows,
+    dup_tokens) with the identical window/coverage semantics."""
+    sites: dict[tuple[str, ...], int] = {}
+    wins: dict[int, list[tuple[int, tuple[str, ...]]]] = {}
+    for i, t in texts.items():
+        ws = t.split()
+        wins[i] = [(p, tuple(ws[p : p + k])) for p in range(len(ws) - k + 1)]
+        for _, g in wins[i]:
+            sites[g] = sites.get(g, 0) + 1
+    out: dict[int, tuple[int, int, int]] = {}
+    for i, t in texts.items():
+        ws = t.split()
+        dup = [p for p, g in wins[i] if sites[g] >= min_sites]
+        covered: set[int] = set()
+        for p in dup:
+            covered.update(range(p, p + k))
+        out[i] = (len(ws), len(dup), len(covered))
+    return out
+
+
+def remove_dup_spans_py(
+    texts: dict[int, str], k: int, min_sites: int = 2
+) -> dict[int, str]:
+    """Pure-Python reference for the span-removal transform."""
+    sites: dict[tuple[str, ...], int] = {}
+    for t in texts.values():
+        ws = t.split()
+        for p in range(len(ws) - k + 1):
+            g = tuple(ws[p : p + k])
+            sites[g] = sites.get(g, 0) + 1
+    out: dict[int, str] = {}
+    for i, t in texts.items():
+        ws = t.split()
+        covered: set[int] = set()
+        for p in range(len(ws) - k + 1):
+            if sites[tuple(ws[p : p + k])] >= min_sites:
+                covered.update(range(p, p + k))
+        out[i] = " ".join(w for j, w in enumerate(ws) if j not in covered)
+    return out

@@ -1,0 +1,150 @@
+"""MERGE INTO over partitioned parquet (operators/merge.py): update +
+insert + tombstone-delete semantics vs a Python-computed expectation,
+untouched partitions keep their inodes, new partitions materialize,
+duplicate-key targets collapse to the source version, backup lifecycle,
+and the empty-source no-op."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.merge import (
+    drop_merge_backup,
+    merge_upsert,
+)
+
+SCHEMA = "event_id long, day string, payload string"
+ROWS = [
+    (1, "d1", "old1"),
+    (2, "d1", "old2"),
+    (3, "d1", "old3"),
+    (4, "d2", "old4"),
+    (5, "d2", "old5"),
+    (6, "d3", "old6"),
+    (6, "d3", "old6b"),  # duplicate key in the target (at-least-once sink)
+]
+
+
+def _inodes(root):
+    out = {}
+    for r, _d, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(r, f)
+                out[p] = os.stat(p).st_ino
+    return out
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    p = str(tmp_path / "merge_table")
+    spark.createDataFrame(ROWS, SCHEMA).write.partitionBy("day").parquet(p)
+    return p
+
+
+def test_update_insert_delete(spark, table):
+    d2_inodes = _inodes(os.path.join(table, "day=d2"))
+    src = spark.createDataFrame(
+        [
+            (1, "d1", "new1", False),   # update
+            (9, "d1", "new9", False),   # insert into existing partition
+            (3, "d1", None, True),      # tombstone delete
+            (7, "d4", "new7", False),   # insert into a NEW partition
+        ],
+        SCHEMA + ", deleted boolean",
+    )
+    res = merge_upsert(
+        spark, table, ["day"], ["event_id"], src, delete_col="deleted"
+    )
+    assert res["rows_matched"] == 2       # keys 1 and 3 existed
+    assert res["rows_inserted"] == 3      # 1 (replacement), 9, 7
+    assert res["rows_deleted"] == 1       # key 3
+    assert res["partitions_affected"] == 2  # d1 and d4
+
+    df = spark.read.parquet(table)
+    got = {
+        (r["event_id"], r["day"]): r["payload"]
+        for r in df.where("event_id != 6").collect()
+    }
+    assert got == {
+        (1, "d1"): "new1",
+        (2, "d1"): "old2",
+        (9, "d1"): "new9",
+        (7, "d4"): "new7",
+        (4, "d2"): "old4",
+        (5, "d2"): "old5",
+    }
+    assert df.where("event_id = 3").count() == 0
+    assert df.where("event_id = 6").count() == 2  # untouched partition
+    assert df.where("day = 'd4'").count() == 1
+    # untouched partition d2 was never rewritten: same inodes
+    assert _inodes(os.path.join(table, "day=d2")) == d2_inodes
+    # audit arithmetic: per-partition after == before - matched + inserted
+    for a in res["audit"]:
+        assert a["n_after"] == a["n_before"] - a["n_matched"] + a["n_inserted"]
+
+
+def test_duplicate_target_keys_collapse(spark, table):
+    src = spark.createDataFrame([(6, "d3", "fixed")], SCHEMA)
+    res = merge_upsert(spark, table, ["day"], ["event_id"], src)
+    assert res["rows_matched"] == 2  # both duplicate rows replaced
+    rows = spark.read.parquet(table).where("event_id = 6").collect()
+    assert [r["payload"] for r in rows] == ["fixed"]
+
+
+def test_empty_source_noop(spark, table):
+    src = spark.createDataFrame([], SCHEMA)
+    res = merge_upsert(spark, table, ["day"], ["event_id"], src)
+    assert res == {
+        "rows_matched": 0,
+        "rows_inserted": 0,
+        "rows_deleted": 0,
+        "partitions_affected": 0,
+        "audit": [],
+        "backup_path": None,
+    }
+    assert spark.read.parquet(table).count() == len(ROWS)
+
+
+def test_backup_lifecycle(spark, table):
+    src = spark.createDataFrame([(2, "d1", "patched")], SCHEMA)
+    res = merge_upsert(spark, table, ["day"], ["event_id"], src)
+    backup = res["backup_path"]
+    assert backup and os.path.isdir(os.path.join(backup, "day=d1"))
+    # pre-merge rows are recoverable from the backup
+    old = spark.read.option("basePath", backup).parquet(backup)
+    assert old.where("event_id = 2").collect()[0]["payload"] == "old2"
+    assert drop_merge_backup(table) is True
+    assert drop_merge_backup(table) is False
+
+
+def test_all_rows_deleted_partition_vanishes(spark, table):
+    src = spark.createDataFrame(
+        [(4, "d2", None, True), (5, "d2", None, True)],
+        SCHEMA + ", deleted boolean",
+    )
+    res = merge_upsert(
+        spark, table, ["day"], ["event_id"], src, delete_col="deleted"
+    )
+    assert res["rows_deleted"] == 2 and res["rows_inserted"] == 0
+    df = spark.read.parquet(table)
+    assert df.where("day = 'd2'").count() == 0
+    assert not os.path.isdir(os.path.join(table, "day=d2"))
+    assert df.count() == len(ROWS) - 2
+
+
+def test_broadcast_plan(spark, table):
+    """The anti-join against the source key set must broadcast — the
+    sink side never shuffles."""
+    src = spark.createDataFrame([(1, "d1", "x")], SCHEMA)
+    df = spark.read.parquet(table).where(F.col("day") == "d1")
+    keys = F.broadcast(src.select("event_id").distinct())
+    plan = (
+        df.join(keys, ["event_id"], "left_anti")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,134 @@
+"""Duplicate-substring detection/removal (operators/substring.py):
+window coverage and span removal must match the pure-Python reference
+exactly (overlapping windows, within-doc repeats, doc-shorter-than-k,
+full-doc duplication), and a hypothesis sweep pins the interval-union
+arithmetic on adversarial corpora."""
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from node_log_forwarder_spark.operators.substring import (
+    dup_span_stats,
+    dup_span_stats_py,
+    remove_dup_spans,
+    remove_dup_spans_py,
+    window_hashes,
+)
+
+# doc 0 and 1 share "one two three four" (cross-doc dup, overlapping
+# windows); doc 2 repeats "a b a b" giving a WITHIN-doc duplicated
+# window; doc 3 is shorter than k; docs 4 and 6 are exact duplicates of
+# each other (fully covered); doc 5 is clean.
+K = 3
+DOCS = [
+    (0, "one two three four unique0 tail0"),
+    (1, "head1 one two three four tail1"),
+    (2, "a b a b a b a b"),
+    (3, "ab cd"),
+    (4, "same same2 same3 same4 same5 same6"),
+    (5, "p q r s t u v w"),
+    (6, "same same2 same3 same4 same5 same6"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_window_hashes_positions(spark, docs_df):
+    rows = window_hashes(docs_df, k=K).filter("doc_id = 0").collect()
+    # 6 tokens, k=3 → 4 windows at pos 0..3
+    assert sorted(r["pos"] for r in rows) == [0, 1, 2, 3]
+    # doc 3 (< k tokens) emits nothing
+    assert window_hashes(docs_df, k=K).filter("doc_id = 3").count() == 0
+
+
+def test_stats_match_python_reference(spark, docs_df):
+    want = dup_span_stats_py({i: t for i, t in DOCS}, K)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_windows"], r["dup_tokens"])
+        for r in dup_span_stats(docs_df, k=K).collect()
+    }
+    assert got == want
+    # spot-checks of the semantics the fixture encodes:
+    assert got[5] == (8, 0, 0)          # clean doc: zero coverage
+    assert got[3] == (2, 0, 0)          # shorter than k: zero windows
+    assert got[4][2] == 6               # exact dup of doc 0: fully covered
+    assert got[2][1] >= 1               # within-doc repeat detected
+
+
+def test_dup_frac_bounds(spark, docs_df):
+    for r in dup_span_stats(docs_df, k=K).collect():
+        assert 0.0 <= r["dup_frac"] <= 1.0
+        if r["doc_id"] == 4:
+            assert r["dup_frac"] == 1.0
+
+
+def test_removal_matches_python_reference(spark, docs_df):
+    want = remove_dup_spans_py({i: t for i, t in DOCS}, K)
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_dup_spans(docs_df, k=K).collect()
+    }
+    assert got == want
+    assert got[4] == ""                       # fully duplicated → empty
+    assert got[5] == "p q r s t u v w"        # clean → untouched
+    # the shared run is excised from both doc 0 and doc 1, tails survive
+    assert "tail0" in got[0] and "one" not in got[0]
+    assert "head1" in got[1] and "three" not in got[1]
+
+
+def test_removal_consistent_with_stats(spark, docs_df):
+    """Cross-operator invariant: kept tokens == n_tokens - dup_tokens
+    (the removal drops exactly the covered set the stats count)."""
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in dup_span_stats(docs_df, k=K).collect()
+    }
+    for r in remove_dup_spans(docs_df, k=K).collect():
+        n, d = stats[r["doc_id"]]
+        kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert kept == n - d
+
+
+def test_min_sites_dial(spark, docs_df):
+    """min_sites=3: doc 2's 'a b a' / 'b a b' windows occur at 3
+    within-doc sites each and survive the raised bar; the 2-site
+    cross-doc run (docs 0/1) and the 2-site exact dup (docs 4/6)
+    drop out."""
+    got = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in dup_span_stats(docs_df, k=K, min_sites=3).collect()
+    }
+    assert got[2] >= 1 and got[0] == 0 and got[4] == 0
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_property_matches_reference(spark, texts, k):
+    """5-symbol alphabet forces dense window collisions — overlap-merge
+    and within-doc dedup paths all exercised."""
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    want = dup_span_stats_py(docs, k)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_windows"], r["dup_tokens"])
+        for r in dup_span_stats(df, k=k).collect()
+    }
+    assert got == want
