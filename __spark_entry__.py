@@ -1188,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- deterministic hash sampling (reproducible train/val splits at any scale) -------
     def q_sample_hash(spark, sf):
         from node_log_forwarder_spark.operators.sampling import hash_uniform
+        from node_log_forwarder_spark.operators.shards import assign_shards
 
         docs = _t(spark, sf, "documents")
         # ~10% deterministic sample: first 2 md5 hex chars of the doc key
@@ -1201,9 +1202,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cond = F.col("lang") == g
             rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
         rate = rate.otherwise(F.lit(0.0))
-        return docs.groupBy("lang").agg(
+        # + training-shard audit (r4 session 6: operators/shards.py —
+        # deterministic shuffle/shard assignment, n=8/seed=0): per-lang
+        # sum of assigned shard ids + shard-0 membership count, exact
+        # ints gating the md5+mod permutation arithmetic. The write /
+        # order-contract side is pytest-gated (tests/test_shards.py).
+        return assign_shards(docs, 8, seed=0).groupBy("lang").agg(
             F.sum((bucket < 26).cast("long")).alias("n_sampled"),
             F.sum((u < rate).cast("long")).alias("n_mixture"),
+            F.sum("shard").alias("sum_shard"),
+            F.sum((F.col("shard") == 0).cast("long")).alias("n_shard0"),
         )
     q["sample_hash"] = q_sample_hash
 
@@ -2287,12 +2295,15 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (
           SELECT lang,
                  CAST(concat('0x', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 2)) AS INT) AS bucket,
-                 CAST(concat('0x', substr(md5(concat('mix|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+                 CAST(concat('0x', substr(md5(concat('mix|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u,
+                 CAST(concat('0x', substr(md5(concat('shard0|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS shard
           FROM documents
         )
         SELECT lang,
                CAST(sum(CASE WHEN bucket < 26 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-               CAST(sum(CASE WHEN u < {_mix_case} THEN 1 ELSE 0 END) AS BIGINT) AS n_mixture
+               CAST(sum(CASE WHEN u < {_mix_case} THEN 1 ELSE 0 END) AS BIGINT) AS n_mixture,
+               CAST(sum(shard) AS BIGINT) AS sum_shard,
+               CAST(sum(CASE WHEN shard = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shard0
         FROM d GROUP BY lang
     """
 

@@ -1,0 +1,139 @@
+"""Deterministic corpus shuffling + sharding for training output — the
+last stage of a pretraining data pipeline: the curated corpus must be
+(a) globally shuffled (training quality degrades badly on
+source/time-ordered data) and (b) split into N equal-ish shards that a
+data loader can stream independently.
+
+Design: both the shard assignment and the within-shard order derive
+from one salted md5 of the document key — a seeded pseudorandom
+PERMUTATION with zero RNG state:
+
+* reproducible at any scale/parallelism, stable under re-runs,
+  retries, and speculative execution (same property as
+  ``sampling.hash_uniform``, same engine-portable md5 arithmetic, so a
+  DuckDB twin can replay the assignment bit-for-bit);
+* growth-stable: adding documents never moves an existing doc to a
+  different shard or reorders existing neighbors relative to each
+  other (a doc's (shard, sort_key) never changes);
+* different ``seed`` → an independent permutation (epoch reshuffles
+  are just seed+1, no data movement until write time).
+
+Scale shape: the assignment is one md5 per row fused into the scan; the
+write is one hash-partitioned Exchange on the int shard id (uniform by
+construction — md5 is unbiased, so shards are balanced to sampling
+noise; no skew handling needed) + a within-partition sort. No driver
+state, no window functions, no joins.
+
+Order contract: ``sort_key`` is carried as a column. Within one parquet
+file row order is the written order; a multi-file shard (or a reader
+that merges files) re-establishes the global shard order by sorting on
+``sort_key`` — which is why it stays in the output schema rather than
+being dropped after the write.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _shard_hash(key: Column, seed: int) -> Column:
+    """First 8 md5 hex chars of (seed | key) as a 32-bit int — the
+    identical arithmetic as ``sampling.hash_uniform`` / DuckDB's
+    ``CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT)``."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"shard{seed}|"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach (shard int, sort_key string): shard = h mod n_shards,
+    sort_key = the full md5 (ties broken by the key itself for exact
+    determinism when two keys collide on all 32 hex chars — practically
+    never, but the order contract should not depend on luck)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = _shard_hash(F.col(id_col), seed)
+    sort_key = F.concat(
+        F.md5(F.concat(F.lit(f"shard{seed}|"), F.col(id_col).cast("string"))),
+        F.lit("|"),
+        F.col(id_col).cast("string"),
+    )
+    return df.withColumn("shard", (h % F.lit(n_shards)).cast("int")).withColumn(
+        "sort_key", sort_key
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> dict:
+    """Shuffle + shard + write: one Exchange on the shard id, one
+    within-partition sort, a ``shard=K`` directory per shard. Returns
+    ``{n_shards, seed, rows, per_shard}`` (per-shard counts from a
+    post-write verification scan — the conservation audit).
+
+    ``repartition(n_shards, "shard")`` hash-partitions the shard ids,
+    so a writer task usually holds one shard (a few may share a
+    partition when two ids hash-collide mod n_shards — harmless: the
+    partitionBy writer still lands each in its own directory, ordered,
+    because the within-partition sort leads with ``shard``)."""
+    assigned = assign_shards(df, n_shards, seed, id_col)
+    (
+        assigned.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    per = {
+        r["shard"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "n_shards": n_shards,
+        "seed": seed,
+        "rows": sum(per.values()),
+        "per_shard": per,
+        "path": os.path.abspath(path),
+    }
+
+
+def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
+    """One shard in its deterministic training order (partition-pruned
+    scan + the order-contract sort)."""
+    return (
+        spark.read.parquet(path)
+        .where(F.col("shard") == shard)
+        .orderBy("sort_key")
+    )
+
+
+def shard_stats_py(ids: list, n_shards: int, seed: int = 0) -> dict:
+    """Pure-Python reference: id → (shard, sort_key), identical md5
+    arithmetic, for pytest."""
+    import hashlib
+
+    out = {}
+    for i in ids:
+        hx = hashlib.md5(f"shard{seed}|{i}".encode()).hexdigest()
+        out[i] = (int(hx[:8], 16) % n_shards, f"{hx}|{i}")
+    return out

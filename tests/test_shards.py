@@ -1,0 +1,94 @@
+"""Deterministic training shards (operators/shards.py): assignment and
+order must match the pure-Python md5 reference, be growth-stable and
+seed-sensitive, conserve rows exactly across the write, balance within
+sampling noise, and read back in the contracted order."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.shards import (
+    assign_shards,
+    read_shard,
+    shard_stats_py,
+    write_training_shards,
+)
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(N)], "doc_id long, text string"
+    )
+
+
+def test_assignment_matches_python_reference(spark, docs_df):
+    want = shard_stats_py(list(range(N)), n_shards=8, seed=3)
+    got = {
+        r["doc_id"]: (r["shard"], r["sort_key"])
+        for r in assign_shards(docs_df, 8, seed=3).collect()
+    }
+    assert got == want
+
+
+def test_growth_stability(spark, docs_df):
+    """Adding documents never moves an existing doc's (shard, order)."""
+    small = assign_shards(docs_df.where("doc_id < 100"), 8, seed=1)
+    big = assign_shards(docs_df, 8, seed=1)
+    s = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in small.collect()}
+    b = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in big.collect()}
+    assert all(b[i] == s[i] for i in s)
+
+
+def test_seed_changes_permutation(spark, docs_df):
+    a = {r["doc_id"]: r["shard"] for r in assign_shards(docs_df, 8, seed=0).collect()}
+    b = {r["doc_id"]: r["shard"] for r in assign_shards(docs_df, 8, seed=1).collect()}
+    moved = sum(1 for i in a if a[i] != b[i])
+    # an independent permutation moves ~7/8 of docs; 50% is a generous floor
+    assert moved > N // 2
+
+
+def test_write_conserves_and_balances(spark, docs_df, tmp_path):
+    p = str(tmp_path / "shards")
+    res = write_training_shards(docs_df, p, n_shards=8, seed=0)
+    assert res["rows"] == N
+    assert sorted(res["per_shard"]) == list(range(8))
+    # md5 is unbiased: each shard ~N/8 = 50; allow wide sampling noise
+    assert all(20 <= n <= 90 for n in res["per_shard"].values())
+    # exact row identity through the shuffle+write
+    back = spark.read.parquet(p)
+    assert back.count() == N
+    assert back.select("doc_id").distinct().count() == N
+    assert back.join(docs_df, ["doc_id"]).where(
+        back["text"] != docs_df["text"]
+    ).count() == 0
+
+
+def test_read_shard_order_contract(spark, docs_df, tmp_path):
+    p = str(tmp_path / "shards_ord")
+    write_training_shards(docs_df, p, n_shards=4, seed=2)
+    want = shard_stats_py(list(range(N)), n_shards=4, seed=2)
+    for shard in (0, 3):
+        rows = read_shard(spark, p, shard).collect()
+        got_ids = [r["doc_id"] for r in rows]
+        want_ids = [
+            i for i, (s, _) in sorted(want.items(), key=lambda kv: kv[1][1])
+            if s == shard
+        ]
+        assert got_ids == want_ids
+    # partition pruning: the single-shard read prunes to one directory
+    # (the shard predicate lands in PartitionFilters, not a post-scan
+    # Filter — shard is a partition column)
+    plan = (
+        read_shard(spark, p, 1)._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "shard" in pf[0]
+
+
+def test_n_shards_validation(spark, docs_df):
+    with pytest.raises(ValueError):
+        assign_shards(docs_df, 0)
