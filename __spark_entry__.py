@@ -1207,11 +1207,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sum of assigned shard ids + shard-0 membership count, exact
         # ints gating the md5+mod permutation arithmetic. The write /
         # order-contract side is pytest-gated (tests/test_shards.py).
-        return assign_shards(docs, 8, seed=0).groupBy("lang").agg(
+        base = assign_shards(docs, 8, seed=0).groupBy("lang").agg(
             F.sum((bucket < 26).cast("long")).alias("n_sampled"),
             F.sum((u < rate).cast("long")).alias("n_mixture"),
             F.sum("shard").alias("sum_shard"),
             F.sum((F.col("shard") == 0).cast("long")).alias("n_shard0"),
+        )
+        # + exact-quota stratified sample audit (r4 session 7:
+        # operators/sampling.py::stratified_sample_exact — per-lang
+        # top-40 by (md5 uniform, doc_id) rank). n_strat gates the
+        # quota, sum_strat_ids the exact membership (both BIGINT; the
+        # DuckDB twin replays the identical row_number ordering).
+        from node_log_forwarder_spark.operators.sampling import (
+            stratified_sample_exact,
+        )
+
+        strat = (
+            stratified_sample_exact(docs, 40, group_col="lang", key_col="doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_strat"),
+                F.sum("doc_id").alias("sum_strat_ids"),
+            )
+        )
+        return base.join(strat, "lang", "left").select(
+            "lang",
+            "n_sampled",
+            "n_mixture",
+            "sum_shard",
+            "n_shard0",
+            F.coalesce("n_strat", F.lit(0)).alias("n_strat"),
+            F.coalesce("sum_strat_ids", F.lit(0)).alias("sum_strat_ids"),
         )
     q["sample_hash"] = q_sample_hash
 
@@ -1239,7 +1265,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("string").alias("token"),
             F.col("score").alias("n"),
         )
-        return vocab.unionByName(search)
+        # + heavy-hitters audit (r4 session 7: operators/heavyhitters.py
+        # — Misra-Gries sketch + exact recount). Gated on `lang`
+        # (distinct ≤ k ⇒ no trims ever fire ⇒ the output is exactly
+        # the full group counts for ANY partitioning, so the twin is a
+        # plain GROUP BY). The trim path / >n/k superset guarantee is
+        # pytest-gated (tests/test_heavyhitters.py) — it is
+        # partitioning-dependent below the threshold, hence not
+        # hash-gateable.
+        from node_log_forwarder_spark.operators.heavyhitters import heavy_hitters
+
+        hh = heavy_hitters(docs.select("lang"), "lang", k=32).select(
+            F.lit("hh").alias("section"),
+            F.col("value").alias("token"),
+            F.col("n"),
+        )
+        return vocab.unionByName(search).unionByName(hh)
     q["vocab_topk"] = q_vocab_topk
 
     # --- sketch: HLL approx-distinct. Invariant oracle: n and exact_users are
@@ -2298,13 +2339,36 @@ def oracle_sql() -> dict[str, str]:
                  CAST(concat('0x', substr(md5(concat('mix|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u,
                  CAST(concat('0x', substr(md5(concat('shard0|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS shard
           FROM documents
+        ),
+        base AS (
+          SELECT lang,
+                 CAST(sum(CASE WHEN bucket < 26 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                 CAST(sum(CASE WHEN u < {_mix_case} THEN 1 ELSE 0 END) AS BIGINT) AS n_mixture,
+                 CAST(sum(shard) AS BIGINT) AS sum_shard,
+                 CAST(sum(CASE WHEN shard = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shard0
+          FROM d GROUP BY lang
+        ),
+        strat AS (
+          SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY CAST(concat('0x', substr(md5(concat('strat|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0,
+                              doc_id
+                   ) AS r
+            FROM documents
+          ) WHERE r <= 40
+        ),
+        strat_agg AS (
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_strat,
+                 CAST(sum(doc_id) AS BIGINT) AS sum_strat_ids
+          FROM strat GROUP BY lang
         )
-        SELECT lang,
-               CAST(sum(CASE WHEN bucket < 26 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-               CAST(sum(CASE WHEN u < {_mix_case} THEN 1 ELSE 0 END) AS BIGINT) AS n_mixture,
-               CAST(sum(shard) AS BIGINT) AS sum_shard,
-               CAST(sum(CASE WHEN shard = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shard0
-        FROM d GROUP BY lang
+        SELECT base.lang, n_sampled, n_mixture, sum_shard, n_shard0,
+               coalesce(n_strat, 0) AS n_strat,
+               coalesce(sum_strat_ids, 0) AS sum_strat_ids
+        FROM base LEFT JOIN strat_agg ON base.lang = strat_agg.lang
     """
 
     # vocab section + lexical-search section (operators/search.py twin:
@@ -2335,8 +2399,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'search' AS section, CAST(doc_id AS VARCHAR) AS token,
                    score AS n
             FROM sc ORDER BY score DESC, doc_id LIMIT 10
+        ),
+        hh AS (
+            SELECT 'hh' AS section, lang AS token, count(*) AS n
+            FROM documents GROUP BY lang
         )
         SELECT * FROM vocab UNION ALL SELECT * FROM srch
+        UNION ALL SELECT * FROM hh
     """
 
     # near-dup pairs + connected-components audit: recursive min-label

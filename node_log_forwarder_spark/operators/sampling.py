@@ -59,6 +59,40 @@ def mixture_sample(
     return df.filter(hash_uniform(F.col(key_col), salt) < rate)
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen deterministically:
+    rank rows within each group by (md5 uniform, key) and keep the first
+    k. Unlike rate-based ``hash_sample`` this hits an exact quota (eval
+    sets, per-domain caps, balanced probes) at the cost of growth
+    stability: adding corpus rows can displace previously selected rows
+    whose hash ranks above a newcomer's — use rate-based sampling when
+    membership must never flip.
+
+    Plan shape: ONE hash Exchange on ``group_col`` (the rank window);
+    the filter is rank <= k so only group-local state is needed — no
+    global sort, no driver collect. At 10^12 rows per-group rank is the
+    same single-shuffle plan; skewed groups are bounded by the window's
+    spill path and k is typically small. The (u, key) tie-break makes
+    the selection a pure function of (salt, key) — rerun-stable at any
+    parallelism.
+    """
+    from pyspark.sql import Window
+
+    u = hash_uniform(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_strat_rank", F.row_number().over(w))
+        .filter(F.col("_strat_rank") <= F.lit(int(k)))
+        .drop("_strat_rank")
+    )
+
+
 def temperature_rates(counts: dict[str, int], alpha: float = 0.3) -> dict[str, float]:
     """Temperature-based mixture rates (the multilingual-pretraining
     standard, XLM-R-family, public literature): target share of group g

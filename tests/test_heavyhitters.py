@@ -1,0 +1,87 @@
+"""Misra-Gries heavy hitters: the sketch path must return EXACT counts
+for a provable superset of the > n/k items, validated against the exact
+groupBy on a deterministic zipf-ish corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.heavyhitters import (
+    heavy_hitters,
+    partition_summaries,
+)
+
+
+def _zipf_df(spark, n_distinct=500, scale=20_000, parts=16):
+    # token i appears max(1, scale // i) times — deterministic, heavy head
+    import hashlib
+
+    rows = [
+        (f"t{i}", j)
+        for i in range(1, n_distinct + 1)
+        for j in range(max(1, scale // i))
+    ]
+    # deterministic interleave so heavy tokens span every partition
+    # (md5, not hash() — the latter is PYTHONHASHSEED-randomized)
+    rows.sort(
+        key=lambda r: hashlib.md5(f"{r[0]}|{r[1]}".encode()).hexdigest()
+    )
+    return (
+        spark.createDataFrame(rows, "token string, j int")
+        .select("token")
+        .repartition(parts)
+    )
+
+
+def test_heavy_hitters_exact_superset(spark):
+    k = 50
+    df = _zipf_df(spark)
+    n = df.count()
+    exact = {
+        r["token"]: r["n"]
+        for r in df.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r["value"]: r["n"] for r in heavy_hitters(df, "token", k=k).collect()}
+    # every candidate's count is EXACT
+    for v, c in got.items():
+        assert exact[v] == c
+    # guarantee: every item above n/k is found
+    thresh = n / k
+    for v, c in exact.items():
+        if c > thresh:
+            assert v in got, f"missed heavy hitter {v} ({c} > {thresh})"
+
+
+def test_partition_summaries_bounded_and_shuffle_free(spark, tmp_path):
+    k = 20
+    p = str(tmp_path / "hh")
+    _zipf_df(spark, parts=8).write.mode("overwrite").parquet(p)
+    src = spark.read.parquet(p)
+    n_parts = src.rdd.getNumPartitions()  # metadata only, no job
+    summ = partition_summaries(src, "token", k)
+    # ≤ k entries per partition
+    assert summ.count() <= k * n_parts
+    # sketch pass is map-side only: no Exchange in its plan (the source
+    # is a parquet scan, so any Exchange would be the sketch's own)
+    plan = summ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_small_vocab_is_fully_exact(spark):
+    # distinct < k: the sketch degrades to the exact counts
+    df = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 11 + [("c",)] * 2, "token string"
+    ).repartition(4)
+    got = {r["value"]: r["n"] for r in heavy_hitters(df, "token", k=10).collect()}
+    assert got == {"a": 30, "b": 11, "c": 2}
+
+
+def test_nulls_ignored_and_min_count(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 20 + [(None,)] * 15 + [("b",)] * 3, "token string"
+    ).repartition(3)
+    got = {
+        r["value"]: r["n"]
+        for r in heavy_hitters(df, "token", k=10, min_count=5).collect()
+    }
+    assert got == {"a": 20}

@@ -73,3 +73,28 @@ def test_temperature_rates_math():
     # degenerate inputs
     assert temperature_rates({})== {}
     assert temperature_rates({"a": 0}) == {"a": 0.0}
+
+
+def test_stratified_exact_quota(spark):
+    from node_log_forwarder_spark.operators.sampling import stratified_sample_exact
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(2_000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample_exact(df, 50, group_col="lang", key_col="doc_id")
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["big"] == 50           # quota binds
+    assert counts["small"] == 50         # 200 rows in group, quota binds too
+    small = stratified_sample_exact(df.filter("lang = 'small'").limit(30), 50)
+    assert small.count() == 30           # group smaller than quota -> all rows
+
+
+def test_stratified_deterministic_and_prefix_nested(spark):
+    from node_log_forwarder_spark.operators.sampling import stratified_sample_exact
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(3_000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = {r["doc_id"] for r in stratified_sample_exact(df, 20).select("doc_id").collect()}
+    b = {r["doc_id"] for r in stratified_sample_exact(df, 20).select("doc_id").collect()}
+    assert a == b                        # rerun-stable
+    c = {r["doc_id"] for r in stratified_sample_exact(df, 60).select("doc_id").collect()}
+    assert a < c                         # k=20 selection is a prefix of k=60
