@@ -1,0 +1,74 @@
+"""Pin corrupt-record policies on JSON-lines ingest.
+
+The forwarder's wire formats include JSON lines, and at 100 TB some
+fraction is always malformed (truncated writes, encoding damage,
+mid-line splits). The regex parse path already has an explicit
+fallback contract (O12: unmatched rows keep raw text and route to the
+catch-all sink); these tests pin the FILE-FORMAT analogue so a JSON
+source honors the same no-silent-loss rule:
+
+* PERMISSIVE (default): malformed lines land in the corrupt-record
+  column with parsed fields NULL — the catch-all-sink shape;
+* DROPMALFORMED: documented data loss, count pinned;
+* FAILFAST: ingestion refuses rather than guesses.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+GOOD = '{"conv_id": "c1", "turn_idx": %d, "text": "hello %d"}'
+BAD = [
+    '{"conv_id": "c9", "turn_idx": 1, "text": "trunca',  # cut mid-string
+    "not json at all",
+    '{"conv_id": "c9", "turn_idx": }',  # syntax error
+]
+
+
+@pytest.fixture()
+def jsonl_path(tmp_path):
+    p = tmp_path / "in.jsonl"
+    lines = [GOOD % (i, i) for i in range(5)] + BAD
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+_SCHEMA = "conv_id string, turn_idx int, text string, _bad string"
+
+
+def test_permissive_keeps_malformed_lines(spark, jsonl_path):
+    got = (
+        spark.read.schema(_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(jsonl_path)
+    )
+    rows = got.collect()
+    assert len(rows) == 8  # nothing dropped
+    bad = [r for r in rows if r["_bad"] is not None]
+    good = [r for r in rows if r["_bad"] is None]
+    assert len(bad) == 3 and len(good) == 5
+    # corrupt rows: raw line preserved verbatim, parsed fields NULL
+    assert {r["_bad"] for r in bad} == set(BAD)
+    assert all(r["conv_id"] is None and r["text"] is None for r in bad)
+    assert {r["turn_idx"] for r in good} == set(range(5))
+
+
+def test_dropmalformed_counts_the_loss(spark, jsonl_path):
+    got = (
+        spark.read.schema("conv_id string, turn_idx int, text string")
+        .option("mode", "DROPMALFORMED")
+        .json(jsonl_path)
+    )
+    assert got.count() == 5  # the documented-loss mode
+
+
+def test_failfast_refuses(spark, jsonl_path):
+    with pytest.raises(Exception):
+        (
+            spark.read.schema("conv_id string, turn_idx int, text string")
+            .option("mode", "FAILFAST")
+            .json(jsonl_path)
+            .collect()
+        )

@@ -1,0 +1,92 @@
+"""Pin schema-evolution semantics across parquet generations.
+
+A 100-TB sink accumulates files written by many code versions; columns
+get added over time. These tests pin the exact contract the pipeline
+relies on (and that an Iceberg deployment would inherit):
+
+* default read uses ONE footer's schema — silently drops new columns
+  if an old file's footer wins (that's why the pipeline's readers pass
+  explicit schemas or mergeSchema);
+* ``mergeSchema=true`` unions columns; files lacking a column yield
+  NULL (the add-a-column evolution path — no rewrite of old files);
+* conflicting TYPES for the same column fail loudly rather than
+  coerce — evolution that needs a type change is a rewrite
+  (operators/merge.py), never a silent cast.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_added_column_reads_null_for_old_files(spark, tmp_path):
+    p = str(tmp_path / "evo")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, text string"
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(3, "c", "en")], "id long, text string, lang string"
+    ).write.mode("append").parquet(p)
+
+    got = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(got.columns) == {"id", "text", "lang"}
+    rows = {r["id"]: r["lang"] for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}  # old files -> NULL
+
+
+def test_explicit_schema_is_generation_independent(spark, tmp_path):
+    """The pipeline's readers pass explicit schemas (sources/
+    transcripts.py, streaming/stream.py) — that must select the
+    column subset uniformly regardless of which generation wrote a
+    file, with NULL for files that predate a column."""
+    p = str(tmp_path / "evo2")
+    spark.createDataFrame([(1, "a")], "id long, text string").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, text string, lang string"
+    ).write.mode("append").parquet(p)
+
+    got = spark.read.schema("id long, lang string").parquet(p)
+    rows = {r["id"]: r["lang"] for r in got.collect()}
+    assert rows == {1: None, 2: "en"}
+
+
+def test_type_conflict_fails_loudly(spark, tmp_path):
+    """int-vs-string for the same column must raise, not coerce: a
+    type change is a rewrite (operators/merge.py), never a silent
+    cast at read time."""
+    p = str(tmp_path / "evo3")
+    spark.createDataFrame([(1, 10)], "id long, v int").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame([(2, "x")], "id long, v string").write.mode(
+        "append"
+    ).parquet(p)
+
+    with pytest.raises(Exception):
+        spark.read.option("mergeSchema", "true").parquet(p).collect()
+
+
+def test_evolved_sink_aggregates_with_defaults(spark, tmp_path):
+    """The downstream-agg pattern over an evolved sink: coalesce the
+    new column to its pre-evolution default so tallies stay exact
+    across generations."""
+    p = str(tmp_path / "evo4")
+    spark.createDataFrame(
+        [(i, "old") for i in range(10)], "id long, src string"
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(i, "new", i % 2) for i in range(10, 20)],
+        "id long, src string, retries int",
+    ).write.mode("append").parquet(p)
+
+    got = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(p)
+        .groupBy("src")
+        .agg(F.sum(F.coalesce("retries", F.lit(0))).alias("n_retries"))
+    )
+    rows = {r["src"]: r["n_retries"] for r in got.collect()}
+    assert rows == {"old": 0, "new": 5}
