@@ -1,0 +1,73 @@
+"""Stream-stream joins over live transcripts.
+
+The batch pipeline joins freely; Structured Streaming joins two
+UNBOUNDED sides only if Spark can bound the state it must keep. The
+canonical transcripts use-case — match each user turn to the
+assistant turn that answers it (``turn_idx + 1`` in the same
+conversation) and measure response latency — is exactly the shape
+Spark supports: equi-keys plus an event-time range condition.
+
+State-cleanup contract (why every piece below exists):
+
+* both sides carry a watermark (bounds how late a row may arrive);
+* the join condition includes a TIME RANGE between the two event
+  times (``answer.ts`` within [user.ts, user.ts + max_gap]), which
+  tells the engine when a buffered user turn can never match a future
+  answer and may be evicted.
+
+Without the range, inner stream-stream join state grows without bound
+(Spark accepts the query but state is O(stream)); with it, per-key
+state is O(rows within watermark + max_gap) — flat per executor at
+10^12 turns. Convergence to the batch join on the same input is
+pinned by tests/test_stream_join.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def turn_response_join(
+    user_turns: DataFrame,
+    answer_turns: DataFrame,
+    watermark: str = "2 hours",
+    max_gap_seconds: int = 3600,
+) -> DataFrame:
+    """(conv_id, turn_idx, user ts/text, answer ts/text, latency_s):
+    each user turn inner-joined to the next-turn answer that arrives
+    within ``max_gap_seconds``. Works identically on bounded frames
+    (batch twin) and unbounded ones (state-bounded stream-stream
+    join)."""
+    u = user_turns.select(
+        "conv_id",
+        "turn_idx",
+        F.col("ts").alias("u_ts"),
+        F.col("text").alias("u_text"),
+    )
+    a = answer_turns.select(
+        F.col("conv_id").alias("a_conv_id"),
+        F.col("turn_idx").alias("a_turn_idx"),
+        F.col("ts").alias("a_ts"),
+        F.col("text").alias("a_text"),
+    )
+    if user_turns.isStreaming:
+        u = u.withWatermark("u_ts", watermark)
+    if answer_turns.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+    cond = (
+        (u["conv_id"] == a["a_conv_id"])
+        & (a["a_turn_idx"] == u["turn_idx"] + F.lit(1))
+        # the event-time range that makes streaming state evictable
+        & (a["a_ts"] >= u["u_ts"])
+        & (a["a_ts"] <= u["u_ts"] + F.expr(f"INTERVAL {int(max_gap_seconds)} SECONDS"))
+    )
+    return u.join(a, cond, "inner").select(
+        "conv_id",
+        "turn_idx",
+        "u_ts",
+        "a_ts",
+        "u_text",
+        "a_text",
+        (F.unix_timestamp("a_ts") - F.unix_timestamp("u_ts")).alias("latency_s"),
+    )

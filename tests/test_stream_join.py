@@ -1,0 +1,61 @@
+"""Stream-stream turn→response join must converge to the batch join
+on the same input (the repo's standing streaming contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.streaming.joins import turn_response_join
+from node_log_forwarder_spark.streaming.stream import read_transcript_stream
+
+
+def _roles(transcripts):
+    users = transcripts.filter(F.col("role") == "user")
+    answers = transcripts.filter(F.col("role") == "assistant")
+    return users, answers
+
+
+def test_stream_join_matches_batch(spark, transcripts, tmp_path):
+    inp = str(tmp_path / "in")
+    transcripts.repartition(6).write.mode("overwrite").parquet(inp)
+
+    # batch twin
+    bu, ba = _roles(spark.read.parquet(inp))
+    exp = {
+        (r["conv_id"], r["turn_idx"], r["latency_s"])
+        for r in turn_response_join(bu, ba).collect()
+    }
+    assert exp, "fixture must produce at least one user->assistant pair"
+
+    # streaming: same parquet dir read as two role-filtered streams
+    su, sa = _roles(read_transcript_stream(spark, inp, max_files_per_trigger=3))
+    joined = turn_response_join(su, sa)
+    assert joined.isStreaming
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["conv_id"], r["turn_idx"], r["latency_s"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == exp
+
+
+def test_range_condition_bounds_matches(spark, transcripts):
+    """max_gap excludes slow answers: shrinking the gap can only
+    shrink the match set, and every surviving latency respects it."""
+    bu, ba = _roles(transcripts)
+    wide = turn_response_join(bu, ba, max_gap_seconds=3600)
+    narrow = turn_response_join(bu, ba, max_gap_seconds=60)
+    w = {(r["conv_id"], r["turn_idx"]) for r in wide.collect()}
+    n_rows = narrow.collect()
+    n = {(r["conv_id"], r["turn_idx"]) for r in n_rows}
+    assert n <= w
+    assert all(0 <= r["latency_s"] <= 60 for r in n_rows)
