@@ -66,9 +66,12 @@ def merge_upsert(
 
     ``source`` must carry the target's columns (including the partition
     columns — the immutable-partition contract) plus, optionally, a
-    boolean ``delete_col`` marking tombstones. Returns
-    ``{rows_matched, rows_inserted, rows_deleted, partitions_affected,
-    audit, backup_path}``.
+    boolean ``delete_col`` marking tombstones. Matched TARGET rows are
+    replaced; rows within ``source`` are inserted as-is, so a source
+    carrying the same key twice inserts it twice — callers merging
+    at-least-once batches must collapse in-source duplicates first
+    (streaming/upsert.py does). Returns ``{rows_matched, rows_inserted,
+    rows_deleted, partitions_affected, audit, backup_path}``.
     """
     if not partition_cols:
         raise ValueError("merge_upsert requires a partitioned table")

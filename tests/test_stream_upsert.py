@@ -1,0 +1,84 @@
+"""Streaming upsert sink: duplicated/corrected rows must REPLACE, not
+append, and a checkpoint restart must not re-merge old batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.streaming.stream import read_transcript_stream
+from node_log_forwarder_spark.streaming.upsert import start_upsert_sink
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _run(spark, inp, out, ckpt):
+    stream = read_transcript_stream(spark, inp, max_files_per_trigger=3)
+    q = start_upsert_sink(
+        spark, stream, out, partition_cols=["role"], key_cols=KEYS,
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(180)
+
+
+def test_upsert_sink_one_row_per_key(spark, transcripts, tmp_path):
+    inp = str(tmp_path / "in")
+    # every turn delivered twice (retry semantics) across many files
+    transcripts.unionByName(transcripts).repartition(9).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    out, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    _run(spark, inp, out, ckpt)
+
+    got = spark.read.parquet(out)
+    assert got.count() == transcripts.count()  # collapsed, not appended
+    assert got.select(*KEYS).distinct().count() == transcripts.count()
+    # full column fidelity per key vs the source (text surviving a
+    # duplicate pair is that same text — duplicates are identical)
+    src = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in transcripts.collect()
+    }
+    for r in got.select(*KEYS, "text").collect():
+        assert src[(r["conv_id"], r["turn_idx"])] == r["text"]
+
+
+def test_upsert_sink_restart_and_correction(spark, transcripts, tmp_path):
+    import os
+    import shutil
+
+    staging = str(tmp_path / "staging")
+    transcripts.repartition(4).write.mode("overwrite").parquet(staging)
+    files = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    for f in files[:2]:
+        shutil.copy(os.path.join(staging, f), os.path.join(inp, f))
+
+    out, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    _run(spark, inp, out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+
+    # restart with no new input: nothing re-merged, table unchanged
+    _run(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == n_first
+
+    # corrections arrive: same keys as an existing file, new text —
+    # plus the rest of the corpus as inserts
+    corrected = (
+        spark.read.parquet(os.path.join(staging, files[0]))
+        .withColumn("text", F.concat(F.lit("corrected: "), F.col("text")))
+    )
+    corr_dir = str(tmp_path / "corr")
+    corrected.write.parquet(corr_dir)
+    for f in os.listdir(corr_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(corr_dir, f), os.path.join(inp, "zz_" + f))
+    for f in files[2:]:
+        shutil.copy(os.path.join(staging, f), os.path.join(inp, f))
+    _run(spark, inp, out, ckpt)
+
+    got = spark.read.parquet(out)
+    assert got.count() == transcripts.count()  # upserts, no duplicates
+    n_corr = got.filter(F.col("text").startswith("corrected: ")).count()
+    assert n_corr == corrected.count()  # every correction replaced its row
