@@ -388,12 +388,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- windowed counts over the raw stream --------------------------------
     def q_windowed_counts(spark, sf):
+        # + burst/quiet rate-anomaly audit (operators/anomaly.py): pure
+        # integer cross-multiplication vs the trailing 3-hour RANGE
+        # frame, so the DuckDB twin matches bit-for-bit. Runs on the
+        # aggregated counts (keys x windows rows), never the raw turns.
+        from node_log_forwarder_spark.operators.anomaly import rate_flags
+
         ev = _t(spark, sf, "events")
-        return ev.groupBy(
+        wc = ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("ws"), F.col("event_type")
         ).agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        return rate_flags(
+            wc, ["event_type"], burst_factor=2, quiet_factor=2, min_count=5
         )
     q["windowed_counts"] = q_windowed_counts
 
@@ -1684,10 +1693,28 @@ def oracle_sql() -> dict[str, str]:
         FROM g GROUP BY conv_id
     """
 
+    # + rate_flags twin (operators/anomaly.py): same integer
+    # cross-multiplication over the same trailing RANGE frame
     sql["windowed_counts"] = """
-        SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
-               round(sum(value), 4) AS total_value
-        FROM events GROUP BY 1, 2
+        WITH wc AS (
+          SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+                 round(sum(value), 4) AS total_value
+          FROM events GROUP BY 1, 2
+        ),
+        h AS (
+          SELECT *, CAST(epoch(ws) AS BIGINT) // 3600 AS hx FROM wc
+        ),
+        t AS (
+          SELECT *, coalesce(sum(n) OVER w, 0) AS t_n, count(n) OVER w AS t_w
+          FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hx
+                              RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT ws, event_type, n, total_value,
+               CASE WHEN t_w > 0 AND n * t_w > 2 * t_n AND n >= 5
+                    THEN 1 ELSE 0 END AS is_burst,
+               CASE WHEN t_w > 0 AND n * 2 * t_w < t_n AND t_n >= 5 * t_w
+                    THEN 1 ELSE 0 END AS is_quiet
+        FROM t
     """
 
     sql["window_latest"] = """

@@ -1,0 +1,114 @@
+"""Windowed rate anomaly detection — burst / quiet alerting over the
+per-sink aggregate tables (the forwarder's "a source started screaming /
+went dark" alert, BASELINE.json north_star: per-sink aggregates windowed
+by ts are the monitoring surface; this operator turns them into flags).
+
+Design for 10^12 rows: the detector NEVER touches raw turns. It runs
+over the already-aggregated (window, key, n) counts table — cardinality
+#keys x #windows, typically millions of rows where the corpus has
+trillions — so the only Exchange is a hash partition by key of the tiny
+counts frame. All arithmetic is integer cross-multiplication (no
+floating-point means the DuckDB oracle twin matches bit-for-bit and the
+flags are reproducible across engines/platforms).
+
+Semantics (range frame, not row frame): the trailing baseline for a
+window at hour index h is the sum of counts in hours [h-trailing, h-1]
+that actually have rows. A RANGE frame keyed on the integer hour index
+makes gap hours shrink the baseline window rather than silently pulling
+in older data the way a ROWS frame would.
+
+Gap limitation + fix: an hour with ZERO rows produces no output row, so
+a source that goes completely dark has nothing to flag on. For that
+case ``densify_windows`` materializes the missing (key, hour) grid rows
+with n=0 (per key, between its first and last active hour) via
+sequence+explode — generated rows scale with #keys x #hours, never with
+data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rate_flags(
+    counts: DataFrame,
+    key_cols: list[str],
+    window_col: str = "ws",
+    n_col: str = "n",
+    trailing: int = 3,
+    burst_factor: int = 3,
+    quiet_factor: int = 3,
+    min_count: int = 10,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Flag rate anomalies on an aggregated counts frame.
+
+    Adds two int columns:
+
+    - ``is_burst``: this window's count exceeds ``burst_factor`` x the
+      trailing mean (``n * t_w > burst_factor * t_n``) and is at least
+      ``min_count`` absolute (suppresses 1->4 noise on cold keys).
+    - ``is_quiet``: this window's count fell below 1/``quiet_factor`` of
+      the trailing mean (``n * quiet_factor * t_w < t_n``) while the
+      trailing mean itself was at least ``min_count`` (a drop from
+      nothing to nothing is not an alert).
+
+    Windows with no trailing history (cold start) are never flagged.
+    Pure integer comparisons throughout — exact, oracle-reproducible.
+    """
+    hx = (F.unix_timestamp(F.col(window_col)) / window_seconds).cast("long")
+    df = counts.withColumn("_hx", hx)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in key_cols])
+        .orderBy("_hx")
+        .rangeBetween(-trailing, -1)
+    )
+    t_n = F.coalesce(F.sum(F.col(n_col)).over(w), F.lit(0)).cast("long")
+    t_w = F.count(F.col(n_col)).over(w).cast("long")
+    n = F.col(n_col).cast("long")
+    is_burst = (t_w > 0) & (n * t_w > F.lit(burst_factor) * t_n) & (
+        n >= F.lit(min_count)
+    )
+    is_quiet = (t_w > 0) & (n * F.lit(quiet_factor) * t_w < t_n) & (
+        t_n >= F.lit(min_count) * t_w
+    )
+    return (
+        df.withColumn("is_burst", is_burst.cast("int"))
+        .withColumn("is_quiet", is_quiet.cast("int"))
+        .drop("_hx")
+    )
+
+
+def densify_windows(
+    counts: DataFrame,
+    key_cols: list[str],
+    window_col: str = "ws",
+    n_col: str = "n",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Insert explicit n=0 rows for every missing window between each
+    key's first and last active window, so ``rate_flags`` can flag a
+    source that went completely dark.
+
+    Only (window, key, n) survive densification — other measure columns
+    would have no defined value on generated rows. Generated-row volume
+    is bounded by #keys x #hours of span (never data-scale); the single
+    Exchange is the groupBy on key_cols, and the explode happens on the
+    one-row-per-key aggregate, map-side after it.
+    """
+    span = counts.groupBy(*key_cols).agg(
+        F.min(F.unix_timestamp(F.col(window_col))).alias("_lo"),
+        F.max(F.unix_timestamp(F.col(window_col))).alias("_hi"),
+    )
+    grid = span.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(window_seconds))
+        ).alias("_sec"),
+    ).select(*key_cols, F.timestamp_seconds(F.col("_sec")).alias(window_col))
+    return grid.join(
+        counts.select(*key_cols, window_col, n_col),
+        on=[*key_cols, window_col],
+        how="left",
+    ).withColumn(n_col, F.coalesce(F.col(n_col), F.lit(0)))

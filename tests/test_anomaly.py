@@ -1,0 +1,93 @@
+"""Rate anomaly detection (operators/anomaly.py): burst/quiet flags on
+aggregated counts, range-frame gap semantics, densified dark-source
+detection — all integer-exact against hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.anomaly import densify_windows, rate_flags
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1, h, 0, 0)
+
+
+def _counts(spark, rows):
+    return spark.createDataFrame(
+        [(k, _ts(h), n) for (k, h, n) in rows], "k string, ws timestamp, n long"
+    )
+
+
+def _flags(df):
+    return {
+        (r["k"], r["ws"].hour): (r["is_burst"], r["is_quiet"])
+        for r in df.collect()
+    }
+
+
+def test_burst_and_quiet_flags(spark):
+    rows = [
+        ("a", 0, 100),  # cold start: never flagged
+        ("a", 1, 110),
+        ("a", 2, 90),
+        ("a", 3, 900),  # 900*3 > 3*300 -> burst
+        ("a", 4, 10),   # trailing {110,90,900}=1100; 10*3*3=90 < 1100, mean>=10 -> quiet
+        ("b", 0, 5),
+        ("b", 1, 20),   # 20*1 > 3*5 AND 20>=10 -> burst
+        ("b", 2, 4),    # trailing {5,20}=25; 4*3*2=24<25 AND 25>=10*2 -> quiet
+        ("c", 0, 3),
+        ("c", 1, 9),
+        ("c", 2, 0),    # trailing {3,9}=12 < 10*2: mean too small -> not quiet
+    ]
+    out = _flags(rate_flags(_counts(spark, rows), ["k"]))
+    assert out[("a", 0)] == (0, 0)
+    assert out[("a", 3)] == (1, 0)
+    assert out[("a", 4)] == (0, 1)
+    assert out[("b", 1)] == (1, 0)
+    assert out[("b", 2)] == (0, 1)
+    assert out[("c", 2)] == (0, 0)
+
+
+def test_min_count_suppresses_small_bursts(spark):
+    rows = [("a", 0, 1), ("a", 1, 8)]  # 8x jump but below min_count=10
+    out = _flags(rate_flags(_counts(spark, rows), ["k"]))
+    assert out[("a", 1)] == (0, 0)
+    out2 = _flags(rate_flags(_counts(spark, rows), ["k"], min_count=2))
+    assert out2[("a", 1)] == (1, 0)
+
+
+def test_range_frame_excludes_stale_history(spark):
+    # hours 0..2 active, gap until hour 10: the trailing window
+    # [7,9] is empty -> hour 10 is a cold start, NOT a burst vs
+    # 8-hour-old history (a ROWS frame would wrongly flag it).
+    rows = [("a", 0, 10), ("a", 1, 10), ("a", 2, 10), ("a", 10, 500)]
+    out = _flags(rate_flags(_counts(spark, rows), ["k"]))
+    assert out[("a", 10)] == (0, 0)
+
+
+def test_densify_flags_dark_source(spark):
+    # steady 100/hour then silence: without densify, nothing to flag;
+    # with densify, the first silent hour is a quiet alert.
+    rows = [("a", 0, 100), ("a", 1, 100), ("a", 2, 100), ("a", 6, 100)]
+    base = _counts(spark, rows)
+    dense = densify_windows(base, ["k"])
+    assert dense.count() == 7  # hours 0..6
+    assert dense.filter(F.col("n") == 0).count() == 3
+    out = _flags(rate_flags(dense, ["k"]))
+    assert out[("a", 3)] == (0, 1)  # went dark
+    # hour 6: trailing {0,0,0} -> t_n=0 fails the min-mean guard; the
+    # recovery hour is not a burst alert either (t_n=0 -> 100*3 > 0 is
+    # true but min_count passes: it IS a burst vs a silent baseline)
+    assert out[("a", 6)] == (1, 0)
+
+
+def test_flags_integer_types_and_no_measure_invention(spark):
+    rows = [("a", 0, 10), ("a", 1, 10)]
+    out = rate_flags(_counts(spark, rows), ["k"])
+    kinds = dict(out.dtypes)
+    assert kinds["is_burst"] == "int" and kinds["is_quiet"] == "int"
+    dense = densify_windows(_counts(spark, rows), ["k"])
+    assert set(dense.columns) == {"k", "ws", "n"}
