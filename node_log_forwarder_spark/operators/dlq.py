@@ -1,0 +1,185 @@
+"""Dead-letter-queue replay — re-drive parse failures through a
+hot-reloaded rule library (the forwarder's O12 fallback x O14 reload
+composition: rows the old rules couldn't parse sit in the
+``_unmatched`` sink; after the operator ships a new rule, those rows
+are replayed through the NEW library and delivered to their real
+sinks, and the DLQ shrinks to the still-unparseable remainder).
+
+Convergence contract (pytest-enforced): for any rule libraries v1 ⊆ v2,
+
+    run_pipeline(v2)  ≡  run_pipeline(v1) then replay_dlq(v2)
+
+as per-sink row multisets. This is what makes replay safe to run in
+production: shipping a rule late is indistinguishable from having had
+it all along.
+
+Scale design: replay reads ONLY the DLQ partition
+(``sink_id=<dlq>/``) — partition-pruned, never a rescan of healthy
+sinks or the source corpus. A DLQ is small relative to the corpus by
+construction (it is the parse-failure residue), so the replay job is
+minutes where the original run was hours. Newly-matched rows APPEND to
+their sink partitions; only the DLQ partition itself is rewritten —
+staged outside the table, then dir-swapped with a kept ``__predlq``
+backup (no read-modify-write of any other partition). The per-(sink,
+window) aggregate table is then re-derived from the (column-pruned)
+sink table read-back, same as ``run_pipeline``.
+
+Caveats (documented, not silent): replay re-runs the redaction stage
+when ``cfg.redact_text`` is set — a no-op on already-redacted text,
+but the ``_red_*`` audit columns of replayed rows then count the
+replay pass (zero), not the original scrub. Throttle limits are not
+re-applied across the original+replay union; a replayed window can
+exceed its cap by the replayed volume.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.catalog import read_table, write_table
+from node_log_forwarder_spark.operators.parse import capture_types
+from node_log_forwarder_spark.plans.pipeline import PipelineConfig, build_routed
+
+#: the raw transcript columns replay feeds back through the pipeline —
+#: everything else on a DLQ row (matched/rule_id/fields/sink_ids...) is
+#: v1-parse residue that must be recomputed, not trusted
+BASE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _substitute_unmatched(pred: str, null_cols: dict[str, str]) -> str:
+    """Rewrite a sink predicate to its unmatched-state value: ``matched``
+    -> false, every parse-output column -> a typed NULL. Runs in the
+    SAME projection as the v2 routing — no self-join, no shuffle.
+    Caveat: substitution is textual on word boundaries; a predicate
+    whose *string literals* contain a capture-column name would be
+    corrupted (sink predicates are config-controlled identifiers, so
+    this is a lint-able contract, not a runtime hazard)."""
+    out = re.sub(r"\bmatched\b", "false", pred)
+    for cname, ctype in null_cols.items():
+        out = re.sub(rf"\b{re.escape(cname)}\b", f"CAST(NULL AS {ctype})", out)
+    return out
+
+
+def replay_dlq(
+    spark: SparkSession,
+    out_dir: str,
+    cfg: PipelineConfig,
+    dlq_sink_id: str = "_unmatched",
+    base_cols: list[str] | None = None,
+) -> dict:
+    """Replay the DLQ through ``cfg``'s (reloaded) rules. Returns
+    ``{still_unmatched, sink_counts, delivered_total}``."""
+    base_cols = base_cols or BASE_COLS
+    sinks_path = f"{out_dir}/sinks"
+    delivered_tbl = read_table(spark, sinks_path)
+    # partition-pruned read: only the DLQ directory's files are listed
+    dlq = delivered_tbl.filter(F.col("sink_id") == dlq_sink_id).select(*base_cols)
+
+    routed = build_routed(spark, dlq, cfg)
+
+    # Prior-delivery reconstruction: a DLQ row was ALREADY delivered to
+    # every sink whose predicate passes in the unmatched state (e.g. an
+    # archive-all catch-all) — replay must append only the DELTA or
+    # those sinks double-count. The unmatched-state routing is
+    # recomputed predicate-side over the routed frame with the parse
+    # outputs null-substituted (matched=false, rule_id/captures null):
+    # zero extra scan of any sink partition. Exact when the sink list
+    # is unchanged and only parse rules were added (the hot-reload
+    # contract); a config that also edits sink predicates — or sinks
+    # that predicate on parse-DERIVED enrich columns like `source` —
+    # needs the read-the-truth variant instead (semi-join the
+    # column-pruned sink table on DLQ keys).
+    null_cols = {"rule_id": "string"}
+    null_cols.update(capture_types(cfg.rules))
+    prior_branches = [
+        F.when(
+            F.expr(_substitute_unmatched(s.predicate, null_cols)),
+            F.lit(s.sink_id),
+        ).otherwise(F.lit(None))
+        for s in cfg.sinks
+    ]
+    routed = routed.withColumn(
+        "_prior_sink_ids", F.array_compact(F.array(*prior_branches))
+    ).withColumn(
+        "_new_sink_ids",
+        F.array_except(F.col("sink_ids"), F.col("_prior_sink_ids")),
+    )
+    helper = ["sink_ids", "_prior_sink_ids", "_new_sink_ids"]
+
+    # 1) stage the still-unmatched remainder OUTSIDE the live table
+    #    (an in-place overwrite would race the lazy plan that reads the
+    #    very files being replaced — the compact.py/merge.py lesson).
+    #    Data files in a hive partition dir carry no sink_id column.
+    staging = sinks_path.rstrip("/") + "__dlq_staging"
+    still = routed.filter(
+        F.array_contains(F.col("sink_ids"), dlq_sink_id)
+    ).drop(*helper)
+    still.write.mode("overwrite").parquet(staging)
+
+    # 2) delta deliveries APPEND into their sink partitions — new files
+    #    only, never touches existing ones
+    now_matched = (
+        routed.withColumn("sink_id", F.explode(F.col("_new_sink_ids")))
+        .filter(F.col("sink_id") != dlq_sink_id)
+        .drop(*helper)
+    )
+    write_table(
+        now_matched, sinks_path, mode="append", partition_by=["sink_id"]
+    )
+
+    # 3) swap ONLY the DLQ partition dir; keep a __predlq backup until
+    #    the caller validates (ADVICE r3's compact.py lesson). Crash
+    #    window (documented, mirrors merge.py): between (2) and (3) the
+    #    appended rows exist while the DLQ is still full — re-running
+    #    replay then would double-deliver; recover by restoring the
+    #    backup and re-running from it, not by blind re-replay.
+    live = f"{sinks_path.rstrip('/')}/sink_id={dlq_sink_id}"
+    backup = sinks_path.rstrip("/") + "__predlq"
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.exists(live):
+        os.rename(live, backup)
+    os.rename(staging, live)
+
+    # 4) re-derive the per-(window, sink) aggregate table from the
+    #    updated sink table — column-pruned read, identical derivation
+    #    to run_pipeline's. mergeSchema: a reloaded rule library may
+    #    ADD capture columns the pre-replay files lack (Iceberg mode
+    #    handles this as native schema evolution; the parquet fallback
+    #    needs the merged-footer read — NULL-filled for old files, the
+    #    contract pinned in test_schema_evolution)
+    refreshed = spark.read.option("mergeSchema", "true").parquet(sinks_path)
+    aggs = refreshed.groupBy(
+        F.date_trunc(cfg.window, F.col("ts")).alias("window_start"),
+        F.col("sink_id"),
+        *[F.col(k) for k in cfg.agg_keys],
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    write_table(aggs, f"{out_dir}/agg_sink_counts", mode="overwrite")
+
+    counts = {
+        r["sink_id"]: r["n"]
+        for r in read_table(spark, f"{out_dir}/agg_sink_counts")
+        .groupBy("sink_id")
+        .agg(F.sum("n_rows").alias("n"))
+        .collect()
+    }
+    n_still = counts.get(dlq_sink_id, 0)
+    n_delivered = sum(v for k, v in counts.items() if k != dlq_sink_id)
+    return {
+        "still_unmatched": n_still,
+        "sink_counts": counts,
+        "delivered_total": n_delivered,
+    }
+
+
+def drop_dlq_backup(sinks_path: str) -> bool:
+    """Delete the ``__predlq`` backup after caller-side validation."""
+    old = sinks_path.rstrip("/") + "__predlq"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+        return True
+    return False
