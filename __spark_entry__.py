@@ -527,6 +527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (operators/similarity.py::quantize_embedding); sum_q_l1 is an
         # exact integer reproduced bit-for-bit by the DuckDB twin
         # (identical IEEE op order + trunc, no round-half ambiguity)
+        from node_log_forwarder_spark.operators.rproj import (
+            jl_sign_matrix,
+            project_quantized,
+        )
         from node_log_forwarder_spark.operators.similarity import (
             quantize_embedding,
         )
@@ -543,12 +547,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
+        # + JL random-projection audit (operators/rproj.py): 64 -> 4
+        # integer sign projections of the quantized store; pure codegen
+        # integer arithmetic, bit-exact vs the DuckDB twin built from
+        # the SAME jl_sign_matrix literal
+        rp = project_quantized(qvec, jl_sign_matrix(64, 4, seed=7))
+        rp_l1 = F.aggregate(
+            F.transform(rp, lambda v: F.abs(v)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
         return emb.groupBy("label").agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg(F.sqrt(sq)), 4).alias("avg_norm"),
             F.round(F.max(F.sqrt(sq)), 4).alias("max_norm"),
             F.sum(q_l1).alias("sum_q_l1"),
             F.max(F.array_max(F.transform(qvec, lambda v: F.abs(v)))).alias("max_abs_q"),
+            F.sum(rp_l1).alias("sum_rp_l1"),
         )
     q["embedding_norms"] = q_embedding_norms
 
@@ -1836,7 +1851,19 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
-    sql["embedding_norms"] = """
+    # JL projection twin: the SAME ±1 literal matrix as the Spark query
+    # (operators/rproj.py::jl_sign_matrix(64, 4, seed=7)), unrolled into
+    # integer dot products — bit-exact, no floats involved
+    from node_log_forwarder_spark.operators.rproj import jl_sign_matrix
+
+    _rpm = jl_sign_matrix(64, 4, seed=7)
+    _rp_l1 = " + ".join(
+        "abs("
+        + " + ".join(f"qv[{i + 1}]*({_rpm[i][j]})" for i in range(64))
+        + ")"
+        for j in range(4)
+    )
+    sql["embedding_norms"] = f"""
         WITH e AS (
           SELECT label,
                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm,
@@ -1853,14 +1880,18 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN mx = 0 THEN 0
                       ELSE list_max(list_transform(emb,
                            x -> abs(CAST(trunc((x * 127.0) / mx) AS INT))))
-                 END AS max_q
+                 END AS max_q,
+                 list_transform(emb, x ->
+                   CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(trunc((x * 127.0) / mx) AS BIGINT) END) AS qv
           FROM e
         )
         SELECT label, count(*) AS n,
                round(avg(nrm), 4) AS avg_norm,
                round(max(nrm), 4) AS max_norm,
                CAST(sum(q_l1) AS BIGINT) AS sum_q_l1,
-               CAST(max(max_q) AS INT) AS max_abs_q
+               CAST(max(max_q) AS INT) AS max_abs_q,
+               CAST(sum({_rp_l1}) AS BIGINT) AS sum_rp_l1
         FROM qe GROUP BY label
     """
 

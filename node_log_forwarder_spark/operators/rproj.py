@@ -1,0 +1,90 @@
+"""Random-projection (Johnson–Lindenstrauss) dimensionality reduction
+for embedding columns — the pre-ANN shrink operator: project
+d-dimensional vectors through a fixed ±1 sign matrix to d' << d
+dimensions before bucketing/scanning, cutting ANN scan cost by d/d'
+while approximately preserving pairwise cosine (JL lemma; the ±1
+variant is Achlioptas' database-friendly construction, no Gaussian
+sampling needed).
+
+Scale design: the projection matrix is d x d' ints generated
+deterministically from (seed, i, j) md5 on the DRIVER (KB-scale
+state — 64x16 = 1024 entries), shipped to executors as literal
+expression constants or a numpy closure. The projection itself is
+embarrassingly parallel: zero shuffles, fuses into the scan stage.
+
+Two execution paths:
+
+- ``project_quantized``: unrolled integer dot products over the int8
+  quantized store (operators/similarity.py::quantize_embedding) —
+  whole-stage-codegen'd JVM arithmetic, no Python, and integer-exact
+  (the DuckDB oracle twin reproduces every component bit-for-bit).
+  The audit path, and the right path when d' is small.
+- ``project_embeddings``: Arrow-batched pandas UDF doing one float32
+  numpy matmul per batch — the throughput path for production dims
+  (d in the thousands), where generating d x d' codegen terms would
+  blow up Catalyst analysis (the session-5 PQ compile lesson).
+
+Determinism contract: same seed -> same matrix on every engine and
+platform (md5, not RNG state), so projected tables are reproducible
+and growth-stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+
+def jl_sign_matrix(d_in: int, d_out: int, seed: int = 7) -> list[list[int]]:
+    """±1 matrix from md5(seed:i:j) — deterministic, engine-independent."""
+    return [
+        [
+            1
+            if hashlib.md5(f"jl:{seed}:{i}:{j}".encode()).digest()[0] % 2 == 0
+            else -1
+            for j in range(d_out)
+        ]
+        for i in range(d_in)
+    ]
+
+
+def project_quantized(qvec: Column, matrix: list[list[int]]) -> Column:
+    """array<long> of len(matrix[0]) integer projections of an int
+    vector column: proj_j = sum_i qvec[i] * matrix[i][j]. Pure codegen
+    arithmetic — suitable for oracle-exact audits and small d'."""
+    d_in, d_out = len(matrix), len(matrix[0])
+    cols = []
+    for j in range(d_out):
+        term = F.lit(0).cast("long")
+        for i in range(d_in):
+            term = term + F.get(qvec, i).cast("long") * F.lit(matrix[i][j])
+        cols.append(term)
+    return F.array(*cols)
+
+
+def project_embeddings(
+    df: DataFrame,
+    matrix: list[list[int]],
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Arrow-batched float projection: one numpy matmul per batch.
+    Output is scaled by 1/sqrt(d') so projected cosine/L2 magnitudes
+    stay comparable to the originals (standard JL normalization)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rmat = np.asarray(matrix, dtype=np.float32)
+    scale = np.float32(1.0 / np.sqrt(rmat.shape[1]))
+
+    @pandas_udf(ArrayType(FloatType()))
+    def _proj(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float32)
+        out = (x @ rmat) * scale
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

@@ -1,0 +1,122 @@
+"""JL random projection (operators/rproj.py): integer path vs numpy
+ground truth, Arrow float path vs numpy, determinism, and the thing
+the operator exists for — neighbor recall after an 4x dim cut."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.rproj import (
+    jl_sign_matrix,
+    project_embeddings,
+    project_quantized,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    return df.cache()
+
+
+def test_sign_matrix_deterministic_and_balanced():
+    m1 = jl_sign_matrix(64, 16, seed=7)
+    m2 = jl_sign_matrix(64, 16, seed=7)
+    m3 = jl_sign_matrix(64, 16, seed=8)
+    assert m1 == m2 and m1 != m3
+    flat = [v for row in m1 for v in row]
+    assert set(flat) == {-1, 1}
+    # md5 bytes are uniform: the sign balance should be near half
+    assert 0.4 < sum(1 for v in flat if v == 1) / len(flat) < 0.6
+
+
+def test_project_quantized_matches_numpy(spark, emb):
+    from node_log_forwarder_spark.operators.similarity import quantize_embedding
+
+    m = jl_sign_matrix(64, 4, seed=7)
+    qvec, _ = quantize_embedding(F.col("embedding"))
+    got = {
+        r["vec_id"]: (r["q"], r["p"])
+        for r in emb.select(
+            "vec_id", qvec.alias("q"), project_quantized(qvec, m).alias("p")
+        )
+        .limit(50)
+        .collect()
+    }
+    rm = np.asarray(m, dtype=np.int64)
+    for vid, (q, p) in got.items():
+        expect = np.asarray(q, dtype=np.int64) @ rm
+        assert list(expect) == list(p), vid
+
+
+def test_project_embeddings_matches_numpy(spark, emb):
+    m = jl_sign_matrix(64, 16, seed=7)
+    rows = project_embeddings(emb.limit(20), m).select("embedding", "proj").collect()
+    rm = np.asarray(m, dtype=np.float32)
+    s = np.float32(1.0 / np.sqrt(16))
+    for r in rows:
+        expect = (np.asarray(r["embedding"], dtype=np.float32) @ rm) * s
+        assert np.allclose(expect, np.asarray(r["proj"], dtype=np.float32), atol=1e-5)
+
+
+def test_projection_plan_is_arrow_and_shuffle_free(spark, emb):
+    m = jl_sign_matrix(64, 16, seed=7)
+    plan = (
+        project_embeddings(emb, m)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+
+
+def _unit(m):
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1, n)
+
+
+def test_jl_pairwise_cosine_within_bound(spark, emb):
+    # The JL lemma's actual guarantee: pairwise inner products are
+    # preserved to ~1/sqrt(d') RMS distortion. This fixture is
+    # near-isotropic noise (top-1 cosine 0.37, rank-10 0.28 — gaps far
+    # BELOW the d'=16 distortion), so exact top-k recall is not a valid
+    # invariant here; the bound itself is. Measured RMSE 0.239–0.246 at
+    # d'=16 (bound 0.250) and 0.168–0.173 at d'=32 (bound 0.177).
+    rows = project_embeddings(emb, jl_sign_matrix(64, 16, seed=7)).select(
+        "embedding", "proj"
+    ).collect()
+    x = _unit(np.stack([r["embedding"] for r in rows]).astype(np.float64))
+    p = _unit(np.stack([r["proj"] for r in rows]).astype(np.float64))
+    iu = np.triu_indices(len(rows), 1)
+    rmse = np.sqrt(np.mean(((x @ x.T)[iu] - (p @ p.T)[iu]) ** 2))
+    assert rmse < 1.1 / np.sqrt(16)
+
+
+def test_jl_planted_near_dups_survive_projection(spark, emb):
+    # The use case the operator exists for: near-duplicate vectors
+    # (cos ~0.997, the semdedup/ANN regime) must remain each other's
+    # nearest neighbor through a 4x dim cut. Plant 20 deterministic
+    # perturbed twins among the 500 real vectors; projected top-1 must
+    # find every twin (measured 20/20 at d'=16 and d'=32).
+    base = np.stack(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(20).collect()]
+    ).astype(np.float64)
+    rng = np.random.RandomState(0)
+    noise = rng.standard_normal(base.shape) * 0.05
+    noise *= np.linalg.norm(base, axis=1, keepdims=True) / 8
+    twins = base + noise
+
+    all_rows = emb.orderBy("vec_id").collect()
+    allv = np.vstack([np.stack([r["embedding"] for r in all_rows]), twins])
+    proj = _unit(allv @ np.asarray(jl_sign_matrix(64, 16, seed=7), dtype=np.float64))
+    n = len(all_rows)
+    hits = 0
+    for k in range(20):
+        sims = proj @ proj[n + k]
+        sims[n + k] = -2.0
+        hits += int(np.argmax(sims) == k)
+    assert hits >= 18
