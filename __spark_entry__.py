@@ -535,13 +535,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             quantize_embedding,
         )
 
-        emb = _t(spark, sf, "embeddings")
         sq = F.aggregate(
             F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        qvec, _scale = quantize_embedding(F.col("embedding"))
+        # STAGE the quantized array as a real column before anything
+        # references it elementwise (the session-5 PQ compile lesson):
+        # project_quantized reads qvec 64x4 = 256 times, and inlining
+        # the transform+array_max quantizer tree into every term costs
+        # Catalyst minutes of analysis; a staged column reference is
+        # free. Runtime plan is identical (one projection node).
+        _qexpr, _scale = quantize_embedding(F.col("embedding"))
+        emb = _t(spark, sf, "embeddings").select(
+            "label", "embedding", _qexpr.alias("_qv")
+        )
+        qvec = F.col("_qv")
         q_l1 = F.aggregate(
             F.transform(qvec, lambda v: F.abs(v).cast("long")),
             F.lit(0).cast("long"),

@@ -56,7 +56,14 @@ def jl_sign_matrix(d_in: int, d_out: int, seed: int = 7) -> list[list[int]]:
 def project_quantized(qvec: Column, matrix: list[list[int]]) -> Column:
     """array<long> of len(matrix[0]) integer projections of an int
     vector column: proj_j = sum_i qvec[i] * matrix[i][j]. Pure codegen
-    arithmetic — suitable for oracle-exact audits and small d'."""
+    arithmetic — suitable for oracle-exact audits and small d'.
+
+    CALLER CONTRACT: pass a plain column reference (stage any derived
+    expression — e.g. quantize_embedding's transform tree — through a
+    ``.select(expr.alias(...))`` first). This expression reads ``qvec``
+    d_in x d_out times; inlining a non-trivial tree into every term
+    multiplies Catalyst analysis cost by that factor (measured ~60s at
+    64x4 inlined vs <1s staged; same runtime plan either way)."""
     d_in, d_out = len(matrix), len(matrix[0])
     cols = []
     for j in range(d_out):

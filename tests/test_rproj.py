@@ -37,10 +37,12 @@ def test_project_quantized_matches_numpy(spark, emb):
 
     m = jl_sign_matrix(64, 4, seed=7)
     qvec, _ = quantize_embedding(F.col("embedding"))
+    # staged column reference per project_quantized's caller contract
+    staged = emb.select("vec_id", qvec.alias("q"))
     got = {
         r["vec_id"]: (r["q"], r["p"])
-        for r in emb.select(
-            "vec_id", qvec.alias("q"), project_quantized(qvec, m).alias("p")
+        for r in staged.select(
+            "vec_id", "q", project_quantized(F.col("q"), m).alias("p")
         )
         .limit(50)
         .collect()
