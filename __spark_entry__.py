@@ -767,12 +767,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical replace chain in DuckDB (functions/bpe.py)
         from node_log_forwarder_spark.functions.bpe import bpe_count
 
-        return docs.groupBy("lang").agg(
+        base = docs.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(tc).alias("total_tokens"),
             F.max(tc).cast("long").alias("max_tokens"),
             F.sum(n_bpe).alias("total_bpe_tokens"),
             F.sum(bpe_count(F.col("text"))).cast("long").alias("total_bpe_real"),
+        )
+        # + RAG chunking audit (r4 session 9: operators/chunk.py —
+        # 32-token windows, 8-token overlap). sum_chunks/sum_chunk_tokens
+        # gate the window arithmetic; sum_chunk_fp (md5-prefix BIGINT of
+        # each chunk_text, summed) gates the chunk BYTES — the DuckDB
+        # twin re-slices the token lists and re-hashes. The text↔token
+        # contract and plan shape are pytest-gated (tests/test_chunk.py).
+        from node_log_forwarder_spark.operators.chunk import (
+            chunk_documents,
+            chunk_fingerprint,
+        )
+
+        ch = chunk_documents(docs, 32, 8, keep_cols=("lang",)).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("sum_chunks"),
+            F.sum("n_chunk_tokens").alias("sum_chunk_tokens"),
+            F.sum(chunk_fingerprint(F.col("chunk_text"))).alias("sum_chunk_fp"),
+        )
+        return base.join(ch, "lang", "left").select(
+            "lang", "n_docs", "total_tokens", "max_tokens",
+            "total_bpe_tokens", "total_bpe_real",
+            F.coalesce("sum_chunks", F.lit(0)).alias("sum_chunks"),
+            F.coalesce("sum_chunk_tokens", F.lit(0)).alias("sum_chunk_tokens"),
+            F.coalesce("sum_chunk_fp", F.lit(0)).alias("sum_chunk_fp"),
         )
     q["token_count"] = q_token_count
 
@@ -1263,14 +1286,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.sum("doc_id").alias("sum_strat_ids"),
             )
         )
-        return base.join(strat, "lang", "left").select(
-            "lang",
-            "n_sampled",
-            "n_mixture",
-            "sum_shard",
-            "n_shard0",
-            F.coalesce("n_strat", F.lit(0)).alias("n_strat"),
-            F.coalesce("sum_strat_ids", F.lit(0)).alias("sum_strat_ids"),
+        # + DSIR importance-resampling audit (r4 session 9:
+        # operators/dsir.py — Xie et al. 2023-family hashed-ngram data
+        # selection). Target model = doc_id % 11 == 0 slice, raw model =
+        # doc_id % 7 == 3 slice, B=4096 buckets; sum_dsir_t/sum_dsir_r
+        # are the per-lang integer-exact model-hit sums gating the
+        # feature hashing + both broadcast joins. The float log-weight /
+        # Gumbel-resample path is pytest-gated (tests/test_dsir.py).
+        from node_log_forwarder_spark.operators.dsir import (
+            dsir_audit,
+            feature_model,
+        )
+
+        _B = 4096
+        tmod = feature_model(docs.filter(F.col("doc_id") % 11 == 0), buckets=_B)
+        rmod = feature_model(docs.filter(F.col("doc_id") % 7 == 3), buckets=_B)
+        dsir = dsir_audit(docs, tmod, rmod, group_col="lang", buckets=_B)
+        return (
+            base.join(strat, "lang", "left")
+            .join(dsir, "lang", "left")
+            .select(
+                "lang",
+                "n_sampled",
+                "n_mixture",
+                "sum_shard",
+                "n_shard0",
+                F.coalesce("n_strat", F.lit(0)).alias("n_strat"),
+                F.coalesce("sum_strat_ids", F.lit(0)).alias("sum_strat_ids"),
+                F.coalesce("sum_dsir_t", F.lit(0)).alias("sum_dsir_t"),
+                F.coalesce("sum_dsir_r", F.lit(0)).alias("sum_dsir_r"),
+            )
         )
     q["sample_hash"] = q_sample_hash
 
@@ -1987,13 +2032,43 @@ def oracle_sql() -> dict[str, str]:
         b AS (
           SELECT w.lang, CAST(sum(wc.bl) AS BIGINT) AS total_bpe_real
           FROM w JOIN wc USING (word) GROUP BY w.lang
+        ),
+        -- RAG-chunking twin (operators/chunk.py, size=32 overlap=8
+        -- stride=24): chunk counts by integer arithmetic, chunk token
+        -- sums by the window-length formula, chunk fingerprints by
+        -- re-slicing the token list and re-hashing the joined text.
+        chn AS (
+          SELECT lang, wl AS w, len(wl) AS n,
+                 CASE WHEN len(wl) = 0 THEN 0
+                      WHEN len(wl) <= 32 THEN 1
+                      ELSE 1 + CAST((len(wl) - 32 + 23) // 24 AS INT)
+                 END AS nch
+          FROM (SELECT lang, {_TOKENS} AS wl FROM documents)
+        ),
+        chx AS (
+          SELECT lang,
+                 unnest(list_transform(generate_series(0, nch - 1),
+                        i -> array_to_string(list_slice(w, i*24 + 1, least(i*24 + 32, n)), ' '))) AS ct,
+                 unnest(list_transform(generate_series(0, nch - 1),
+                        i -> least(32, n - i*24))) AS ctoks
+          FROM chn WHERE nch > 0
+        ),
+        cagg AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS sum_chunks,
+                 CAST(sum(ctoks) AS BIGINT) AS sum_chunk_tokens,
+                 CAST(sum(CAST(concat('0x', substr(md5(ct), 1, 8)) AS BIGINT)) AS BIGINT) AS sum_chunk_fp
+          FROM chx GROUP BY lang
         )
         SELECT d.lang, count(*) AS n_docs,
                CAST(sum(d.tc) AS BIGINT) AS total_tokens,
                CAST(max(d.tc) AS BIGINT) AS max_tokens,
                CAST(sum(d.n_bpe) AS BIGINT) AS total_bpe_tokens,
-               coalesce(any_value(b.total_bpe_real), 0) AS total_bpe_real
+               coalesce(any_value(b.total_bpe_real), 0) AS total_bpe_real,
+               coalesce(any_value(c.sum_chunks), 0) AS sum_chunks,
+               coalesce(any_value(c.sum_chunk_tokens), 0) AS sum_chunk_tokens,
+               coalesce(any_value(c.sum_chunk_fp), 0) AS sum_chunk_fp
         FROM d LEFT JOIN b ON d.lang = b.lang
+                LEFT JOIN cagg c ON d.lang = c.lang
         GROUP BY d.lang
     """
 
@@ -2431,11 +2506,38 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS n_strat,
                  CAST(sum(doc_id) AS BIGINT) AS sum_strat_ids
           FROM strat GROUP BY lang
+        ),
+        -- DSIR twin (operators/dsir.py): features = unigrams ++ word
+        -- bigrams hashed md5-mod-4096; target model = doc_id%11=0
+        -- slice, raw model = doc_id%7=3 slice; per-lang sums of the
+        -- model counts hit by every feature occurrence.
+        dw AS (SELECT lang, doc_id, {_TOKENS} AS w FROM documents),
+        dg AS (
+          SELECT lang, doc_id, unnest(list_concat(w, {_NGRAM2})) AS g
+          FROM dw
+        ),
+        df_ AS (
+          SELECT lang, doc_id,
+                 CAST(concat('0x', substr(md5(concat('dsir|', g)), 1, 8)) AS BIGINT) % 4096 AS f
+          FROM dg
+        ),
+        tmod AS (SELECT f, count(*) AS ct FROM df_ WHERE doc_id % 11 = 0 GROUP BY f),
+        rmod AS (SELECT f, count(*) AS cr FROM df_ WHERE doc_id % 7 = 3 GROUP BY f),
+        dsir AS (
+          SELECT d.lang,
+                 CAST(coalesce(sum(t.ct), 0) AS BIGINT) AS sum_dsir_t,
+                 CAST(coalesce(sum(r.cr), 0) AS BIGINT) AS sum_dsir_r
+          FROM df_ d
+          LEFT JOIN tmod t USING (f) LEFT JOIN rmod r ON d.f = r.f
+          GROUP BY d.lang
         )
         SELECT base.lang, n_sampled, n_mixture, sum_shard, n_shard0,
                coalesce(n_strat, 0) AS n_strat,
-               coalesce(sum_strat_ids, 0) AS sum_strat_ids
+               coalesce(sum_strat_ids, 0) AS sum_strat_ids,
+               coalesce(sum_dsir_t, 0) AS sum_dsir_t,
+               coalesce(sum_dsir_r, 0) AS sum_dsir_r
         FROM base LEFT JOIN strat_agg ON base.lang = strat_agg.lang
+                  LEFT JOIN dsir ON base.lang = dsir.lang
     """
 
     # vocab section + lexical-search section (operators/search.py twin:

@@ -1,0 +1,124 @@
+"""Document chunking for retrieval/RAG pipelines: split each document
+into fixed-size token windows with configurable overlap, carrying
+stable (doc_id, chunk_idx) identity — the standard pre-embedding
+segmentation step (public practice: fixed-token sliding windows,
+e.g. LangChain/LlamaIndex-style splitters; overlap preserves context
+across boundaries).
+
+Spark-first shape: pure map-side native expressions — tokenize once
+(STAGED as a column so the regex split is evaluated exactly once per
+row, the ``ngrams_from_tokens`` lesson), build the chunk list with
+``transform(sequence(...), i -> slice(...))``, then ``posexplode``.
+Zero UDFs, zero shuffles: chunking fuses into the scan and the 1→N
+expansion is row-local, so the operator is embarrassingly parallel at
+any corpus size and composes with ``operators/rproj``/``similarity``
+(embed the ``chunk_text`` column downstream).
+
+Chunk arithmetic (the engine-portable integer face, gated via
+``token_count``'s oracle twin):
+
+* ``stride = chunk_size − overlap`` (require ``overlap < chunk_size``)
+* ``n_chunks(n) = 0 if n == 0; 1 if n ≤ chunk_size;
+  else 1 + ceil((n − chunk_size) / stride)`` — every token is covered
+  and the last chunk may be short but never empty;
+* chunk ``i`` covers token indices ``[i·stride, min(i·stride +
+  chunk_size, n))`` (0-based).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def n_chunks_col(n: Column, chunk_size: int, overlap: int) -> Column:
+    """Engine-portable chunk count: integer arithmetic only."""
+    stride = chunk_size - overlap
+    extra = F.floor((n - F.lit(chunk_size) + F.lit(stride) - 1) / F.lit(stride))
+    return (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= chunk_size, F.lit(1))
+        .otherwise((F.lit(1) + extra))
+        .cast("int")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *keep_cols, chunk_idx, n_chunks, n_chunk_tokens, chunk_text)
+    — one row per chunk; documents with no tokens produce no rows
+    (callers keep empties upstream if they need them).
+
+    ``chunk_idx`` is 0-based and, with ``id_col``, is the stable chunk
+    identity: deterministic, partitioning-independent, and unchanged
+    for a document whose neighbors change — safe to use as the join key
+    for incremental embedding refresh."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    staged = df.select(
+        id_col, *keep_cols, tokens(F.col(text_col)).alias("_w")
+    ).withColumn("_n", F.size("_w"))
+    nch = n_chunks_col(F.col("_n"), chunk_size, overlap)
+    # slice() is 1-based; length past the end clips to the remainder
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.slice(F.col("_w"), i * stride + 1, chunk_size),
+    )
+    return (
+        staged.withColumn("_nch", nch)
+        .filter(F.col("_nch") > 0)
+        .select(
+            id_col,
+            *keep_cols,
+            F.col("_nch").alias("n_chunks"),
+            F.posexplode(chunks).alias("chunk_idx", "_ctoks"),
+        )
+        .select(
+            id_col,
+            *keep_cols,
+            "chunk_idx",
+            "n_chunks",
+            F.size("_ctoks").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "_ctoks").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_fingerprint(chunk_text: Column) -> Column:
+    """BIGINT content fingerprint of a chunk (first 8 md5 hex chars) —
+    the same conv/0x-cast arithmetic as ``sampling.hash_uniform``, so a
+    DuckDB twin can replay it bit-exactly; summing it per group gates
+    the chunk BYTES, not just the counts."""
+    return F.conv(F.substring(F.md5(chunk_text), 1, 8), 16, 10).cast("long")
+
+
+# --- pure-Python reference (pytest twin) ------------------------------------
+
+
+def chunk_documents_py(
+    text: str, chunk_size: int, overlap: int = 0
+) -> list[tuple[int, int, str]]:
+    """[(chunk_idx, n_chunk_tokens, chunk_text)] with identical rules."""
+    ws = text.split()
+    n = len(ws)
+    stride = chunk_size - overlap
+    if n == 0:
+        return []
+    if n <= chunk_size:
+        nch = 1
+    else:
+        nch = 1 + -((n - chunk_size) // -stride)  # ceil div
+    out = []
+    for i in range(nch):
+        ctoks = ws[i * stride : i * stride + chunk_size]
+        out.append((i, len(ctoks), " ".join(ctoks)))
+    return out

@@ -1,0 +1,230 @@
+"""DSIR-family data selection via importance resampling (public
+literature: Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling" — select raw-corpus documents whose hashed
+n-gram feature distribution looks like a target/in-domain corpus, by
+importance weight p_target(x)/p_raw(x) under bag-of-hashed-ngram
+unigram models).
+
+Spark-first shape — the whole lifecycle is three declarative jobs and
+zero UDFs:
+
+* featurize = explode unigrams + bigrams per document and hash each
+  gram into one of B buckets (md5-derived, engine-portable — the same
+  conv/0x-cast arithmetic as ``sampling.hash_uniform``). Map-side only.
+* model     = one groupBy over the featurized frame → a (bucket, c)
+  table with AT MOST B rows (B ≈ 10^4), broadcastable by construction
+  regardless of corpus size. Train it once on a target sample and once
+  on a raw-corpus sample.
+* score     = featurize the raw corpus, broadcast-join both models,
+  one per-doc aggregate: log w(x) = Σ_f [ln p_t(f) − ln p_r(f)] with
+  add-k smoothing over the B-bucket simplex. The only shuffle is the
+  per-doc groupBy; model totals are two driver scalars (one bounded
+  collect of one number each, the ``lm_perplexity`` convention).
+* select    = deterministic top-k by log weight, or Gumbel-top-k
+  importance RESAMPLING (the paper's sampled variant) with
+  hash-derived Gumbel noise — no RNG state, reproducible at any
+  parallelism (Gumbel-top-k: public literature, Vieira 2014 / Kool et
+  al. 2019).
+
+At 100 TB: featurize/score are embarrassingly parallel scan work, the
+models are O(B) broadcast state, selection is a TakeOrdered (no global
+sort materialization). Exactness split (repo convention): the INTEGER
+audit — per-group sums of model bucket counts hit by each document's
+features — is engine-exact and drives the DuckDB oracle gate (folded
+into ``sample_hash``); the FLOAT log-weight path (transcendental ln,
+not bit-portable) is pytest-gated against a pure-Python reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import ngrams_from_tokens, tokens
+from .sampling import hash_uniform
+
+_SALT = "dsir|"
+
+
+def hash_bucket(gram: Column, buckets: int) -> Column:
+    """Hashed-feature bucket in [0, buckets): first 8 md5 hex chars of
+    the salted gram, mod B — identical arithmetic in Spark (conv) and
+    DuckDB (0x-cast), like ``sampling.hash_uniform``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_SALT), gram)), 1, 8), 16, 10
+    ).cast("long")
+    return h % F.lit(int(buckets))
+
+
+def _grams(text_col: str) -> Column:
+    """Unigrams ++ word bigrams (the DSIR feature set)."""
+    w = tokens(F.col(text_col))
+    return F.concat(w, ngrams_from_tokens(w, 2))
+
+
+def featurize(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    buckets: int = 8192,
+) -> DataFrame:
+    """One row per feature OCCURRENCE: (*id_cols, f) with f the hashed
+    bucket. Pure map-side (explode + md5); no shuffle."""
+    return df.select(
+        *id_cols, F.explode(_grams(text_col)).alias("_g")
+    ).select(*id_cols, hash_bucket(F.col("_g"), buckets).alias("f"))
+
+
+def feature_model(
+    df: DataFrame, text_col: str = "text", buckets: int = 8192
+) -> DataFrame:
+    """(f, c): hashed-bucket occurrence counts — ≤ ``buckets`` rows, so
+    the model broadcasts no matter how large the training slice is."""
+    return (
+        featurize(df, [], text_col, buckets)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_audit(
+    docs: DataFrame,
+    target_model: DataFrame,
+    raw_model: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    buckets: int = 8192,
+) -> DataFrame:
+    """Per-group integer-exact face of the scorer: (group, sum_dsir_t,
+    sum_dsir_r) — over every feature occurrence in the group's docs,
+    the summed target-model and raw-model bucket counts. Both BIGINT;
+    gates the hashing, the feature set, and both model joins."""
+    ft = featurize(docs, [group_col], text_col, buckets)
+    t = F.broadcast(target_model.withColumnRenamed("c", "_ct"))
+    r = F.broadcast(raw_model.withColumnRenamed("c", "_cr"))
+    return (
+        ft.join(t, "f", "left")
+        .join(r, "f", "left")
+        .groupBy(group_col)
+        .agg(
+            F.coalesce(F.sum("_ct"), F.lit(0)).alias("sum_dsir_t"),
+            F.coalesce(F.sum("_cr"), F.lit(0)).alias("sum_dsir_r"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_model: DataFrame,
+    raw_model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 8192,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """(id, n_feats, log_weight): per-document log importance weight
+
+        log w = Σ_f [ ln (c_t(f)+k)/(T+kB) − ln (c_r(f)+k)/(R+kB) ]
+
+    with T/R the model totals (two driver scalars) and B the bucket
+    count. Native expressions end to end; the models broadcast."""
+    tot_t = target_model.agg(F.sum("c")).first()[0] or 0
+    tot_r = raw_model.agg(F.sum("c")).first()[0] or 0
+    den_t = float(tot_t) + add_k * buckets
+    den_r = float(tot_r) + add_k * buckets
+
+    ft = featurize(docs, [id_col], text_col, buckets)
+    t = F.broadcast(target_model.withColumnRenamed("c", "_ct"))
+    r = F.broadcast(raw_model.withColumnRenamed("c", "_cr"))
+    term = F.log(
+        (F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + F.lit(float(add_k)))
+        / F.lit(den_t)
+    ) - F.log(
+        (F.coalesce(F.col("_cr"), F.lit(0)).cast("double") + F.lit(float(add_k)))
+        / F.lit(den_r)
+    )
+    return (
+        ft.join(t, "f", "left")
+        .join(r, "f", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(term).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    resample: bool = False,
+    salt: str = "dsirsel",
+) -> DataFrame:
+    """Top-k selection over the weight frame. ``resample=False`` is the
+    deterministic argmax variant (highest log weight, id tiebreak);
+    ``resample=True`` is Gumbel-top-k importance resampling WITHOUT
+    replacement: key = log_weight + Gumbel(0,1) noise derived from the
+    doc id hash (g = −ln(−ln u)), a sample from the weight distribution
+    that is still a pure function of the data. Both are orderBy+limit —
+    Spark executes TakeOrdered (per-partition heaps + driver merge of k
+    rows), never a global sort materialization."""
+    key = F.col("log_weight")
+    if resample:
+        u = hash_uniform(F.col(id_col), salt)
+        # clamp away u == 0 (−ln(−ln 0) = −inf) without changing any
+        # other value: md5 uniforms are multiples of 2^-32
+        u = F.greatest(u, F.lit(2.0 ** -33))
+        key = key + (-F.log(-F.log(u)))
+    return (
+        weights.withColumn("_sel_key", key)
+        .orderBy(F.col("_sel_key").desc(), F.col(id_col))
+        .limit(int(k))
+        .drop("_sel_key")
+    )
+
+
+# --- pure-Python reference (pytest twin for the float path) -----------------
+
+
+def _hash_bucket_py(gram: str, buckets: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5((_SALT + gram).encode()).hexdigest()[:8], 16)
+    return h % buckets
+
+
+def _feats_py(text: str, buckets: int) -> list[int]:
+    ws = text.split()
+    grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    return [_hash_bucket_py(g, buckets) for g in grams]
+
+
+def dsir_weights_py(
+    target_texts: list[str],
+    raw_texts: list[str],
+    doc_text: str,
+    buckets: int = 8192,
+    add_k: float = 1.0,
+) -> tuple[int, float | None]:
+    """Reference (n_feats, log_weight) with identical arithmetic."""
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for t in target_texts:
+        for f in _feats_py(t, buckets):
+            ct[f] = ct.get(f, 0) + 1
+    for t in raw_texts:
+        for f in _feats_py(t, buckets):
+            cr[f] = cr.get(f, 0) + 1
+    den_t = float(sum(ct.values())) + add_k * buckets
+    den_r = float(sum(cr.values())) + add_k * buckets
+    feats = _feats_py(doc_text, buckets)
+    if not feats:
+        return 0, None
+    tot = 0.0
+    for f in feats:
+        tot += math.log((ct.get(f, 0) + add_k) / den_t)
+        tot -= math.log((cr.get(f, 0) + add_k) / den_r)
+    return len(feats), tot

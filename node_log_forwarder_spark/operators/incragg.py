@@ -1,0 +1,176 @@
+"""Incremental materialized-aggregate maintenance: keep a persisted
+metrics table (e.g. the per-sink windowed counts of O11) up to date as
+new batches land, WITHOUT re-aggregating the corpus (public theory:
+incremental view maintenance over commutative monoids / Spark's own
+partial-aggregate model — count and sum add, min and max combine, avg
+is carried as the (sum, count) pair and finalized at read time).
+
+Why it matters at 100 TB: the raw table grows forever, but a day's
+batch touches a bounded key range. Full recompute is O(corpus);
+incremental maintenance is O(batch) + a rewrite of ONLY the partitions
+whose keys the batch touched:
+
+* ``delta_aggregate``  — one groupBy of the NEW batch → partial rows
+  (keys × measures), orders of magnitude smaller than the batch;
+* ``merge_partials``   — combine existing partials with the delta by
+  monoid: sums/counts add, mins/maxs min/max. Union + one groupBy over
+  two delta-key-sized frames — never touches unaffected keys;
+* ``incremental_agg_update`` — reads ONLY the affected partitions of
+  the persisted table (partition-pruned scan), combines, and writes
+  through ``merge.merge_upsert`` (copy-on-write, verify-before-swap,
+  untouched partitions keep their files byte-identical). A batch-id
+  ledger makes re-delivery a NO-OP, so at-least-once upstream delivery
+  still yields exactly-once table state (the ``streaming/upsert.py``
+  argument, applied to additive state where blind re-merge would
+  double-count).
+
+Limits (by construction, documented not hidden): min/max are not
+invertible — row DELETIONS require recomputing affected keys from the
+raw table (sums/counts could subtract, but the operator refuses to
+special-case half the measures). Avg/rate style measures must be
+stored as (sum, count) pairs; ``finalize_avgs`` derives them.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import merge_upsert
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """Grouping keys + monoid measures of a maintained aggregate.
+
+    ``keys`` should lead with the table's partition column(s) so batch
+    locality translates into partition pruning."""
+
+    keys: tuple[str, ...]
+    sums: tuple[str, ...] = ()
+    mins: tuple[str, ...] = ()
+    maxs: tuple[str, ...] = ()
+    count_col: str = "n"
+
+    def measure_cols(self) -> list[str]:
+        return (
+            [self.count_col]
+            + [f"sum_{c}" for c in self.sums]
+            + [f"min_{c}" for c in self.mins]
+            + [f"max_{c}" for c in self.maxs]
+        )
+
+
+def delta_aggregate(batch: DataFrame, spec: AggSpec) -> DataFrame:
+    """Partial-aggregate the new batch: one shuffle, output is
+    keys-cardinality-sized."""
+    aggs = [F.count(F.lit(1)).alias(spec.count_col)]
+    aggs += [F.sum(c).alias(f"sum_{c}") for c in spec.sums]
+    aggs += [F.min(c).alias(f"min_{c}") for c in spec.mins]
+    aggs += [F.max(c).alias(f"max_{c}") for c in spec.maxs]
+    return batch.groupBy(*spec.keys).agg(*aggs)
+
+
+def merge_partials(existing: DataFrame, delta: DataFrame, spec: AggSpec) -> DataFrame:
+    """Combine two partial frames by monoid. Union + one groupBy —
+    exact for any interleaving/ordering of batches (commutativity)."""
+    aggs = [F.sum(spec.count_col).alias(spec.count_col)]
+    aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in spec.sums]
+    aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in spec.mins]
+    aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in spec.maxs]
+    cols = list(spec.keys) + spec.measure_cols()
+    return (
+        existing.select(*cols)
+        .unionByName(delta.select(*cols))
+        .groupBy(*spec.keys)
+        .agg(*aggs)
+    )
+
+
+def finalize_avgs(partials: DataFrame, spec: AggSpec) -> DataFrame:
+    """Attach avg_<c> = sum_<c>/n for every sum measure (read-time
+    finalization of the carried (sum, count) pair)."""
+    out = partials
+    for c in spec.sums:
+        out = out.withColumn(
+            f"avg_{c}", F.col(f"sum_{c}") / F.col(spec.count_col)
+        )
+    return out
+
+
+def _ledger_path(path: str, batch_id: str) -> str:
+    return os.path.join(path.rstrip("/") + "__batches", batch_id)
+
+
+def incremental_agg_update(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    spec: AggSpec,
+    partition_cols: list[str],
+    batch_id: str | None = None,
+    keep_backup: bool = True,
+) -> dict:
+    """Fold one new batch into the persisted aggregate at ``path``.
+
+    Work is O(batch): the delta is one groupBy of the batch; only the
+    partition-pruned slice of the existing table whose keys the delta
+    touches is read and combined; ``merge_upsert`` rewrites only the
+    affected partitions. With ``batch_id`` set, an already-applied id
+    returns ``{"skipped": True}`` without touching the table —
+    re-delivered batches cannot double-count."""
+    for c in partition_cols:
+        if c not in spec.keys:
+            raise ValueError(f"partition col {c} must be an AggSpec key")
+    if batch_id is not None and os.path.exists(_ledger_path(path, batch_id)):
+        return {"skipped": True, "batch_id": batch_id}
+
+    delta = delta_aggregate(batch, spec)
+
+    table_exists = os.path.isdir(path) and any(
+        "=" in n for n in os.listdir(path)
+    )
+    if not table_exists:
+        # first batch: the delta IS the table
+        delta.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+        result = {"skipped": False, "created": True, "partitions_affected": None}
+    else:
+        existing = spark.read.parquet(path)
+        # partition-pruned slice: only partitions the delta touches.
+        # The IN-list is bounded by the batch's partition spread
+        # (metadata-sized), same contract as merge_upsert's discovery.
+        pvals = delta.select(*partition_cols).distinct().collect()
+        cond = None
+        for r in pvals:
+            c_ = None
+            for c in partition_cols:
+                eq = F.col(c) == F.lit(r[c])
+                c_ = eq if c_ is None else c_ & eq
+            cond = c_ if cond is None else cond | c_
+        if cond is None:
+            return {"skipped": False, "created": False, "partitions_affected": 0}
+        sliced = existing.filter(cond).join(
+            F.broadcast(delta.select(*spec.keys).distinct()), list(spec.keys), "semi"
+        )
+        merged = merge_partials(sliced, delta, spec)
+        result = merge_upsert(
+            spark,
+            path,
+            partition_cols,
+            list(spec.keys),
+            merged,
+            keep_backup=keep_backup,
+        )
+        result["skipped"] = False
+        result["created"] = False
+
+    if batch_id is not None:
+        lp = _ledger_path(path, batch_id)
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        with open(lp, "w") as f:
+            f.write("applied\n")
+        result["batch_id"] = batch_id
+    return result

@@ -1,0 +1,131 @@
+"""Document chunking (operators/chunk.py): exact equality with the
+pure-Python reference (hypothesis sweep included), full-coverage /
+reconstruction invariants, stable identity, and a shuffle-free plan."""
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.chunk import (
+    chunk_documents,
+    chunk_documents_py,
+    chunk_fingerprint,
+)
+
+DOCS = [
+    (0, "a b c d e f g h i j"),   # 10 tokens
+    (1, "one two three"),         # fits one chunk
+    (2, "x"),                     # single token
+    (3, ""),                      # empty -> no chunks
+    (4, "  padded   whitespace  tokens   here "),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _spark_chunks(docs_df, size, overlap):
+    rows = chunk_documents(docs_df, size, overlap).collect()
+    out: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"], r["n_chunks"])
+        )
+    return out
+
+
+@pytest.mark.parametrize("size,overlap", [(4, 0), (4, 1), (4, 3), (3, 2), (16, 4)])
+def test_matches_python_reference(spark, docs_df, size, overlap):
+    got = _spark_chunks(docs_df, size, overlap)
+    for doc_id, text in DOCS:
+        want = chunk_documents_py(text, size, overlap)
+        have = got.get(doc_id, [])
+        assert [(i, n, t) for i, n, t, _ in have] == want
+        for _, _, _, nch in have:
+            assert nch == len(want)
+
+
+def test_coverage_and_reconstruction(spark, docs_df):
+    """Every token is covered; dropping each chunk's first `overlap`
+    tokens (except chunk 0) re-concatenates to the original tokens."""
+    size, overlap = 4, 1
+    stride = size - overlap
+    got = _spark_chunks(docs_df, size, overlap)
+    for doc_id, text in DOCS:
+        ws = text.split()
+        rebuilt: list[str] = []
+        for i, _n, t, _ in got.get(doc_id, []):
+            toks = t.split()
+            rebuilt.extend(toks if i == 0 else toks[overlap:])
+            # chunk i starts exactly at i*stride
+            assert toks == ws[i * stride : i * stride + size]
+        assert rebuilt == ws
+
+
+def test_identity_stable_under_corpus_growth(spark, docs_df):
+    base = _spark_chunks(docs_df, 4, 1)
+    grown = _spark_chunks(
+        docs_df.unionByName(
+            docs_df.sparkSession.createDataFrame(
+                [(99, "brand new doc")], "doc_id long, text string"
+            )
+        ),
+        4,
+        1,
+    )
+    for doc_id, _ in DOCS:
+        assert base.get(doc_id, []) == grown.get(doc_id, [])
+
+
+def test_invalid_overlap_raises(spark, docs_df):
+    with pytest.raises(ValueError):
+        chunk_documents(docs_df, 4, 4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs_df, 4, -1)
+
+
+def test_fingerprint_matches_md5(spark, docs_df):
+    import hashlib
+
+    rows = (
+        chunk_documents(docs_df, 4, 1)
+        .select("chunk_text", chunk_fingerprint(F.col("chunk_text")).alias("fp"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        want = int(hashlib.md5(r["chunk_text"].encode()).hexdigest()[:8], 16)
+        assert r["fp"] == want
+
+
+def test_plan_is_shuffle_free(spark, docs_df):
+    plan = (
+        chunk_documents(docs_df, 4, 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=40),
+    size=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+def test_property_reference_equality(spark, n, size, data):
+    overlap = data.draw(st.integers(min_value=0, max_value=size - 1))
+    text = " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = [
+        (r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in sorted(
+            chunk_documents(df, size, overlap).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+    ]
+    assert got == chunk_documents_py(text, size, overlap)

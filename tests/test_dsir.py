@@ -1,0 +1,131 @@
+"""DSIR importance resampling (operators/dsir.py): integer audit vs
+hand counts, float log-weights vs the pure-Python reference at 1e-9,
+in-domain docs must outrank out-of-domain ones, Gumbel resampling must
+be deterministic, and the scoring plan must stay broadcast-only."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.dsir import (
+    _feats_py,
+    dsir_audit,
+    dsir_select,
+    dsir_weights,
+    dsir_weights_py,
+    feature_model,
+    featurize,
+)
+
+B = 512
+TARGET = [
+    "the model trains on clean prose",
+    "clean prose reads like a book",
+    "a book of clean sentences",
+]
+RAW = [
+    "the model trains on clean prose",
+    "zzz 404 GET /index.html 200",
+    "click here buy now free offer",
+    "qq ww ee rr tt yy",
+]
+DOCS = [
+    (0, "s1", "clean prose like a book"),          # in-domain
+    (1, "s1", "click here buy now free"),          # out-of-domain
+    (2, "s2", "404 GET /index.html"),              # raw-only features
+    (3, "s2", ""),                                 # no features
+]
+
+
+@pytest.fixture(scope="module")
+def models(spark):
+    t = spark.createDataFrame([(x,) for x in TARGET], "text string")
+    r = spark.createDataFrame([(x,) for x in RAW], "text string")
+    return (
+        feature_model(t, buckets=B).cache(),
+        feature_model(r, buckets=B).cache(),
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, source string, text string")
+
+
+def test_featurize_matches_python(spark, docs_df):
+    got = (
+        featurize(docs_df.filter("doc_id = 0"), ["doc_id"], buckets=B)
+        .groupBy("f").count().collect()
+    )
+    want: dict[int, int] = {}
+    for f in _feats_py(DOCS[0][2], B):
+        want[f] = want.get(f, 0) + 1
+    assert {r["f"]: r["count"] for r in got} == want
+
+
+def test_model_bounded_by_buckets(spark, models):
+    t, r = models
+    assert t.count() <= B and r.count() <= B
+    # total mass = total feature occurrences (2n-1 grams per n-token doc)
+    assert t.agg(F.sum("c")).first()[0] == sum(
+        2 * len(x.split()) - 1 for x in TARGET
+    )
+
+
+def test_audit_exact_integers(spark, models, docs_df):
+    t, r = models
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for x in TARGET:
+        for f in _feats_py(x, B):
+            ct[f] = ct.get(f, 0) + 1
+    for x in RAW:
+        for f in _feats_py(x, B):
+            cr[f] = cr.get(f, 0) + 1
+    out = {row["source"]: row for row in dsir_audit(docs_df, t, r, buckets=B).collect()}
+    for src in ("s1", "s2"):
+        texts = [d[2] for d in DOCS if d[1] == src]
+        want_t = sum(ct.get(f, 0) for x in texts for f in _feats_py(x, B))
+        want_r = sum(cr.get(f, 0) for x in texts for f in _feats_py(x, B))
+        assert out[src]["sum_dsir_t"] == want_t
+        assert out[src]["sum_dsir_r"] == want_r
+
+
+def test_weights_match_python_reference(spark, models, docs_df):
+    t, r = models
+    got = {row["doc_id"]: row for row in dsir_weights(docs_df, t, r, buckets=B).collect()}
+    for doc_id, _, text in DOCS:
+        n, lw = dsir_weights_py(TARGET, RAW, text, buckets=B)
+        if n == 0:
+            assert doc_id not in got  # no features -> no row (callers decide)
+        else:
+            assert got[doc_id]["n_feats"] == n
+            assert got[doc_id]["log_weight"] == pytest.approx(lw, abs=1e-9)
+
+
+def test_in_domain_outranks_out_of_domain(spark, models, docs_df):
+    t, r = models
+    w = {row["doc_id"]: row["log_weight"]
+         for row in dsir_weights(docs_df, t, r, buckets=B).collect()}
+    assert w[0] > w[1]  # clean prose beats spam
+    assert w[0] > w[2]  # clean prose beats log noise
+
+
+def test_select_topk_and_resample_deterministic(spark, models, docs_df):
+    t, r = models
+    w = dsir_weights(docs_df, t, r, buckets=B)
+    top = dsir_select(w, 1).collect()
+    assert [row["doc_id"] for row in top] == [0]
+    s1 = [row["doc_id"] for row in dsir_select(w, 2, resample=True).collect()]
+    s2 = [row["doc_id"] for row in dsir_select(w, 2, resample=True).collect()]
+    assert s1 == s2 and len(s1) == 2  # hash-Gumbel: rerun-stable
+    s3 = [row["doc_id"] for row in dsir_select(w, 2, resample=True, salt="other").collect()]
+    assert len(s3) == 2  # a different salt is a different (valid) draw
+
+
+def test_scoring_plan_broadcast_only(spark, models, docs_df):
+    t, r = models
+    plan = dsir_weights(docs_df, t, r, buckets=B)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

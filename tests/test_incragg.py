@@ -1,0 +1,133 @@
+"""Incremental aggregate maintenance (operators/incragg.py):
+incremental application of batches must equal a full recompute over
+their union for every monoid measure, untouched partitions must keep
+their inodes, re-delivered batch ids must be no-ops, and avg must
+finalize from the (sum, count) pair."""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.incragg import (
+    AggSpec,
+    delta_aggregate,
+    finalize_avgs,
+    incremental_agg_update,
+    merge_partials,
+)
+
+SCHEMA = "day string, sink string, v long"
+B1 = [
+    ("d1", "s1", 10), ("d1", "s1", 4), ("d1", "s2", 7), ("d2", "s1", 1),
+]
+B2 = [
+    ("d1", "s1", 99), ("d2", "s2", 5), ("d3", "s1", 2), ("d3", "s1", 3),
+]
+B3 = [
+    ("d3", "s1", -6),
+]
+
+SPEC = AggSpec(keys=("day", "sink"), sums=("v",), mins=("v",), maxs=("v",))
+
+
+def _rows(df):
+    return {
+        (r["day"], r["sink"]): (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in df.collect()
+    }
+
+
+@pytest.fixture()
+def batches(spark):
+    return [spark.createDataFrame(b, SCHEMA) for b in (B1, B2, B3)]
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path, batches):
+    path = str(tmp_path / "agg")
+    for i, b in enumerate(batches):
+        r = incremental_agg_update(spark, path, b, SPEC, ["day"], batch_id=f"b{i}")
+        assert r["skipped"] is False
+    got = _rows(spark.read.parquet(path))
+    full = _rows(
+        delta_aggregate(
+            batches[0].unionByName(batches[1]).unionByName(batches[2]), SPEC
+        )
+    )
+    assert got == full
+
+
+def test_untouched_partition_keeps_inodes(spark, tmp_path, batches):
+    path = str(tmp_path / "agg")
+    incremental_agg_update(spark, path, batches[0], SPEC, ["day"])
+    d1 = {}
+    for root, _d, files in os.walk(os.path.join(path, "day=d1")):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                d1[p] = os.stat(p).st_ino
+    assert d1
+    # batch 3 touches only d3 — d1's files must not be rewritten
+    incremental_agg_update(spark, path, batches[2], SPEC, ["day"])
+    got = {}
+    for root, _d, files in os.walk(os.path.join(path, "day=d1")):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                got[p] = os.stat(p).st_ino
+    assert got == d1
+
+
+def test_redelivered_batch_is_noop(spark, tmp_path, batches):
+    path = str(tmp_path / "agg")
+    incremental_agg_update(spark, path, batches[0], SPEC, ["day"], batch_id="b0")
+    incremental_agg_update(spark, path, batches[1], SPEC, ["day"], batch_id="b1")
+    before = _rows(spark.read.parquet(path))
+    r = incremental_agg_update(spark, path, batches[1], SPEC, ["day"], batch_id="b1")
+    assert r["skipped"] is True
+    assert _rows(spark.read.parquet(path)) == before
+
+
+def test_merge_partials_monoid_laws(spark, batches):
+    """Order independence: (b1 ⊕ b2) ⊕ b3 == (b3 ⊕ b1) ⊕ b2."""
+    d = [delta_aggregate(b, SPEC) for b in batches]
+    left = merge_partials(merge_partials(d[0], d[1], SPEC), d[2], SPEC)
+    right = merge_partials(merge_partials(d[2], d[0], SPEC), d[1], SPEC)
+    assert _rows(left) == _rows(right)
+
+
+def test_finalize_avgs(spark, batches):
+    d = delta_aggregate(batches[0], SPEC)
+    out = {
+        (r["day"], r["sink"]): r["avg_v"]
+        for r in finalize_avgs(d, SPEC).collect()
+    }
+    assert out[("d1", "s1")] == pytest.approx(7.0)
+    assert out[("d1", "s2")] == pytest.approx(7.0)
+
+
+def test_partition_col_must_be_key(spark, tmp_path, batches):
+    with pytest.raises(ValueError):
+        incremental_agg_update(
+            spark, str(tmp_path / "x"), batches[0],
+            AggSpec(keys=("sink",)), ["day"],
+        )
+
+
+def test_update_is_batch_sized(spark, tmp_path, batches):
+    """The combine plan joins the pruned existing slice with the delta
+    via broadcast — no data-scale shuffle of the persisted table."""
+    path = str(tmp_path / "agg")
+    incremental_agg_update(spark, path, batches[0], SPEC, ["day"])
+    existing = spark.read.parquet(path)
+    delta = delta_aggregate(batches[1], SPEC)
+    sliced = existing.filter(F.col("day").isin("d1", "d2", "d3")).join(
+        F.broadcast(delta.select("day", "sink").distinct()), ["day", "sink"], "semi"
+    )
+    plan = (
+        merge_partials(sliced, delta, SPEC)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
