@@ -221,11 +221,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_coerce(spark, sf):
         ev = _t(spark, sf, "events")
         k = F.expr(r"try_cast(regexp_extract(props, '(\\d+)', 1) as int)")
-        return ev.groupBy("event_type").agg(
+        base = ev.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg(k), 4).alias("avg_k"),
             F.max(k).alias("max_k"),
         )
+        # + data-validation section (r4 session 10: operators/validate.py
+        # — Deequ-family contract checks compiled into ONE agg pass +
+        # one broadcast anti-join for the FK check). Section rows:
+        # n = exact violation count, avg_k = passed flag, max_k = rows
+        # checked. in_set deliberately omits 'view' and in_range caps at
+        # 150 so both checks FIRE on the synthetic corpus.
+        from node_log_forwarder_spark.operators.validate import (
+            in_range,
+            in_set,
+            matches,
+            not_null,
+            referential,
+            unique,
+            validate,
+        )
+
+        rep = validate(
+            ev,
+            [
+                not_null("user_id"),
+                in_set("event_type", ["click", "signup", "error", "purchase"]),
+                in_range("value", 0, 150),
+                matches("props", r"^\{"),
+                unique("event_id"),
+                referential("user_id", _t(spark, sf, "customer"), "c_custkey"),
+            ],
+        )
+        sect = rep.select(
+            F.concat(F.lit("_validate:"), F.col("check")).alias("event_type"),
+            F.col("n_violations").alias("n"),
+            F.col("passed").cast("double").alias("avg_k"),
+            F.col("n_rows").cast("int").alias("max_k"),
+        )
+        return base.unionByName(sect)
     q["coerce"] = q_coerce
 
     # --- O7 broadcast lookup enrich -----------------------------------------
@@ -392,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer cross-multiplication vs the trailing 3-hour RANGE
         # frame, so the DuckDB twin matches bit-for-bit. Runs on the
         # aggregated counts (keys x windows rows), never the raw turns.
+        from node_log_forwarder_spark.operators.alerts import suppress_flapping
         from node_log_forwarder_spark.operators.anomaly import rate_flags
 
         ev = _t(spark, sf, "events")
@@ -401,8 +436,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
-        return rate_flags(
+        flagged = rate_flags(
             wc, ["event_type"], burst_factor=2, quiet_factor=2, min_count=5
+        )
+        # + flap-damping audit (r4 session 10: operators/alerts.py —
+        # burst_emitted = 1 iff this burst's most recent preceding burst
+        # on the same key is >2 windows old; any burst extends the
+        # requirement). Same partitioning as the detector's window, so
+        # no new Exchange; DuckDB twin replays the identical running-max
+        # arithmetic. Fixed-cooldown mode is pytest-gated (test_alerts).
+        return suppress_flapping(
+            flagged, ["event_type"], "is_burst", cooldown=2, out_col="burst_emitted"
         )
     q["windowed_counts"] = q_windowed_counts
 
@@ -1557,14 +1601,53 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1, 2
     """
 
+    # coerce twin + the validation-suite section (operators/validate.py):
+    # one aggregate scan reproduces every row/unique check count, the FK
+    # check replays the distinct-dim left join.
     sql["coerce"] = """
         WITH e AS (
           SELECT event_type, TRY_CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k
           FROM events
+        ),
+        base AS (
+          SELECT event_type, count(*) AS n,
+                 round(avg(k), 4) AS avg_k, max(k) AS max_k
+          FROM e GROUP BY 1
+        ),
+        va AS (
+          SELECT count(*) AS nr,
+                 sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_nn,
+                 sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                          ('click','signup','error','purchase') THEN 1 ELSE 0 END) AS v_set,
+                 sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 150)
+                          THEN 1 ELSE 0 END) AS v_rng,
+                 sum(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\\{')
+                          THEN 1 ELSE 0 END) AS v_re,
+                 count(*) - count(DISTINCT event_id) AS v_uq
+          FROM events
+        ),
+        vr AS (
+          SELECT count(*) AS nr,
+                 sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+          FROM events ev
+          LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON ev.user_id = c.c_custkey
+          WHERE ev.user_id IS NOT NULL
+        ),
+        sect AS (
+          SELECT '_validate:' || chk AS event_type, CAST(v AS BIGINT) AS n,
+                 CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS DOUBLE) AS avg_k,
+                 CAST(nr AS INT) AS max_k
+          FROM (
+            SELECT 'not_null(user_id)' AS chk, v_nn AS v, nr FROM va
+            UNION ALL SELECT 'in_set(event_type)', v_set, nr FROM va
+            UNION ALL SELECT 'in_range(value)', v_rng, nr FROM va
+            UNION ALL SELECT 'matches(props)', v_re, nr FROM va
+            UNION ALL SELECT 'unique(event_id)', v_uq, nr FROM va
+            UNION ALL SELECT 'ref(user_id)', v, nr FROM vr
+          )
         )
-        SELECT event_type, count(*) AS n,
-               round(avg(k), 4) AS avg_k, max(k) AS max_k
-        FROM e GROUP BY 1
+        SELECT * FROM base UNION ALL SELECT * FROM sect
     """
 
     # The CIDR audit twin is the NAIVE definition: theta join every
@@ -1777,13 +1860,27 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, coalesce(sum(n) OVER w, 0) AS t_n, count(n) OVER w AS t_w
           FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hx
                               RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        ),
+        fl AS (
+          SELECT ws, event_type, n, total_value, hx,
+                 CASE WHEN t_w > 0 AND n * t_w > 2 * t_n AND n >= 5
+                      THEN 1 ELSE 0 END AS is_burst,
+                 CASE WHEN t_w > 0 AND n * 2 * t_w < t_n AND t_n >= 5 * t_w
+                      THEN 1 ELSE 0 END AS is_quiet
+          FROM t
         )
-        SELECT ws, event_type, n, total_value,
-               CASE WHEN t_w > 0 AND n * t_w > 2 * t_n AND n >= 5
-                    THEN 1 ELSE 0 END AS is_burst,
-               CASE WHEN t_w > 0 AND n * 2 * t_w < t_n AND t_n >= 5 * t_w
-                    THEN 1 ELSE 0 END AS is_quiet
-        FROM t
+        -- flap-damping twin (operators/alerts.py suppress_flapping,
+        -- cooldown=2): running max of the last burst hour, any burst
+        -- extends the quiet requirement
+        SELECT ws, event_type, n, total_value, is_burst, is_quiet,
+               CASE WHEN is_burst = 1 AND (la IS NULL OR hx - la > 2)
+                    THEN 1 ELSE 0 END AS burst_emitted
+        FROM (
+          SELECT *, max(CASE WHEN is_burst = 1 THEN hx END) OVER (
+                   PARTITION BY event_type ORDER BY hx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS la
+          FROM fl
+        )
     """
 
     sql["window_latest"] = """

@@ -1,0 +1,129 @@
+"""Alert suppression / flap damping — the delivery-side companion to
+``operators/anomaly.py``'s burst/quiet detection (BASELINE.json
+north_star: per-sink windowed aggregates are the monitoring surface; a
+flapping source must not page once per window).
+
+Two industry-standard suppression semantics, both offered:
+
+- ``extend`` (flap damping): an alert is EMITTED iff no alert on the
+  same key fired within the previous ``cooldown`` windows — any alert,
+  emitted or suppressed, extends the quiet requirement. This is the
+  session-window family of semantics and is expressible as ONE window
+  function: the running "hour of the most recent preceding alert"
+  (max over a CASE) compared against the current hour. Pure integer
+  arithmetic, bit-exact in the DuckDB oracle twin.
+
+- ``fixed`` (cooldown from last *emitted* alert): after an emitted
+  alert, exactly ``cooldown`` windows are muted; the next alert after
+  that is emitted even if flapping never stopped. Whether row i emits
+  depends on which earlier rows emitted — a prefix-dependent recurrence
+  no fixed window-function composition expresses, so it runs as an
+  Arrow ``applyInPandas`` over per-key ALERT rows only. At 10^12 turns
+  the alert stream is #keys x #flagged-windows (the detector already
+  reduced raw turns to keys x windows), so the grouped state is tiny;
+  the single Exchange is the hash partition by key.
+
+Scale notes: both paths run on the flags frame produced by
+``rate_flags`` — cardinality #keys x #windows — never on raw turns.
+``extend`` adds zero Exchanges beyond the one the detector's own window
+already required (same partitioning key, so Catalyst reuses it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+
+def suppress_flapping(
+    flags: DataFrame,
+    key_cols: list[str],
+    alert_col: str,
+    window_col: str = "ws",
+    cooldown: int = 2,
+    window_seconds: int = 3600,
+    out_col: str | None = None,
+) -> DataFrame:
+    """``extend``-mode flap damping as one window expression.
+
+    Adds int column ``out_col`` (default ``<alert_col>_emitted``):
+    1 iff this row is an alert AND the most recent preceding alert on
+    the same key is more than ``cooldown`` windows old (or absent).
+    Non-alert rows get 0. Runs on the full flags frame so the result
+    can be folded into per-window audit outputs without a self-join.
+    """
+    out_col = out_col or f"{alert_col}_emitted"
+    hx = (F.unix_timestamp(F.col(window_col)) / window_seconds).cast("long")
+    df = flags.withColumn("_ahx", hx)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in key_cols])
+        .orderBy("_ahx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_alert = F.max(
+        F.when(F.col(alert_col) == 1, F.col("_ahx"))
+    ).over(w)
+    emitted = (F.col(alert_col) == 1) & (
+        last_alert.isNull() | (F.col("_ahx") - last_alert > F.lit(cooldown))
+    )
+    return df.withColumn(out_col, emitted.cast("int")).drop("_ahx")
+
+
+def suppress_fixed_cooldown(
+    flags: DataFrame,
+    key_cols: list[str],
+    alert_col: str,
+    window_col: str = "ws",
+    cooldown: int = 2,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """``fixed``-mode suppression: cooldown measured from the last
+    EMITTED alert (suppressed flaps do not extend it).
+
+    Returns only the alert rows (key_cols + window_col + ``emitted``),
+    computed per key by an Arrow-grouped pass over that key's alert
+    hours — a sequential recurrence: emit iff hx - last_emitted_hx >
+    cooldown, then advance last_emitted_hx.
+    """
+    alerts = flags.filter(F.col(alert_col) == 1).select(
+        *key_cols,
+        F.col(window_col),
+        (F.unix_timestamp(F.col(window_col)) / window_seconds)
+        .cast("long")
+        .alias("_ahx"),
+    )
+    schema = StructType(
+        [alerts.schema[k] for k in key_cols]
+        + [alerts.schema[window_col]]
+        + [StructField("emitted", IntegerType(), False)]
+    )
+
+    def _run(pdf):
+        pdf = pdf.sort_values("_ahx")
+        emitted = []
+        last = None
+        for hx in pdf["_ahx"]:
+            e = 1 if (last is None or hx - last > cooldown) else 0
+            if e:
+                last = hx
+            emitted.append(e)
+        out = pdf[[*key_cols, window_col]].copy()
+        out["emitted"] = emitted
+        return out
+
+    return alerts.groupBy(*key_cols).applyInPandas(_run, schema=schema)
+
+
+def alert_stats(
+    flags: DataFrame, key_cols: list[str], alert_col: str, emitted_col: str
+) -> DataFrame:
+    """Per-key raised / emitted / suppressed tallies — the metrics row
+    an operator dashboards (one groupBy of the flags frame)."""
+    return flags.groupBy(*key_cols).agg(
+        F.sum(F.col(alert_col)).cast("long").alias("n_raised"),
+        F.sum(F.col(emitted_col)).cast("long").alias("n_emitted"),
+        (F.sum(F.col(alert_col)) - F.sum(F.col(emitted_col)))
+        .cast("long")
+        .alias("n_suppressed"),
+    )

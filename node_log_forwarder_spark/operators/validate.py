@@ -1,0 +1,176 @@
+"""Declarative data-validation suite — Deequ-family contract checks
+compiled into ONE aggregation pass over the table (plus one broadcast
+anti-join per referential-integrity check).
+
+A production forwarder validates its sinks (BASELINE.json north_star:
+per-sink aggregate counts are the acceptance surface); at 10^12 rows a
+"run one query per constraint" validator is 10-20 full scans. Here
+every row-level check (not-null, set membership, range, regex,
+arbitrary predicate) and every uniqueness check becomes an aggregate
+expression in a single `agg(...)` — one scan, one job, map-side partial
+aggregation, and the result is a #checks-row report frame (never
+collected). Referential checks can't avoid a join, but the dim side is
+`F.broadcast`-ed and the probe side is an aggregate count, so nothing
+data-scale shuffles.
+
+All report numbers are exact BIGINT counts — the DuckDB oracle twin
+reproduces them bit-for-bit (driver gate: `coerce`'s `_validate:`
+section rows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Check",
+    "not_null",
+    "in_set",
+    "in_range",
+    "matches",
+    "satisfies",
+    "unique",
+    "referential",
+    "validate",
+]
+
+
+@dataclass(frozen=True)
+class Check:
+    """One named constraint. ``kind`` selects the compilation strategy:
+
+    - ``row``: ``violation`` is a boolean Column, true on offending
+      rows; compiled to ``sum(violation)`` in the shared agg pass.
+    - ``unique``: compiled to ``count(*) - count(distinct cols)`` in
+      the shared pass (NULL keys never count as duplicates of each
+      other, matching SQL DISTINCT semantics).
+    - ``ref``: foreign-key containment; compiled to a broadcast
+      left-anti join against the dim's distinct keys.
+    """
+
+    name: str
+    kind: str
+    violation: Column | None = None
+    cols: tuple[str, ...] = ()
+    dim: DataFrame | None = field(default=None, compare=False)
+    dim_col: str | None = None
+
+
+def not_null(col: str) -> Check:
+    return Check(f"not_null({col})", "row", F.col(col).isNull())
+
+
+def in_set(col: str, values: list) -> Check:
+    c = F.col(col)
+    return Check(
+        f"in_set({col})", "row", c.isNotNull() & ~c.isin(values)
+    )
+
+
+def in_range(col: str, lo, hi) -> Check:
+    c = F.col(col)
+    return Check(
+        f"in_range({col})",
+        "row",
+        c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))),
+    )
+
+
+def matches(col: str, pattern: str) -> Check:
+    c = F.col(col)
+    return Check(
+        f"matches({col})", "row", c.isNotNull() & ~c.rlike(pattern)
+    )
+
+
+def satisfies(name: str, predicate: Column) -> Check:
+    """Arbitrary row contract: ``predicate`` must hold (NULL counts as
+    a violation — an unverifiable contract is a broken contract)."""
+    return Check(name, "row", ~F.coalesce(predicate, F.lit(False)))
+
+
+def unique(*cols: str) -> Check:
+    return Check(f"unique({','.join(cols)})", "unique", cols=tuple(cols))
+
+
+def referential(col: str, dim: DataFrame, dim_col: str) -> Check:
+    return Check(
+        f"ref({col})", "ref", cols=(col,), dim=dim, dim_col=dim_col
+    )
+
+
+def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run all checks; return a report frame
+    ``(check string, n_rows long, n_violations long, passed int)``.
+
+    ``n_rows`` is the table row count for row/unique checks and the
+    non-null FK count for referential checks. One scan covers every
+    row/unique check; each referential check adds one broadcast
+    anti-join job over the FK projection only (column-pruned scan).
+    """
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate check names: {names}")
+
+    branches: list[DataFrame] = []
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    inline: list[Check] = []
+    for c in checks:
+        if c.kind == "row":
+            aggs.append(
+                F.sum(c.violation.cast("long")).alias(f"__v{len(inline)}")
+            )
+            inline.append(c)
+        elif c.kind == "unique":
+            dup = F.count(F.lit(1)) - F.count_distinct(
+                *[F.col(k) for k in c.cols]
+            )
+            aggs.append(dup.cast("long").alias(f"__v{len(inline)}"))
+            inline.append(c)
+        elif c.kind == "ref":
+            fk = df.select(F.col(c.cols[0]).alias("__fk")).filter(
+                F.col("__fk").isNotNull()
+            )
+            dim_keys = F.broadcast(
+                c.dim.select(F.col(c.dim_col).alias("__fk")).distinct()
+            )
+            miss = fk.join(dim_keys, "__fk", "left_anti")
+            branches.append(
+                fk.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+                    miss.agg(
+                        F.count(F.lit(1)).alias("n_violations")
+                    )
+                ).select(
+                    F.lit(c.name).alias("check"),
+                    F.col("n_rows").cast("long"),
+                    F.col("n_violations").cast("long"),
+                )
+            )
+        else:  # pragma: no cover - guarded by the dataclass contract
+            raise ValueError(f"unknown check kind {c.kind}")
+
+    if inline:
+        one = df.agg(*aggs)
+        # unpivot the 1-row aggregate into (check, n_rows, n_violations)
+        pairs = []
+        for i, c in enumerate(inline):
+            pairs += [F.lit(c.name), F.col(f"__v{i}").cast("long")]
+        branches.insert(
+            0,
+            one.select(
+                F.col("__n").cast("long").alias("n_rows"),
+                F.stack(F.lit(len(inline)), *pairs).alias(
+                    "check", "n_violations"
+                ),
+            ).select("check", "n_rows", "n_violations"),
+        )
+
+    report = branches[0]
+    for b in branches[1:]:
+        report = report.unionByName(b)
+    return report.withColumn(
+        "passed", (F.col("n_violations") == 0).cast("int")
+    )

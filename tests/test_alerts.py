@@ -1,0 +1,149 @@
+"""Alert suppression / flap damping (operators/alerts.py): extend-mode
+window semantics vs hand-computed expectations and a pure-Python
+reference, fixed-mode sequential cooldown vs pure Python, stats
+arithmetic, and plan discipline (no BatchEvalPython, no extra shuffle
+for the extend path)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.alerts import (
+    alert_stats,
+    suppress_fixed_cooldown,
+    suppress_flapping,
+)
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+
+def _flags_df(spark, rows):
+    """rows: (key, hour, alert_int)."""
+    return spark.createDataFrame(
+        [(k, _ts(h), a) for (k, h, a) in rows],
+        "k string, ws timestamp, is_burst int",
+    )
+
+
+def _extend_ref(hours, cooldown):
+    """Pure-Python flap damping: emit iff the previous alert (any) is
+    more than `cooldown` hours old."""
+    out, last = [], None
+    for h in hours:
+        out.append(1 if (last is None or h - last > cooldown) else 0)
+        last = h
+    return out
+
+
+def _fixed_ref(hours, cooldown):
+    """Pure-Python fixed cooldown: emit iff the last EMITTED alert is
+    more than `cooldown` hours old; only emissions advance the clock."""
+    out, last = [], None
+    for h in hours:
+        e = 1 if (last is None or h - last > cooldown) else 0
+        if e:
+            last = h
+        out.append(e)
+    return out
+
+
+def test_extend_basic(spark):
+    # alerts at hours 0,1,2,5,9; cooldown=2:
+    #  h0 emit (no prior), h1 sup (gap1), h2 sup (gap1), h5 emit (gap3),
+    #  h9 emit (gap4). Non-alert rows always 0.
+    rows = [("a", h, 1) for h in (0, 1, 2, 5, 9)] + [("a", 3, 0), ("a", 4, 0)]
+    out = suppress_flapping(_flags_df(spark, rows), ["k"], "is_burst", cooldown=2)
+    got = {r["ws"].hour: r["is_burst_emitted"] for r in out.collect()}
+    assert got == {0: 1, 1: 0, 2: 0, 5: 1, 9: 1, 3: 0, 4: 0}
+
+
+def test_extend_vs_fixed_divergence(spark):
+    # Continuous flapping every hour: extend-mode emits ONLY the first
+    # alert (each flap renews the quiet requirement); fixed-mode re-emits
+    # every cooldown+1 hours.
+    hours = list(range(10))
+    rows = [("a", h, 1) for h in hours]
+    df = _flags_df(spark, rows)
+
+    ext = suppress_flapping(df, ["k"], "is_burst", cooldown=2)
+    got_ext = [
+        r["is_burst_emitted"]
+        for r in ext.orderBy("ws").collect()
+    ]
+    assert got_ext == _extend_ref(hours, 2) == [1] + [0] * 9
+
+    fx = suppress_fixed_cooldown(df, ["k"], "is_burst", cooldown=2)
+    got_fx = {r["ws"].hour: r["emitted"] for r in fx.collect()}
+    ref = dict(zip(hours, _fixed_ref(hours, 2)))
+    assert got_fx == ref
+    assert [ref[h] for h in hours] == [1, 0, 0, 1, 0, 0, 1, 0, 0, 1]
+
+
+def test_keys_independent(spark):
+    rows = [("a", 0, 1), ("a", 1, 1), ("b", 1, 1), ("b", 2, 1)]
+    out = suppress_flapping(_flags_df(spark, rows), ["k"], "is_burst", cooldown=2)
+    got = {(r["k"], r["ws"].hour): r["is_burst_emitted"] for r in out.collect()}
+    # each key's first alert emits regardless of the other key's history
+    assert got == {("a", 0): 1, ("a", 1): 0, ("b", 1): 1, ("b", 2): 0}
+
+
+def test_random_streams_match_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    expect = {}
+    for k in ("k0", "k1", "k2"):
+        hours = sorted(rng.sample(range(48), 14))
+        rows += [(k, h, 1) for h in hours]
+        for h, e in zip(hours, _extend_ref(hours, 3)):
+            expect[(k, h)] = e
+    out = suppress_flapping(
+        _flags_df(spark, rows).withColumn(
+            "ws", F.col("ws") + F.expr("INTERVAL 0 SECONDS")
+        ),
+        ["k"],
+        "is_burst",
+        cooldown=3,
+    )
+    got = {(r["k"], r["ws"].hour + 24 * (r["ws"].day - 1)): r["is_burst_emitted"]
+           for r in out.collect()}
+    assert got == expect
+
+    fx = suppress_fixed_cooldown(_flags_df(spark, rows), ["k"], "is_burst", cooldown=3)
+    got_fx = {}
+    for r in fx.collect():
+        got_fx[(r["k"], r["ws"].hour + 24 * (r["ws"].day - 1))] = r["emitted"]
+    exp_fx = {}
+    for k in ("k0", "k1", "k2"):
+        hours = sorted(h for (kk, h) in expect if kk == k)
+        for h, e in zip(hours, _fixed_ref(hours, 3)):
+            exp_fx[(k, h)] = e
+    assert got_fx == exp_fx
+
+
+def test_alert_stats(spark):
+    rows = [("a", h, 1) for h in (0, 1, 2, 5)] + [("b", 0, 1), ("b", 9, 1)]
+    df = suppress_flapping(_flags_df(spark, rows), ["k"], "is_burst", cooldown=2)
+    st = {r["k"]: (r["n_raised"], r["n_emitted"], r["n_suppressed"])
+          for r in alert_stats(df, ["k"], "is_burst", "is_burst_emitted").collect()}
+    assert st == {"a": (4, 2, 2), "b": (2, 2, 0)}
+
+
+def test_plan_shape(spark):
+    rows = [("a", h, 1) for h in range(6)]
+    df = _flags_df(spark, rows)
+    ext = suppress_flapping(df, ["k"], "is_burst", cooldown=2)
+    plan = ext._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # extend mode is one window pass: exactly one hash Exchange (by key)
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+    fx = suppress_fixed_cooldown(df, ["k"], "is_burst", cooldown=2)
+    fplan = fx._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in fplan
+    assert "FlatMapGroupsInPandas" in fplan

@@ -1,0 +1,116 @@
+"""Data-validation suite (operators/validate.py): exact violation
+counts vs hand-built fixtures, all check kinds, the one-scan plan
+contract for row/unique checks, and broadcast-only referential joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.validate import (
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    referential,
+    satisfies,
+    unique,
+    validate,
+)
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    rows = [
+        # id, kind, score, code
+        (1, "a", 10.0, "X1"),
+        (2, "a", -5.0, "X2"),       # range violation
+        (3, "b", 10.0, None),       # null code
+        (4, "z", 200.0, "Y3"),      # set + range violations
+        (5, "b", 50.0, "bad"),      # regex violation
+        (5, "b", 50.0, "X9"),       # duplicate id
+        (None, "a", 1.0, "X1"),     # null id
+    ]
+    return spark.createDataFrame(
+        rows, "id long, kind string, score double, code string"
+    )
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame([(1,), (2,), (3,), (4,)], "k long")
+
+
+def _report(df):
+    return {
+        r["check"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in df.collect()
+    }
+
+
+def test_counts_exact(spark, tbl, dim):
+    rep = _report(
+        validate(
+            tbl,
+            [
+                not_null("id"),
+                in_set("kind", ["a", "b"]),
+                in_range("score", 0, 100),
+                matches("code", r"^[A-Z]\d$"),
+                satisfies("score_pos_when_a", (F.col("kind") != "a") | (F.col("score") > 0)),
+                unique("id"),
+                referential("id", dim, "k"),
+            ],
+        )
+    )
+    assert rep["not_null(id)"] == (7, 1, 0)
+    assert rep["in_set(kind)"] == (7, 1, 0)
+    assert rep["in_range(score)"] == (7, 2, 0)
+    # NULL code rows are not regex violations (contract: not-null is a
+    # separate check); 'bad' is the only mismatch
+    assert rep["matches(code)"] == (7, 1, 0)
+    # kind='a' rows with score<=0: the -5.0 row only
+    assert rep["score_pos_when_a"] == (7, 1, 0)
+    # ids: 1,2,3,4,5,5,NULL -> one duplicated value (5) = 1 extra row;
+    # count_distinct ignores the NULL, count(*) doesn't: 7 - 5 = 2
+    assert rep["unique(id)"] == (7, 2, 0)
+    # non-null FKs: 1,2,3,4,5,5 (6 rows); 5 twice missing from dim
+    assert rep["ref(id)"] == (6, 2, 0)
+
+
+def test_all_pass(spark, dim):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, kind string")
+    rep = _report(
+        validate(
+            df,
+            [not_null("id"), unique("id"), referential("id", dim, "k")],
+        )
+    )
+    assert rep == {
+        "not_null(id)": (2, 0, 1),
+        "unique(id)": (2, 0, 1),
+        "ref(id)": (2, 0, 1),
+    }
+
+
+def test_duplicate_names_rejected(tbl):
+    with pytest.raises(ValueError):
+        validate(tbl, [not_null("id"), not_null("id")])
+
+
+def test_plan_one_scan_for_row_checks(spark, tbl):
+    rep = validate(
+        tbl,
+        [not_null("id"), in_set("kind", ["a", "b"]), in_range("score", 0, 100)],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # row-only suites scan the table exactly once
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_plan_ref_is_broadcast(spark, tbl, dim):
+    rep = validate(tbl, [referential("id", dim, "k")])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
