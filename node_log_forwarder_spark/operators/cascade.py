@@ -1,0 +1,105 @@
+"""Metric rollup cascade — hour -> day -> week aggregate tables where
+every coarser level is computed FROM the next finer level, never from
+raw rows (the forwarder's counter tables at operational granularities;
+BASELINE.json north_star: per-sink aggregates windowed by ts).
+
+Why a cascade at 10^12 rows: the raw table is scanned exactly ONCE (for
+the finest level); the daily rollup then aggregates #keys x #hours rows
+and the weekly #keys x #days — each step runs on a frame ~24-7x smaller
+than the last, so total cost is one scan + epsilon instead of one scan
+per granularity. Correct for any commutative-monoid measure (count,
+sum, min, max): re-aggregating partials equals aggregating raw, which
+is exactly what the DuckDB oracle twin checks (it computes day/week
+DIRECTLY from raw; the driver gate compares value hashes).
+
+``materialized_cascade`` is the production shape: each level is written
+as a table and the next level reads it back, so the reuse is physical
+(plan-tested: the day job scans the hour table's parquet, not raw).
+Composes with ``operators/incragg.py`` for incremental maintenance of
+each level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# each level truncates the previous level's window column
+LEVELS = ("hour", "day", "week")
+
+_COMBINE = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _finest(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    level: str,
+    measures: list[tuple[str, str]],
+) -> DataFrame:
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
+        _COMBINE[how](F.col(c)).alias(f"{how}_{c}") for c, how in measures
+    ]
+    return df.groupBy(
+        F.date_trunc(level, F.col(ts_col)).alias("ws"), *key_cols
+    ).agg(*aggs)
+
+
+def _coarsen(
+    finer: DataFrame,
+    key_cols: list[str],
+    level: str,
+    measures: list[tuple[str, str]],
+) -> DataFrame:
+    """One monoid-combine step: counts add, sums add, min/max nest."""
+    aggs = [F.sum("n").cast("long").alias("n")] + [
+        _COMBINE[how](F.col(f"{how}_{c}")).alias(f"{how}_{c}")
+        for c, how in measures
+    ]
+    return finer.groupBy(
+        F.date_trunc(level, F.col("ws")).alias("ws"), *key_cols
+    ).agg(*aggs)
+
+
+def rollup_cascade(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    measures: list[tuple[str, str]] | None = None,
+    levels: tuple[str, ...] = LEVELS,
+) -> dict[str, DataFrame]:
+    """Lazy cascade: dict level -> aggregate frame ``(ws, *keys, n,
+    <how>_<col>...)``. ``measures`` is a list of (column, 'sum'|'min'|
+    'max'); count is always included as ``n``."""
+    measures = measures or []
+    out: dict[str, DataFrame] = {}
+    cur = _finest(df, key_cols, ts_col, levels[0], measures)
+    out[levels[0]] = cur
+    for lv in levels[1:]:
+        cur = _coarsen(cur, key_cols, lv, measures)
+        out[lv] = cur
+    return out
+
+
+def materialized_cascade(
+    spark: SparkSession,
+    df: DataFrame,
+    base_path: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    measures: list[tuple[str, str]] | None = None,
+    levels: tuple[str, ...] = LEVELS,
+) -> dict[str, DataFrame]:
+    """Production shape: write each level to ``<base_path>/<level>`` and
+    derive the next level from the WRITTEN table, so coarser jobs
+    physically never touch raw rows."""
+    measures = measures or []
+    out: dict[str, DataFrame] = {}
+    cur = _finest(df, key_cols, ts_col, levels[0], measures)
+    for i, lv in enumerate(levels):
+        if i > 0:
+            cur = _coarsen(out[levels[i - 1]], key_cols, lv, measures)
+        path = f"{base_path.rstrip('/')}/{lv}"
+        cur.write.mode("overwrite").parquet(path)
+        out[lv] = spark.read.parquet(path)
+    return out

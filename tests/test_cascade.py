@@ -1,0 +1,104 @@
+"""Rollup cascade (operators/cascade.py): each level equals a direct
+aggregation from raw (losslessness of monoid re-aggregation), the
+materialized path provably reads the finer table instead of raw, and
+week truncation matches the Monday-start convention the oracle uses."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.cascade import (
+    materialized_cascade,
+    rollup_cascade,
+)
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    for i in range(500):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(hours=(i * 7) % (24 * 20), minutes=i % 60),
+                f"k{i % 3}",
+                float((i * 13) % 100),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, k string, value double"
+    )
+
+
+def _direct(df, level):
+    return {
+        (r["ws"], r["k"]): (r["n"], r["sum_value"], r["max_value"])
+        for r in df.groupBy(
+            F.date_trunc(level, F.col("ts")).alias("ws"), "k"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+
+
+def _got(df):
+    return {
+        (r["ws"], r["k"]): (r["n"], r["sum_value"], r["max_value"])
+        for r in df.collect()
+    }
+
+
+MEAS = [("value", "sum"), ("value", "max")]
+
+
+def test_cascade_lossless(spark):
+    ev = _events(spark)
+    lv = rollup_cascade(ev, ["k"], measures=MEAS)
+    for level in ("hour", "day", "week"):
+        assert _got(lv[level]) == _direct(ev, level), level
+
+
+def test_week_is_monday_start(spark):
+    ev = _events(spark)
+    weeks = sorted({r["ws"] for r in rollup_cascade(ev, ["k"])["week"].collect()})
+    assert all(w.weekday() == 0 for w in weeks)
+    assert weeks[0] == dt.datetime(2024, 1, 1)
+
+
+def test_materialized_reads_finer_table(spark, tmp_path):
+    ev = _events(spark)
+    out = materialized_cascade(
+        spark, ev, str(tmp_path / "casc"), ["k"], measures=MEAS
+    )
+    for level in ("hour", "day", "week"):
+        assert _got(out[level]) == _direct(ev, level), level
+    # the day level is derived from the written hour table: re-derive
+    # and check its plan scans parquet under base_path, not raw rows
+    from node_log_forwarder_spark.operators.cascade import _coarsen
+
+    day = _coarsen(out["hour"], ["k"], "day", MEAS)
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    # scans the written hour table (parquet, hour-level schema) —
+    # raw rows (an ExistingRDD here) never appear in the job
+    assert "Scan parquet" in plan
+    assert "n:bigint,sum_value" in plan.replace(" ", "")
+    assert "ExistingRDD" not in plan
+
+
+def test_empty_measures_count_only(spark):
+    ev = _events(spark)
+    lv = rollup_cascade(ev, ["k"])
+    direct = {
+        (r["ws"], r["k"]): r["n"]
+        for r in ev.groupBy(F.date_trunc("day", F.col("ts")).alias("ws"), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    got = {(r["ws"], r["k"]): r["n"] for r in lv["day"].collect()}
+    assert got == direct

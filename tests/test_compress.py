@@ -1,0 +1,96 @@
+"""Compression-ratio quality signal (functions/compress.py): exact
+equality vs the in-process zlib reference, signal direction on
+repetitive vs high-entropy text, null/empty handling, and the
+Arrow-not-BatchEval plan contract."""
+
+from __future__ import annotations
+
+import random
+import string
+import zlib
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.compress import (
+    compressed_size,
+    compressed_size_py,
+    compression_ratio,
+    flag_repetitive,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_vs_reference(spark):
+    rng = random.Random(11)
+    texts = [
+        "",
+        None,
+        "hello world",
+        "spam " * 500,
+        "".join(rng.choice(string.printable) for _ in range(2000)),
+        "línea con acentos y emojis \U0001f600" * 40,
+    ]
+    df = _docs(spark, texts).select(
+        "doc_id", compressed_size(F.col("text")).alias("cs")
+    )
+    got = {r["doc_id"]: r["cs"] for r in df.collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == compressed_size_py(t), (i, t)
+
+
+def test_ratio_direction(spark):
+    rng = random.Random(13)
+    rep = "the same line over and over\n" * 200
+    ent = "".join(
+        rng.choice(string.ascii_letters + string.digits) for _ in range(len(rep))
+    )
+    df = _docs(spark, [rep, ent]).select(
+        "doc_id", compression_ratio(F.col("text")).alias("r")
+    )
+    got = {r["doc_id"]: r["r"] for r in df.collect()}
+    assert got[0] > 10.0, got
+    assert got[1] < 2.0, got
+    # exact value matches the reference arithmetic
+    assert abs(got[0] - len(rep.encode()) / compressed_size_py(rep)) < 1e-12
+
+
+def test_null_and_empty(spark):
+    df = _docs(spark, [None, ""]).select(
+        "doc_id",
+        compressed_size(F.col("text")).alias("cs"),
+        compression_ratio(F.col("text")).alias("r"),
+    )
+    got = {r["doc_id"]: (r["cs"], r["r"]) for r in df.collect()}
+    empty_cs = compressed_size_py("")
+    assert got[0] == (empty_cs, 0.0)
+    assert got[1] == (empty_cs, 0.0)
+
+
+def test_flag_repetitive(spark):
+    texts = [
+        "spam " * 400,                # long + repetitive -> flagged
+        "spam",                       # repetitive but too short
+        "x" * 63,                     # one byte under min_bytes
+        "Normal prose with enough variety to stay under the bar. " * 2,
+    ]
+    df = flag_repetitive(_docs(spark, texts), max_ratio=4.0, min_bytes=64)
+    got = {r["doc_id"]: r["is_repetitive"] for r in df.collect()}
+    assert got[0] == 1
+    assert got[1] == 0 and got[2] == 0
+    # sanity: prose row's flag agrees with the reference arithmetic
+    t = texts[3]
+    expect = int(len(t.encode()) >= 64 and len(t.encode()) / compressed_size_py(t) > 4.0)
+    assert got[3] == expect
+
+
+def test_plan_arrow_not_batcheval(spark):
+    df = flag_repetitive(_docs(spark, ["a" * 100]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # fuses into the scan
