@@ -560,8 +560,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("key").alias("day"),
             F.col("value").alias("n"),
         )
+        # + rollup-cascade audit (r4 session 10: operators/cascade.py —
+        # day and week counter tables computed by RE-AGGREGATING the
+        # hour level, never raw; the DuckDB twin aggregates day/week
+        # DIRECTLY from raw events, so a hash match proves the monoid
+        # re-aggregation is lossless — the property that lets the 10^12
+        # -row table be scanned once for three operational granularities).
+        from node_log_forwarder_spark.operators.cascade import rollup_cascade
+
+        casc = rollup_cascade(ev, ["event_type"], "ts")
+        casc_rows = casc["day"].select(
+            F.concat(F.lit("_cascade:day:"), F.col("event_type")).alias(
+                "event_type"
+            ),
+            F.date_format("ws", "yyyy-MM-dd").alias("day"),
+            "n",
+        ).unionByName(
+            casc["week"].select(
+                F.concat(F.lit("_cascade:week:"), F.col("event_type")).alias(
+                    "event_type"
+                ),
+                F.date_format("ws", "yyyy-MM-dd").alias("day"),
+                "n",
+            )
+        )
         return (
-            roll.unionByName(cohort).unionByName(chain).unionByName(drift)
+            roll.unionByName(cohort)
+            .unionByName(chain)
+            .unionByName(drift)
+            .unionByName(casc_rows)
         )
     q["rollup_counts"] = q_rollup_counts
 
@@ -2000,6 +2027,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, key LIMIT 5
           )
         )
+        -- cascade twin (operators/cascade.py): DIRECT day/week aggregation
+        -- from raw; the Spark side re-aggregates hour -> day -> week, so a
+        -- hash match proves monoid re-aggregation losslessness
+        UNION ALL
+        SELECT '_cascade:day:' || event_type AS event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+        UNION ALL
+        SELECT '_cascade:week:' || event_type AS event_type,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
     """
 
     # JL projection twin: the SAME ±1 literal matrix as the Spark query
