@@ -1,0 +1,164 @@
+"""Distributed BPE tokenizer training — the vocab-scale twin of
+``tools/train_bpe.py`` (Sennrich et al. 2016, public algorithm).
+
+The driver-side trainer collects a ``word -> freq`` Counter; at 100 TB
+the DISTINCT-word table is 10^8-10^9 rows and does not fit a driver
+dict. The state that actually matters is exactly that table — BPE
+training never needs the corpus again once words are counted — so the
+distributed trainer keeps ``(syms array<string>, n bigint)`` as a
+DataFrame and runs the textbook loop as Spark jobs:
+
+  per round (one merge learned):
+    1. pair counts  — explode ``zip_with(slice, slice, struct)`` over
+       the symbol arrays, weighted groupBy sum(n): vocab-scale shuffle
+       with map-side partial aggregation, the same shape every round.
+    2. argmax       — ``orderBy(count desc, a desc, b desc).limit(1)``
+       = TakeOrdered of ONE row to the driver (Python ``max`` over
+       ``(count, pair)`` tuples picks the lexicographically LARGEST
+       pair on count ties — replicated exactly, see test).
+    3. apply merge  — left-to-right greedy replace of the (a, b)
+       bigram, an Arrow-batched pandas_udf applied ONLY to rows whose
+       array contains the pair (``exists x == a`` prefilter is native
+       and codegen'd; untouched words — the vast majority of the vocab
+       after the first few rounds — never enter Python).
+    4. materialize  — ``localCheckpoint(eager)`` truncates lineage so
+       round k's plan is O(1) deep, not O(k) chained UDFs. On a real
+       cluster swap for ``checkpoint()`` to reliable storage: the
+       frame is vocab-sized either way.
+
+Stopping rules match the reference trainer: stop when no pair occurs
+at least ``min_count`` (=2) times.
+
+Exactness: pytest proves the distributed merge list equals
+``tools.train_bpe.train`` on identical word frequencies (same corpus,
+same tie-breaks), and that encoding with either list is identical.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def word_freq_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct-word frequency table ``(word, n)`` — whitespace
+    pre-tokenization identical to ``tools/train_bpe.py`` (str.split)."""
+    from node_log_forwarder_spark.functions.text import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _chars(col):
+    # 1-based substring over a length sequence: robust char split
+    # (F.split(col, '') is version-sensitive about empty tails).
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)), lambda i: F.substring(col, i, 1)
+    )
+
+
+def _merge_udf(a: str, b: str):
+    ab = a + b
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def apply_merge(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(toks):
+            i, out = 0, []
+            m = len(toks)
+            while i < m:
+                if i + 1 < m and toks[i] == a and toks[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            return out
+
+        for s in batches:
+            yield s.map(one)
+
+    return apply_merge
+
+
+def bpe_train_distributed(
+    word_freq: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a ``(word, n)`` frequency
+    frame without ever collecting the vocabulary. Returns the ranked
+    merge list (driver state: KB)."""
+    syms = word_freq.select(
+        _chars(F.col("word")).alias("syms"), F.col("n")
+    ).localCheckpoint(eager=True)
+    # union doubles the partition count every round (2^k after k merges
+    # — measured: the loop goes exponential in pure task overhead);
+    # coalesce back to the input partitioning before each checkpoint
+    n_parts = syms.rdd.getNumPartitions()
+
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            m = F.size("syms")
+            pairs = (
+                syms.where(m >= 2)
+                .select(
+                    F.explode(
+                        F.zip_with(
+                            F.slice("syms", 1, m - 1),
+                            F.slice("syms", 2, m - 1),
+                            lambda x, y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        )
+                    ).alias("p"),
+                    "n",
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("n").alias("cnt"))
+            )
+            top = (
+                pairs.orderBy(
+                    F.col("cnt").desc(), F.col("a").desc(), F.col("b").desc()
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < min_count:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+
+            # touch only words that can contain the pair: the native
+            # exists() prefilter keeps the Python worker off the
+            # (majority) unaffected vocabulary
+            hit = F.exists("syms", lambda x: x == F.lit(a)) & F.exists(
+                "syms", lambda x: x == F.lit(b)
+            )
+            changed = syms.where(hit).withColumn(
+                "syms", _merge_udf(a, b)(F.col("syms"))
+            )
+            nxt = (
+                syms.where(~hit)
+                .unionByName(changed)
+                .coalesce(n_parts)
+                .localCheckpoint(eager=True)
+            )
+            syms.unpersist()
+            syms = nxt
+    finally:
+        syms.unpersist()
+    return merges
+
+
+def bpe_train_from_docs(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    return bpe_train_distributed(word_freq_df(docs, text_col), n_merges)

@@ -1,0 +1,101 @@
+"""Distributed BPE trainer (operators/bpe_train.py): merge-list
+equality with the driver-side reference trainer (tools/train_bpe.py)
+on identical word frequencies — same merges, same order, same
+tie-breaks — plus encoder round-trip equivalence and stopping rules."""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.bpe_train import (
+    bpe_train_distributed,
+    bpe_train_from_docs,
+    word_freq_df,
+)
+
+sys.path.insert(0, "/root/repo/tools")
+from train_bpe import train as train_ref  # noqa: E402
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps while the quick fox runs",
+    "pack my box with five dozen liquor jugs",
+    "the theme of the thesis is the theory of these things",
+    "aaa aaaa aaaaa banana bandana",
+    "error error error timeout retry error timeout",
+]
+
+
+def _freqs(texts):
+    c: Counter = Counter()
+    for t in texts:
+        c.update(t.split())
+    return dict(c)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_matches_reference_trainer(spark):
+    freq = _freqs(CORPUS)
+    wf = spark.createDataFrame(list(freq.items()), "word string, n long")
+    got = bpe_train_distributed(wf, 40)
+    want = train_ref(freq, 40)
+    assert got == want
+    assert len(got) >= 20  # the fixture genuinely trains deep
+
+
+def test_from_docs_wrapper_and_word_freqs(spark):
+    docs = _docs(spark, CORPUS)
+    wf = {r["word"]: r["n"] for r in word_freq_df(docs).collect()}
+    assert wf == _freqs(CORPUS)
+    assert bpe_train_from_docs(docs, 10) == train_ref(_freqs(CORPUS), 10)
+
+
+def test_tie_break_is_lexicographically_largest(spark):
+    # "zy" and "ab" both occur exactly twice and nothing else repeats a
+    # pair more: Python max((count, pair)) picks ('z','y') first.
+    freq = {"zy": 2, "ab": 2}
+    wf = spark.createDataFrame(list(freq.items()), "word string, n long")
+    got = bpe_train_distributed(wf, 2)
+    assert got == train_ref(freq, 2)
+    assert got[0] == ("z", "y")
+
+
+def test_min_count_stop(spark):
+    # every word unique, every pair count 1 -> zero merges learned
+    freq = {"ab": 1, "cd": 1, "ef": 1}
+    wf = spark.createDataFrame(list(freq.items()), "word string, n long")
+    assert bpe_train_distributed(wf, 5) == []
+
+
+def test_overlapping_merge_is_greedy_left_to_right(spark):
+    # 'aaaa' with merge (a,a): greedy gives [aa, aa], then (aa,aa)
+    freq = {"aaaa": 3}
+    wf = spark.createDataFrame(list(freq.items()), "word string, n long")
+    got = bpe_train_distributed(wf, 3)
+    assert got == train_ref(freq, 3)
+    assert got[0] == ("a", "a")
+    assert got[1] == ("aa", "aa")
+
+
+def test_encoding_equivalence_on_sandbox_corpus(spark):
+    """Train both ways on the real sf0.001 documents table and check
+    the encoder (functions/bpe.py machinery, applied generically) maps
+    words to identical token counts under either merge list."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wf_rows = word_freq_df(docs).collect()
+    freq = {r["word"]: r["n"] for r in wf_rows}
+    n = 24
+    got = bpe_train_distributed(
+        spark.createDataFrame(list(freq.items()), "word string, n long"), n
+    )
+    want = train_ref(freq, n)
+    assert got == want
