@@ -992,11 +992,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_red = None
         for c in counts.values():
             n_red = c if n_red is None else n_red + c
+        # + HTML-extraction audit (r4 session 10: functions/html.py —
+        # the C4-stage web path): each document is wrapped in a
+        # deterministic HTML template (title + script + comment + body),
+        # strip_html recovers the visible text, and html_fp fingerprints
+        # it. The DuckDB twin replays the SAME wrap and the GENERATED
+        # strip chain (html_oracle_sql), so a hash match proves byte
+        # parity of the full tag/entity pipeline on real varying text.
+        from node_log_forwarder_spark.functions.html import strip_html
+
+        wrapped = F.format_string(
+            "<html><head><title>doc %s</title>"
+            "<script>var id = %s;</script></head>"
+            "<body><!-- gen --><p>%s</p></body></html>",
+            F.col("doc_id"),
+            F.col("doc_id"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
         return docs.select(
             F.col("doc_id"),
             fingerprint(F.col("text")).alias("fp"),
             fingerprint(redact_pii(F.col("text"))).alias("redacted_fp"),
             n_red.cast("int").alias("n_redactions"),
+            fingerprint(strip_html(wrapped)).alias("html_fp"),
         ).filter(F.col("doc_id") < 100)
     q["fingerprint"] = q_fingerprint
 
@@ -2366,10 +2384,23 @@ def oracle_sql() -> dict[str, str]:
     _n_red = " + ".join(
         redaction_count_oracle_sql(name) for name, _, _ in REDACTIONS
     )
+    from node_log_forwarder_spark.functions.html import html_oracle_sql
+
+    _wrapped = (
+        "'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>"
+        "<script>var id = ' || CAST(doc_id AS VARCHAR) || ';</script></head>"
+        "<body><!-- gen --><p>' || coalesce(text, '') || '</p></body></html>'"
+    )
+    _html_fp = (
+        "md5(lower(trim(regexp_replace("
+        + html_oracle_sql(_wrapped)
+        + ", '\\s+', ' ', 'g'))))"
+    )
     sql["fingerprint"] = f"""
         SELECT doc_id, {_FP} AS fp,
                {_fp_red} AS redacted_fp,
-               CAST({_n_red} AS INT) AS n_redactions
+               CAST({_n_red} AS INT) AS n_redactions,
+               {_html_fp} AS html_fp
         FROM documents WHERE doc_id < 100
     """
 

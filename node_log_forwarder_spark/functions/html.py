@@ -1,0 +1,101 @@
+"""HTML → visible text extraction — the first stage of every web-crawl
+curation pipeline (C4 / RefinedWeb / FineWeb start from WARC HTML; the
+reference forwarder ingests syslog, but a transcripts-at-scale corpus
+build needs the web path too).
+
+No HTML parser library: the extraction is a pinned ORDERED chain of
+regexp_replace rules plus literal entity replaces, written in the
+RE2 ∩ Java common regex subset (no backreferences, no lookarounds —
+script and style get separate rules because ``</\\1>`` is RE2-illegal).
+Everything is native Spark expressions — codegen'd, zero UDFs, fuses
+into the document scan — and the DuckDB oracle twin is GENERATED from
+the same rule lists (``html_oracle_sql``), so the two engines cannot
+drift (the ``operators/templates.py`` discipline).
+
+Rule order is semantic, not cosmetic:
+  1. script/style/comment SUBTREES drop first (their text is not
+     visible; a later tag-strip would leak JS bodies into the text),
+  2. then every remaining tag strips to a space (word boundary: the
+     block/inline distinction needs a DOM — space is C4's choice too),
+  3. then named entities decode, ``&amp;`` LAST (else ``&amp;lt;``
+     double-decodes into a phantom ``<``),
+  4. then whitespace collapses.
+
+Fidelity contract: best-effort visible text, NOT a DOM serialization —
+numeric character references beyond the pinned named set pass through
+verbatim (documented; a chr()-decoding pass needs Python and isn't
+worth leaving codegen for at 10^12 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# subtree drops + tag strip, applied in order, all-match semantics
+# ((?is) = case-insensitive + dotall in BOTH Java and RE2; lazy .*?
+# keeps sibling subtrees separate)
+HTML_STRIP: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]*>", " "),
+]
+
+# literal entity decodes, in order; &amp; must stay LAST
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+_WS = r"\s+"
+
+_HREF = r"""(?i)<a\b[^>]*\bhref\s*=\s*["']([^"']+)["']"""
+_TITLE = r"(?is)<title\b[^>]*>(.*?)</title>"
+
+
+def strip_html(col: Column) -> Column:
+    """Visible text of an HTML column (native chain; null -> '')."""
+    out = F.coalesce(col, F.lit(""))
+    for pat, rep in HTML_STRIP:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, _WS, " "))
+
+
+def html_title(col: Column) -> Column:
+    """First <title> body (entity-decoded, whitespace-collapsed);
+    '' when absent."""
+    raw = F.regexp_extract(F.coalesce(col, F.lit("")), _TITLE, 1)
+    for ent, ch in HTML_ENTITIES:
+        raw = F.replace(raw, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(raw, _WS, " "))
+
+
+def html_links(col: Column) -> Column:
+    """href targets of anchor tags, in document order (array<string>).
+    Feed ``functions/urls.py`` for domain reduction + blocklisting."""
+    return F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(_HREF), 1)
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def html_oracle_sql(text_expr: str = "html") -> str:
+    """DuckDB expression computing byte-identical visible text —
+    generated from HTML_STRIP + HTML_ENTITIES so the twin cannot
+    drift. RE2 needs the 's' behavior inline ((?s) is already in the
+    patterns); 'g' replays Spark's replace-all semantics."""
+    expr = f"coalesce({text_expr}, '')"
+    for pat, rep in HTML_STRIP:
+        expr = f"regexp_replace({expr}, '{_q(pat)}', '{rep}', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        expr = f"replace({expr}, '{_q(ent)}', '{_q(ch)}')"
+    return f"trim(regexp_replace({expr}, '{_WS}', ' ', 'g'))"

@@ -80,6 +80,52 @@ def registrable_domain(host: Column) -> Column:
     ).otherwise(host)
 
 
+# tracking params dropped during canonicalization (C4/web-dedup lore:
+# these vary per click, not per resource)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid)(=|$)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup and frontier keys: lowercase
+    scheme+host, strip default ports (:80 http / :443 https), drop the
+    fragment, default empty path to '/', drop tracking params and SORT
+    the rest (param order is transport noise, not resource identity).
+
+    All native string/array expressions (one pass, codegen'd) — at
+    10^12 link rows canonicalization runs inside the scan that
+    extracted the URL. Path case is preserved (paths are
+    case-sensitive per RFC 3986; only scheme/host normalize)."""
+    base = F.regexp_replace(F.coalesce(url, F.lit("")), r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(
+        base, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(base, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(scheme == "", F.coalesce(url, F.lit(""))).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qpart)
+    )
+
+
 def blocklist_filter(
     df: DataFrame,
     blocked_domains: list[str],

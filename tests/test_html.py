@@ -1,0 +1,121 @@
+"""HTML → text extraction (functions/html.py): visible-text semantics
+(script/style subtree drops, tag strip, entity decode order), byte
+parity with the generated DuckDB twin on every fixture, title/link
+extraction, and the zero-UDF plan contract."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.html import (
+    html_links,
+    html_oracle_sql,
+    html_title,
+    strip_html,
+)
+
+FIXTURES = [
+    # plain tags strip to spaces, whitespace collapses
+    ("<p>Hello <b>world</b></p>", "Hello world"),
+    # script body is INVISIBLE, not text
+    (
+        "<p>before</p><script>var x = '<p>fake</p>';</script><p>after</p>",
+        "before after",
+    ),
+    # style body likewise; case-insensitive tags
+    ("<STYLE>p { color: red }</STYLE>ok", "ok"),
+    # comments drop, including markup inside them
+    ("a<!-- <b>not text</b> -->b", "a b"),
+    # entity decode, &amp; last: &amp;lt; is the TEXT '&lt;', not '<'
+    ("x &lt;tag&gt; &amp;lt;not&amp;gt; &quot;q&quot; &#39;s&#39;",
+     "x <tag> &lt;not&gt; \"q\" 's'"),
+    # nbsp becomes plain space and collapses
+    ("a&nbsp;&nbsp;b", "a b"),
+    # multiline script with attributes
+    (
+        '<script type="text/javascript">\nif (a < b) { f(); }\n</script>hi',
+        "hi",
+    ),
+    # sibling scripts stay separate (lazy match)
+    ("<script>a()</script>keep<script>b()</script>", "keep"),
+    # null / empty
+    (None, ""),
+    ("", ""),
+    # no markup at all passes through
+    ("just plain text", "just plain text"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(FIXTURES)], "i long, html string"
+    )
+
+
+def test_strip_html_semantics(spark):
+    got = {
+        r["i"]: r["t"]
+        for r in _df(spark).select("i", strip_html(F.col("html")).alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(FIXTURES):
+        assert got[i] == want, (i, FIXTURES[i][0], got[i])
+
+
+def test_duckdb_twin_byte_parity(spark):
+    spark_rows = (
+        _df(spark)
+        .select("i", strip_html(F.col("html")).alias("t"))
+        .toPandas()
+        .sort_values("i")
+    )
+    pdf = pd.DataFrame(
+        {"i": range(len(FIXTURES)), "html": [h for h, _ in FIXTURES]}
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    oracle = con.sql(
+        f"SELECT i, {html_oracle_sql('html')} AS t FROM docs ORDER BY i"
+    ).df()
+    assert list(spark_rows["t"]) == list(oracle["t"])
+
+
+def test_title_and_links(spark):
+    html = (
+        "<html><head><title> My &amp; Your\nPage </title></head>"
+        '<body><a href="https://a.example/x">one</a>'
+        "<A HREF='http://b.example/y?z=1'>two</A>"
+        '<a class="c" href="/rel">three</a><a name="no-href">four</a>'
+        "</body></html>"
+    )
+    row = (
+        spark.createDataFrame([(html,)], "html string")
+        .select(
+            html_title(F.col("html")).alias("title"),
+            html_links(F.col("html")).alias("links"),
+        )
+        .collect()[0]
+    )
+    assert row["title"] == "My & Your Page"
+    assert row["links"] == [
+        "https://a.example/x",
+        "http://b.example/y?z=1",
+        "/rel",
+    ]
+    empty = (
+        spark.createDataFrame([("<p>no head</p>",)], "html string")
+        .select(html_title(F.col("html")).alias("t"), html_links(F.col("html")).alias("l"))
+        .collect()[0]
+    )
+    assert empty["t"] == "" and empty["l"] == []
+
+
+def test_plan_is_native(spark):
+    df = _df(spark).select(
+        strip_html(F.col("html")).alias("t"),
+        html_title(F.col("html")).alias("ti"),
+        html_links(F.col("html")).alias("l"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan

@@ -111,3 +111,59 @@ def test_blocklist_filter(spark):
     plan = blocklist_filter(df, ["example.com"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_canonical_url(spark):
+    from node_log_forwarder_spark.functions.urls import canonical_url
+
+    cases = [
+        # scheme/host lowercase; path case preserved
+        ("HTTP://WWW.Example.COM/Path/File", "http://www.example.com/Path/File"),
+        # default ports strip, non-default stay
+        ("http://a.example:80/x", "http://a.example/x"),
+        ("https://a.example:443/x", "https://a.example/x"),
+        ("https://a.example:8443/x", "https://a.example:8443/x"),
+        ("http://a.example:8080/", "http://a.example:8080/"),
+        # fragment drops; empty path becomes /
+        ("https://a.example#frag", "https://a.example/"),
+        ("https://a.example/x#frag?notquery", "https://a.example/x"),
+        # params sorted, trackers dropped, empties removed
+        (
+            "https://a.example/p?b=2&utm_source=x&a=1&gclid=abc",
+            "https://a.example/p?a=1&b=2",
+        ),
+        ("https://a.example/p?utm_campaign=only", "https://a.example/p"),
+        ("https://a.example/p?&&a=1&", "https://a.example/p?a=1"),
+        # param VALUES keep case and order-independence holds
+        (
+            "https://a.example/p?Z=9&a=UPPER",
+            "https://a.example/p?Z=9&a=UPPER",
+        ),
+        # utm as a VALUE (not name) survives
+        ("https://a.example/p?q=utm_source", "https://a.example/p?q=utm_source"),
+        # non-URL input passes through untouched
+        ("not a url", "not a url"),
+        ("", ""),
+        (None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+    # same resource, different transport noise -> identical keys
+    noisy = spark.createDataFrame(
+        [
+            ("https://A.Example:443/r?b=2&a=1&utm_source=t",),
+            ("https://a.example/r?a=1&b=2#sec",),
+        ],
+        "u string",
+    )
+    keys = {r["c"] for r in noisy.select(canonical_url(F.col("u")).alias("c")).collect()}
+    assert keys == {"https://a.example/r?a=1&b=2"}
+    plan = noisy.select(canonical_url(F.col("u")))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
