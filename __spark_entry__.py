@@ -38,11 +38,13 @@ from node_log_forwarder_spark.functions.text import (
     token_count,
 )
 from node_log_forwarder_spark.operators.aggregate import match_miss_tallies, sink_counts
+from node_log_forwarder_spark.operators.boilerplate import remove_frequent_lines
 from node_log_forwarder_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard,
     simhash16,
+    simhash_pairs,
 )
 from node_log_forwarder_spark.operators.enrich import dim_frames, enrich
 from node_log_forwarder_spark.operators.multimodal import attach_media, extract_features
@@ -1009,13 +1011,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id"),
             F.coalesce(F.col("text"), F.lit("")),
         )
-        return docs.select(
+        main = docs.select(
             F.col("doc_id"),
             fingerprint(F.col("text")).alias("fp"),
             fingerprint(redact_pii(F.col("text"))).alias("redacted_fp"),
             n_red.cast("int").alias("n_redactions"),
             fingerprint(strip_html(wrapped)).alias("html_fp"),
         ).filter(F.col("doc_id") < 100)
+        # + boilerplate-line audit (r4 s10: operators/boilerplate.py —
+        # the CCNet/RefinedWeb frequent-line removal stage). The corpus
+        # is single-line, so a deterministic multi-line view puts one
+        # token per line (same wrap-then-replay trick as the HTML gate);
+        # lines present in >= 75 of the 100 docs are boilerplate.
+        # boiler_fp fingerprints the ORDER-PRESERVED rebuilt text, so a
+        # hash match proves the posexplode/array_sort reassembly, not
+        # just the removal counts; the DuckDB twin replays the same
+        # split/frequency/rebuild arithmetic.
+        ml = docs.filter(F.col("doc_id") < 100).select(
+            "doc_id",
+            F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")), " ", "\n"
+            ).alias("text"),
+        )
+        boiler = remove_frequent_lines(ml, min_docs=75).select(
+            "doc_id",
+            fingerprint(F.col("clean_text")).alias("boiler_fp"),
+            F.col("n_removed_lines").alias("n_boiler_lines"),
+        )
+        return main.join(boiler, "doc_id")
     q["fingerprint"] = q_fingerprint
 
     # --- dedup: minhash signatures ------------------------------------------------
@@ -1044,8 +1067,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- dedup: simhash -----------------------------------------------------------
     def q_simhash(spark, sf):
+        # + Hamming-banded pair audit (r4: operators/dedup.simhash_pairs
+        # — Manku 2007 pigeonhole banding). Three section rows fold the
+        # full pair set into the existing key within the 50-key cap:
+        #   doc_id -1 -> number of pairs with bit_count(xor) <= 3
+        #   doc_id -2 -> checksum sum(id_a*211 + id_b*7 + ham) mod 1e9+7
+        #   doc_id -3 -> sum of Hamming distances over those pairs
+        # The DuckDB twin replays the identical banding + xor/bit_count
+        # arithmetic, so a hash match proves the pair SET (not just its
+        # size) and the zero-false-negative bucketing agree.
         docs = _t(spark, sf, "documents")
-        return simhash16(docs).filter(F.col("doc_id") < 200)
+        base = simhash16(docs).filter(F.col("doc_id") < 200)
+        pairs = simhash_pairs(base, max_hamming=3)
+        audit = pairs.agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.col("id_a") * 211 + F.col("id_b") * 7 + F.col("hamming")
+                )
+                % F.lit(1_000_000_007),
+                F.lit(0),
+            ).alias("chk"),
+            F.coalesce(F.sum("hamming"), F.lit(0)).alias("sum_ham"),
+        )
+        sections = audit.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(-1).cast("long").alias("doc_id"),
+                        F.col("n_pairs").cast("int").alias("simhash"),
+                    ),
+                    F.struct(
+                        F.lit(-2).cast("long").alias("doc_id"),
+                        F.col("chk").cast("int").alias("simhash"),
+                    ),
+                    F.struct(
+                        F.lit(-3).cast("long").alias("doc_id"),
+                        F.col("sum_ham").cast("int").alias("simhash"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.doc_id", "r.simhash")
+        return base.unionByName(sections)
     q["simhash"] = q_simhash
 
     # --- similarity: exact cosine top-k ----------------------------------------------
@@ -2397,11 +2460,29 @@ def oracle_sql() -> dict[str, str]:
         + ", '\\s+', ' ', 'g'))))"
     )
     sql["fingerprint"] = f"""
-        SELECT doc_id, {_FP} AS fp,
+        WITH ml AS (SELECT doc_id, replace(coalesce(text, ''), ' ', chr(10)) AS t
+                    FROM documents WHERE doc_id < 100),
+        bl AS (SELECT doc_id, unnest(ls) AS line,
+                      unnest(generate_series(1, len(ls))) AS pos
+               FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM ml)),
+        freq AS (SELECT trim(line) AS nl FROM bl WHERE trim(line) <> ''
+                 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 75),
+        tagged AS (SELECT doc_id, pos, line,
+                          (trim(line) <> ''
+                           AND trim(line) IN (SELECT nl FROM freq)) AS removed
+                   FROM bl),
+        reb AS (SELECT doc_id,
+                       coalesce(string_agg(CASE WHEN NOT removed THEN line END,
+                                           chr(10) ORDER BY pos), '') AS ct,
+                       sum(CASE WHEN removed THEN 1 ELSE 0 END) AS n_rem
+                FROM tagged GROUP BY doc_id)
+        SELECT d.doc_id, {_FP} AS fp,
                {_fp_red} AS redacted_fp,
                CAST({_n_red} AS INT) AS n_redactions,
-               {_html_fp} AS html_fp
-        FROM documents WHERE doc_id < 100
+               {_html_fp} AS html_fp,
+               md5(lower(trim(regexp_replace(reb.ct, '\\s+', ' ', 'g')))) AS boiler_fp,
+               CAST(reb.n_rem AS INT) AS n_boiler_lines
+        FROM documents d JOIN reb USING (doc_id) WHERE doc_id < 100
     """
 
     from node_log_forwarder_spark.operators.dedup import (
@@ -2537,10 +2618,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id < 200)
         ),
         votes AS (SELECT doc_id, {bit_votes} FROM toks GROUP BY doc_id),
-        sig AS (SELECT doc_id, CAST({bit_sum} AS INT) AS simhash FROM votes)
-        SELECT d.doc_id, coalesce(sig.simhash, 0) AS simhash
-        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 200) d
-        LEFT JOIN sig USING (doc_id)
+        sig AS (SELECT doc_id, CAST({bit_sum} AS INT) AS simhash FROM votes),
+        base AS (
+          SELECT d.doc_id, coalesce(sig.simhash, 0) AS simhash
+          FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 200) d
+          LEFT JOIN sig USING (doc_id)
+        ),
+        -- Hamming-banded pair replay (operators/dedup.simhash_pairs):
+        -- identical signatures collapse to min-id, 4 bands of 4 bits,
+        -- bucket join, exact bit_count(xor) <= 3
+        reps AS (SELECT simhash, min(doc_id) AS doc_id FROM base GROUP BY simhash),
+        bands AS (
+          SELECT doc_id, simhash, bx.b AS band_idx,
+                 (simhash >> (bx.b * 4)) & 15 AS band_val
+          FROM reps, (VALUES (0), (1), (2), (3)) AS bx(b)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS ham
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        ),
+        qp AS (SELECT * FROM pairs WHERE ham <= 3),
+        audit AS (
+          SELECT CAST(-1 AS BIGINT) AS doc_id,
+                 CAST(coalesce(count(*), 0) AS INT) AS simhash FROM qp
+          UNION ALL
+          SELECT CAST(-2 AS BIGINT),
+                 CAST(coalesce(sum(id_a * 211 + id_b * 7 + ham), 0)
+                      % 1000000007 AS INT) FROM qp
+          UNION ALL
+          SELECT CAST(-3 AS BIGINT),
+                 CAST(coalesce(sum(ham), 0) AS INT) FROM qp
+        )
+        SELECT doc_id, simhash FROM base
+        UNION ALL
+        SELECT doc_id, simhash FROM audit
     """
 
     sql["cosine_topk"] = """

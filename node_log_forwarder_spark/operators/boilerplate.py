@@ -1,0 +1,121 @@
+"""Cross-document frequent-line boilerplate removal (CCNet / RefinedWeb
+line-level dedup stage).
+
+Web corpora are full of lines that repeat verbatim across many pages —
+navigation menus, cookie banners, footers, license blurbs. CCNet
+(Wenzek et al. 2019) and RefinedWeb (Penedo et al. 2023) drop a line
+from EVERY document when its normalized form appears in enough distinct
+documents; document-level dedup never catches these because the
+surrounding text differs.
+
+Scale shape (the part that matters at 100 TB):
+* ``line_frequencies`` — posexplode lines map-side, then ONE hash
+  aggregation keyed by normalized line (partial/map-side combine makes
+  the shuffle line-CARDINALITY-sized, not corpus-sized).
+* ``remove_frequent_lines`` — the frequent set (lines in >= min_docs
+  docs) is tiny relative to the corpus (it is bounded by
+  total_lines / min_docs), so it broadcasts; the only data-scale
+  shuffle is the per-document reassembly groupBy. Order is preserved
+  by carrying posexplode positions through an array_sort of
+  (pos, line) structs — no window function, no second shuffle.
+
+Line identity is the TRIMMED line (leading/trailing spaces don't make
+a cookie banner a different cookie banner); blank lines are never
+counted and never removed, so paragraph structure survives.
+
+Compose with ``functions/html.strip_html`` (upstream) and
+``operators/dedup`` / ``operators/substring`` (downstream): HTML strip
+-> line boilerplate -> document near-dup -> duplicate-span removal is
+the canonical web-corpus curation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def line_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per normalized (trimmed, non-blank) line: the number of DISTINCT
+    documents it appears in. One hash-agg shuffle of line-cardinality
+    keys; countDistinct is exact (the frequent-line decision must not
+    wobble with partitioning)."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)).alias(
+            "line"
+        ),
+    ).select(id_col, F.trim(F.col("line")).alias("nl"))
+    return (
+        lines.filter(F.col("nl") != "")
+        .groupBy("nl")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+    )
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_freq: bool = True,
+) -> DataFrame:
+    """Drop every line whose trimmed form appears in >= ``min_docs``
+    distinct documents; returns ``(id_col, clean_text, n_removed_lines)``
+    with original line order preserved and NULL text passed through as
+    NULL.
+
+    ``broadcast_freq`` (default on) broadcasts the frequent-line set —
+    correct whenever it fits an executor (it is bounded above by
+    total_lines / min_docs, and real boilerplate sets are far smaller);
+    pass False to fall back to a shuffle join when min_docs is tiny on
+    a huge corpus.
+    """
+    base = df.select(F.col(id_col), F.col(text_col))
+    lines = base.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)).alias(
+            "pos", "line"
+        ),
+    )
+    freq = (
+        line_frequencies(df, text_col, id_col)
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.col("nl").alias("boiler_nl"))
+    )
+    if broadcast_freq:
+        freq = F.broadcast(freq)
+    tagged = lines.join(
+        freq, F.trim(F.col("line")) == F.col("boiler_nl"), "left"
+    ).select(
+        id_col,
+        "pos",
+        "line",
+        # removed = matched a frequent line AND is not blank (blank lines
+        # are never counted by line_frequencies, so boiler_nl can't be '')
+        F.col("boiler_nl").isNotNull().alias("removed"),
+    )
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("removed"), F.struct(F.col("pos"), F.col("line"))
+                        )
+                    )
+                ),
+                lambda s: s.line,
+            ),
+        ).alias("_clean"),
+        F.sum(F.col("removed").cast("int")).alias("_n_removed"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
+        .alias("clean_text"),
+        F.coalesce(F.col("_n_removed"), F.lit(0)).cast("int").alias("n_removed_lines"),
+    )

@@ -14,6 +14,13 @@ Spark, DuckDB, and Python) so every stage has an exact SQL oracle twin.
 * simhash16         — 16-bit SimHash from per-token md5-hex-char parity
                       bits, majority-voted (explode + one groupBy with
                       16 conditional sums)
+* simhash_pairs     — Hamming-banded SimHash near-dup pairs (Manku et
+                      al. 2007 pigeonhole banding): every pair within
+                      max_hamming agrees exactly on >=1 of
+                      (max_hamming+1) bit-bands, so bucketing on
+                      (band_idx, band_value) finds all of them with
+                      zero false negatives; exact bit_count(xor)
+                      removes the false positives
 """
 
 from __future__ import annotations
@@ -257,4 +264,80 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             F.col(id_col),
             F.coalesce(sim, F.lit(0)).cast("int").alias("simhash"),
         )
+    )
+
+
+def simhash_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bits: int = 16,
+    collapse_identical: bool = True,
+) -> DataFrame:
+    """Hamming-banded SimHash candidate pairs: distinct (id_a < id_b,
+    hamming) with bit_count(xor) <= ``max_hamming``.
+
+    Pigeonhole recall guarantee (Manku, Jain & Sarma 2007, the
+    web-crawl near-dup design): split the ``bits``-bit signature into
+    (max_hamming + 1) equal bands. Two signatures within Hamming
+    distance max_hamming differ in at most max_hamming bands, so they
+    agree EXACTLY on at least one band — bucketing on
+    (band_idx, band_value) and self-joining within buckets finds every
+    qualifying pair with zero false negatives, and the exact
+    bit_count(xor) predicate discards bucket false positives.
+
+    Scale shape mirrors ``lsh_candidate_pairs``: only
+    (band_idx, band_value, id, simhash) tuples ever shuffle — never
+    text. ``collapse_identical`` first reduces identical-signature docs
+    to their min-id representative (m exact-dup signatures would
+    otherwise contribute m²/2 pairs inside one bucket; membership of an
+    identical-hash cluster is ``exact_dedup``'s job). The merge hint
+    pins the scale-valid sort-merge plan (a 10^12-doc banded corpus
+    cannot broadcast) and lets AQE reuse one shuffle stage for both
+    join sides.
+    """
+    n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} must be divisible by bands={n_bands}")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    if collapse_identical:
+        sigs = sigs.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
+    entries = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col(hash_col), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    bdf = sigs.select(
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*entries)).alias("e")
+    ).select(
+        id_col,
+        hash_col,
+        F.col("e.band_idx").alias("band_idx"),
+        F.col("e.band_val").alias("band_val"),
+    )
+    a = bdf.alias("a")
+    b = bdf.alias("b").hint("merge")
+    ham = F.bit_count(
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -135,18 +135,24 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
                 F.col("__fk").isNotNull()
             )
             dim_keys = F.broadcast(
-                c.dim.select(F.col(c.dim_col).alias("__fk")).distinct()
+                c.dim.select(F.col(c.dim_col).alias("__fk"))
+                .distinct()
+                .withColumn("__hit", F.lit(1))
             )
-            miss = fk.join(dim_keys, "__fk", "left_anti")
+            # one broadcast LEFT join + one agg: n_rows and n_violations
+            # come out of the same pass (a crossJoin of two 1-row aggs
+            # would plan as BroadcastNestedLoopJoin — bounded, but a
+            # second job and a BNLJ node for nothing). distinct dim keys
+            # guarantee no fan-out, so count(*) is still the FK count.
             branches.append(
-                fk.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
-                    miss.agg(
-                        F.count(F.lit(1)).alias("n_violations")
-                    )
-                ).select(
+                fk.join(dim_keys, "__fk", "left").agg(
                     F.lit(c.name).alias("check"),
-                    F.col("n_rows").cast("long"),
-                    F.col("n_violations").cast("long"),
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.coalesce(
+                        F.sum(F.col("__hit").isNull().cast("long")), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias("n_violations"),
                 )
             )
         else:  # pragma: no cover - guarded by the dataclass contract

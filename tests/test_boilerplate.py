@@ -1,0 +1,78 @@
+"""Cross-document frequent-line boilerplate removal
+(operators/boilerplate.py — the CCNet/RefinedWeb line-dedup stage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.boilerplate import (
+    line_frequencies,
+    remove_frequent_lines,
+)
+
+FOOTER = "(c) 2024 Example Corp - all rights reserved"
+COOKIE = "This site uses cookies"
+
+DOCS = [
+    (0, f"alpha beta\n{FOOTER}\n{COOKIE}\ngamma"),
+    (1, f"delta\n{COOKIE}\n{FOOTER}"),
+    (2, f"  {FOOTER}  \nepsilon zeta\n\neta"),  # padded + blank line
+    (3, None),  # NULL text passes through as NULL
+    (4, FOOTER),  # document that is ONLY boilerplate
+    (5, "unique one\nunique two"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_line_frequencies(spark):
+    freqs = {r["nl"]: r["n_docs"] for r in line_frequencies(_df(spark)).collect()}
+    assert freqs[FOOTER] == 4  # trimmed identity: doc 2's padded copy counts
+    assert freqs[COOKIE] == 2
+    assert freqs["alpha beta"] == 1
+    assert "" not in freqs  # blank lines never counted
+
+
+def test_remove_frequent_lines(spark):
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_lines"])
+        for r in remove_frequent_lines(_df(spark), min_docs=2).collect()
+    }
+    assert out[0] == ("alpha beta\ngamma", 2)
+    assert out[1] == ("delta", 2)
+    # order + blank line preserved; padded footer removed by trimmed match
+    assert out[2] == ("epsilon zeta\n\neta", 1)
+    assert out[3] == (None, 0)  # NULL in, NULL out
+    assert out[4] == ("", 1)  # all-boilerplate doc -> empty, not dropped
+    assert out[5] == ("unique one\nunique two", 0)
+    assert len(out) == 6  # every input doc is present in the output
+
+
+def test_threshold_dial(spark):
+    # min_docs=3: only the 4-doc footer is boilerplate, cookies survive
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_lines"])
+        for r in remove_frequent_lines(_df(spark), min_docs=3).collect()
+    }
+    assert out[0] == (f"alpha beta\n{COOKIE}\ngamma", 1)
+    assert out[1] == (f"delta\n{COOKIE}", 1)
+    # min_docs above every count: identity transform (modulo trim-only lines)
+    ident = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_frequent_lines(_df(spark), min_docs=99).collect()
+    }
+    assert ident[0] == DOCS[0][1]
+    assert ident[5] == DOCS[5][1]
+
+
+def test_shuffle_join_variant_matches(spark):
+    b = remove_frequent_lines(_df(spark), min_docs=2, broadcast_freq=True)
+    s = remove_frequent_lines(_df(spark), min_docs=2, broadcast_freq=False)
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, s.collect()))
+
+
+def test_no_python_udfs(spark):
+    plan = remove_frequent_lines(_df(spark), min_docs=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -110,7 +110,11 @@ def test_plan_one_scan_for_row_checks(spark, tbl):
 
 
 def test_plan_ref_is_broadcast(spark, tbl, dim):
+    # one broadcast LEFT join feeding one agg — no SMJ, no BNLJ (the
+    # crossJoin-of-two-1-row-aggs shape this replaced planned as a
+    # BroadcastNestedLoopJoin and a second job)
     rep = validate(tbl, [referential("id", dim, "k")])
     plan = rep._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
