@@ -447,9 +447,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # requirement). Same partitioning as the detector's window, so
         # no new Exchange; DuckDB twin replays the identical running-max
         # arithmetic. Fixed-cooldown mode is pytest-gated (test_alerts).
-        return suppress_flapping(
+        damped = suppress_flapping(
             flagged, ["event_type"], "is_burst", cooldown=2, out_col="burst_emitted"
         )
+        # + interval-join audit (r4 s10: operators/intervaljoin.py —
+        # the bucketed range join). Burst hours become 2-hour incident
+        # windows [ws, ws+2h); raw events are attributed to every
+        # overlapping window via the bucket-explode equi-join plan,
+        # while the DuckDB twin runs the NAIVE theta join — the
+        # scalable plan is checked against the semantic definition
+        # (same policy as the CIDR longest-prefix audit). Overlapping
+        # consecutive-burst windows double-attribute by design.
+        from node_log_forwarder_spark.operators.intervaljoin import interval_join
+
+        wins = damped.filter(F.col("is_burst") == 1).select(
+            "event_type",
+            F.col("ws").alias("w_start"),
+            (F.col("ws") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        )
+        joined = interval_join(
+            ev.select("event_type", "ts", "value"),
+            wins,
+            ts_col="ts",
+            start_col="w_start",
+            end_col="w_end",
+            on=["event_type"],
+            bucket="1 hour",
+            broadcast_windows=True,
+        )
+        sect = (
+            joined.groupBy("event_type", "w_start")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .select(
+                F.col("w_start").alias("ws"),
+                F.concat(F.lit("_ivj:"), F.col("event_type")).alias("event_type"),
+                F.col("n"),
+                F.col("total_value"),
+                F.lit(0).alias("is_burst"),
+                F.lit(0).alias("is_quiet"),
+                F.lit(0).alias("burst_emitted"),
+            )
+        )
+        return damped.unionByName(sect)
     q["windowed_counts"] = q_windowed_counts
 
     # --- window function: latest event per user -----------------------------
@@ -1011,12 +1053,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id"),
             F.coalesce(F.col("text"), F.lit("")),
         )
+        # + Unicode-normalization audit (r4 s10: functions/normalize.py
+        # — NFC via Arrow UDF, byte-exact vs DuckDB's nfc_normalize,
+        # then the pinned cleanup chain whose twin is GENERATED from
+        # CLEANUPS). Each doc gets decomposed accents / curly quotes /
+        # NBSP injected, is normalized back, and norm_fp fingerprints
+        # the result — byte parity of the whole unicode path on real
+        # varying text. luhn_ok runs the mod-10 card checksum on a
+        # doc_id-derived digit string (valid for ~10% of ids), the
+        # precision backstop behind redact.py's cc16 pattern.
+        from node_log_forwarder_spark.functions.normalize import (
+            clean_text,
+            luhn_valid,
+            nfc_text,
+        )
+
+        uni = F.concat(
+            F.lit("\u201c"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\u201d\u00a0Cafe\u0301\u2026"),
+        )
         main = docs.select(
             F.col("doc_id"),
             fingerprint(F.col("text")).alias("fp"),
             fingerprint(redact_pii(F.col("text"))).alias("redacted_fp"),
             n_red.cast("int").alias("n_redactions"),
             fingerprint(strip_html(wrapped)).alias("html_fp"),
+            fingerprint(clean_text(nfc_text(uni))).alias("norm_fp"),
+            luhn_valid(
+                F.lpad(F.col("doc_id").cast("string"), 11, "7")
+            ).cast("int").alias("luhn_ok"),
         ).filter(F.col("doc_id") < 100)
         # + boilerplate-line audit (r4 s10: operators/boilerplate.py —
         # the CCNet/RefinedWeb frequent-line removal stage). The corpus
@@ -1976,19 +2042,38 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN t_w > 0 AND n * 2 * t_w < t_n AND t_n >= 5 * t_w
                       THEN 1 ELSE 0 END AS is_quiet
           FROM t
-        )
+        ),
         -- flap-damping twin (operators/alerts.py suppress_flapping,
         -- cooldown=2): running max of the last burst hour, any burst
         -- extends the quiet requirement
-        SELECT ws, event_type, n, total_value, is_burst, is_quiet,
-               CASE WHEN is_burst = 1 AND (la IS NULL OR hx - la > 2)
-                    THEN 1 ELSE 0 END AS burst_emitted
-        FROM (
-          SELECT *, max(CASE WHEN is_burst = 1 THEN hx END) OVER (
-                   PARTITION BY event_type ORDER BY hx
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS la
-          FROM fl
+        damped AS (
+          SELECT ws, event_type, n, total_value, is_burst, is_quiet,
+                 CASE WHEN is_burst = 1 AND (la IS NULL OR hx - la > 2)
+                      THEN 1 ELSE 0 END AS burst_emitted
+          FROM (
+            SELECT *, max(CASE WHEN is_burst = 1 THEN hx END) OVER (
+                     PARTITION BY event_type ORDER BY hx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS la
+            FROM fl
+          )
+        ),
+        -- interval-join twin (operators/intervaljoin.py): the NAIVE
+        -- theta join defines the semantics the bucketed plan must match
+        ivj AS (
+          SELECT w.w_start AS ws, '_ivj:' || w.event_type AS event_type,
+                 count(*) AS n, round(sum(e.value), 4) AS total_value,
+                 0 AS is_burst, 0 AS is_quiet, 0 AS burst_emitted
+          FROM events e
+          JOIN (SELECT event_type, ws AS w_start,
+                       ws + INTERVAL 2 HOUR AS w_end
+                FROM damped WHERE is_burst = 1) w
+            ON e.event_type = w.event_type
+           AND e.ts >= w.w_start AND e.ts < w.w_end
+          GROUP BY 1, 2
         )
+        SELECT * FROM damped
+        UNION ALL
+        SELECT * FROM ivj
     """
 
     sql["window_latest"] = """
@@ -2459,6 +2544,27 @@ def oracle_sql() -> dict[str, str]:
         + html_oracle_sql(_wrapped)
         + ", '\\s+', ' ', 'g'))))"
     )
+    from node_log_forwarder_spark.functions.normalize import (
+        clean_oracle_sql,
+        luhn_oracle_sql,
+    )
+
+    # unicode-normalization twin: same injected wrap, DuckDB's native
+    # nfc_normalize, then the GENERATED cleanup chain
+    _uni = (
+        "chr(8220) || coalesce(text, '') || chr(8221) || chr(160) || "
+        "'Cafe' || chr(769) || chr(8230)"
+    )
+    _norm_fp = (
+        "md5(lower(trim(regexp_replace("
+        + clean_oracle_sql(f"nfc_normalize({_uni})")
+        + ", '\\s+', ' ', 'g'))))"
+    )
+    _luhn = (
+        "CAST("
+        + luhn_oracle_sql("lpad(CAST(doc_id AS VARCHAR), 11, '7')")
+        + " AS INT)"
+    )
     sql["fingerprint"] = f"""
         WITH ml AS (SELECT doc_id, replace(coalesce(text, ''), ' ', chr(10)) AS t
                     FROM documents WHERE doc_id < 100),
@@ -2480,6 +2586,8 @@ def oracle_sql() -> dict[str, str]:
                {_fp_red} AS redacted_fp,
                CAST({_n_red} AS INT) AS n_redactions,
                {_html_fp} AS html_fp,
+               {_norm_fp} AS norm_fp,
+               {_luhn} AS luhn_ok,
                md5(lower(trim(regexp_replace(reb.ct, '\\s+', ' ', 'g')))) AS boiler_fp,
                CAST(reb.n_rem AS INT) AS n_boiler_lines
         FROM documents d JOIN reb USING (doc_id) WHERE doc_id < 100

@@ -1,0 +1,151 @@
+"""Unicode text normalization + checksum validation for the curation
+path.
+
+Three independent pieces, each with an exact cross-engine gate:
+
+* ``clean_text`` — the C4/Dolma-style pre-tokenization cleanup as a
+  PINNED native regexp_replace chain (control chars out, exotic spaces
+  -> ' ', curly quotes/dashes -> ASCII). RE2-and-Java common subset,
+  zero UDFs, fuses into the scan; ``clean_oracle_sql`` GENERATES the
+  DuckDB twin from the same rule list (the html.py pattern), so byte
+  parity is provable, not asserted.
+* ``nfc_text`` — Unicode NFC composition. Spark has no NFC built-in,
+  so this is the repo's canonical slow-path shape: an Arrow
+  SCALAR_ITER pandas UDF into CPython's unicodedata (C implementation,
+  bandwidth-bound, no shuffle). DuckDB's ``nfc_normalize`` implements
+  the same Unicode algorithm, which makes NFC the rare UDF with a
+  byte-exact SQL oracle twin.
+* ``luhn_valid`` — mod-10 checksum over a digit string, pure native
+  higher-order functions (transform over an index sequence +
+  aggregate). The precision backstop for redact.py's card-shaped regex:
+  a 4-4-4-4 digit run that fails Luhn is a serial number, not a card.
+
+Why NFC matters at 100 TB: fingerprint/minhash dedup keys hash BYTES —
+'e\\u0301' decomposed and '\\u00e9' composed are different md5s for the
+same visible text, so un-normalized corpora silently under-dedup. Run
+``nfc_text`` (then ``clean_text``) before any fingerprinting stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# (name, pattern, replacement) — ORDER IS PINNED. Patterns use only
+# \x{hhhh} escapes, the Java-regex/RE2 common subset (no \uXXXX — RE2
+# lacks it; no literal codepoints — they don't survive editors/diffs).
+# Control strip first so later classes never see controls; the rest is
+# order-independent but kept fixed anyway.
+CLEANUPS: list[tuple[str, str, str]] = [
+    # C0 controls minus \t\n\r, plus DEL. NEVER touches \n (line
+    # structure feeds operators/boilerplate.py downstream).
+    (
+        "controls",
+        "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]",
+        "",
+    ),
+    # exotic horizontal spaces -> ASCII space: NBSP, ogham, en/em-quad
+    # family (U+2000-200A), narrow NBSP, math space, ideographic space
+    (
+        "spaces",
+        "[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]",
+        " ",
+    ),
+    # zero-width family simply vanishes (ZWSP/ZWNJ/ZWJ/BOM)
+    ("zerowidth", "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", ""),
+    ("dquotes", "[\\x{201C}\\x{201D}\\x{201E}\\x{00AB}\\x{00BB}]", '"'),
+    ("squotes", "[\\x{2018}\\x{2019}\\x{201A}]", "'"),
+    ("dashes", "[\\x{2010}-\\x{2015}\\x{2212}]", "-"),
+    ("ellipsis", "\\x{2026}", "..."),
+]
+
+
+def clean_text(col: Column) -> Column:
+    """Apply the pinned cleanup chain (native, codegen'd, no UDF)."""
+    out = col
+    for _, pat, rep in CLEANUPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def clean_oracle_sql(expr: str) -> str:
+    """DuckDB twin GENERATED from the same CLEANUPS list (single quotes
+    SQL-escaped — the squotes rule's replacement is a literal ')."""
+    out = expr
+    for _, pat, rep in CLEANUPS:
+        out = (
+            f"regexp_replace({out}, '{pat}', "
+            f"'{rep.replace(chr(39), chr(39) * 2)}', 'g')"
+        )
+    return out
+
+
+def nfc_text(col: Column) -> Column:
+    """Unicode NFC composition (Arrow-batched; byte-exact twin:
+    DuckDB ``nfc_normalize``). UDF built lazily — module import must
+    not require an active SparkSession (compress.py pattern)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import unicodedata
+
+        for s in it:
+            yield s.map(
+                lambda v: unicodedata.normalize("NFC", v)
+                if v is not None
+                else None
+            )
+
+    return _nfc_udf(col)
+
+
+def luhn_valid(digits: Column) -> Column:
+    """True iff the pure-digit string passes the Luhn mod-10 check.
+    NULL/empty/non-digit input -> false (a checksum you can't compute
+    is a failed checksum). Pure native expressions: reverse the string,
+    double every 2nd digit, fold >9 by -9, sum % 10 == 0."""
+    s = F.reverse(F.coalesce(digits, F.lit("")))
+    n = F.length(s)
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            i % 2 == 0,
+            F.when(
+                F.substring(s, i, 1).cast("int") * 2 > 9,
+                F.substring(s, i, 1).cast("int") * 2 - 9,
+            ).otherwise(F.substring(s, i, 1).cast("int") * 2),
+        ).otherwise(F.substring(s, i, 1).cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return (
+        (n > 0)
+        & digits.isNotNull()
+        & digits.rlike("^[0-9]+$")
+        & (total % 10 == 0)
+    )
+
+
+def luhn_oracle_sql(expr: str) -> str:
+    """DuckDB twin of ``luhn_valid`` — identical index arithmetic over
+    the reversed string."""
+    s = f"reverse(coalesce({expr}, ''))"
+    # TRY_CAST: DuckDB's AND does not short-circuit, so a non-digit
+    # input must not make the (already-false) sum branch THROW; Spark's
+    # .cast('int') is null-on-fail, the same semantics
+    d = f"TRY_CAST(substr({s}, i, 1) AS INT)"
+    terms = (
+        f"list_transform(generate_series(1, length({s})), "
+        f"i -> CASE WHEN i % 2 = 0 THEN "
+        f"CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END "
+        f"ELSE {d} END)"
+    )
+    return (
+        f"(length({s}) > 0 AND {expr} IS NOT NULL "
+        f"AND regexp_full_match({expr}, '[0-9]+') "
+        f"AND list_sum({terms}) % 10 = 0)"
+    )

@@ -103,3 +103,62 @@ def materialized_cascade(
         cur.write.mode("overwrite").parquet(path)
         out[lv] = spark.read.parquet(path)
     return out
+
+
+def hll_cascade(
+    df: DataFrame,
+    key_cols: list[str],
+    distinct_col: str,
+    ts_col: str = "ts",
+    levels: tuple[str, ...] = LEVELS,
+    lg_k: int = 12,
+) -> dict[str, DataFrame]:
+    """Distinct-count rollup cascade via mergeable HLL sketches —
+    "unique users per sink per hour/day/week" without ever re-scanning
+    raw and without the one thing plain counters can't give you
+    (count_distinct is NOT a monoid: day uniques != sum of hour
+    uniques).
+
+    HLL registers ARE a monoid (elementwise max), so the union of the
+    hour sketches has byte-identical register state to a sketch built
+    directly from the raw day — the cascade is lossless at sketch
+    level, which test_hll_rollup pins by estimate equality. Each level
+    carries ``hll`` (binary sketch, ~2^lg_k bytes — storable, mergeable
+    by later jobs or other engines reading the same parquet) plus the
+    plain row count ``n``.
+
+    At 10^12 rows this is the only shape that works: per-hour sketch
+    state is KB per key, hll_union_agg at day level touches
+    #keys x 24 rows, and a 1000-executor job merges partials map-side
+    exactly like sum(). Uses Spark's built-in DataSketches HLL
+    (F.hll_sketch_agg / hll_union_agg, Spark 3.5+); no SQL oracle twin
+    exists (DuckDB's approx_count_distinct is a different sketch), so
+    the gate is the cross-level losslessness invariant + exact-count
+    tolerance in pytest — same policy as `approx_distinct`.
+    """
+    finest = df.groupBy(
+        F.date_trunc(levels[0], F.col(ts_col)).alias("ws"), *key_cols
+    ).agg(
+        F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k)).alias("hll"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    out: dict[str, DataFrame] = {levels[0]: finest}
+    cur = finest
+    for lv in levels[1:]:
+        cur = cur.groupBy(
+            F.date_trunc(lv, F.col("ws")).alias("ws"), *key_cols
+        ).agg(
+            F.hll_union_agg(F.col("hll")).alias("hll"),
+            F.sum("n").cast("long").alias("n"),
+        )
+        out[lv] = cur
+    return out
+
+
+def hll_estimates(level_df: DataFrame) -> DataFrame:
+    """Finalize a cascade level for serving: sketch -> integer
+    ``n_distinct`` estimate (keep the sketch column in storage; only
+    the serving view drops it — a finalized estimate can't be merged)."""
+    return level_df.withColumn(
+        "n_distinct", F.hll_sketch_estimate(F.col("hll")).cast("long")
+    ).drop("hll")

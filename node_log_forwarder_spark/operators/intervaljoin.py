@@ -1,0 +1,114 @@
+"""Bucketed interval-overlap join — "which window does this event fall
+in" at shuffle-join cost instead of a theta join.
+
+The missing member of the repo's temporal-join family: ``asof.py`` is
+point -> most-recent-point; this is point -> containing-interval, the
+"attach the maintenance window / incident / deploy that was active when
+this log line happened" query.
+
+Naively ``facts JOIN windows ON ts >= start AND ts < end`` has no
+equi-key, so Spark plans BroadcastNestedLoopJoin (dies when windows
+don't fit an executor) or a cartesian product (dies always). The
+standard fix (how range-join frameworks bucket internally):
+
+1. pick a bucket width;
+2. each FACT lands in exactly ONE bucket: floor(ts / width);
+3. each WINDOW is exploded to EVERY bucket it overlaps via
+   ``F.sequence`` (a window of length L produces ~ceil(L/width)+1 rows
+   — choose width ~ median window length so the blowup is ~2x);
+4. equi-join on (on-keys..., bucket) — a plain shuffle/broadcast hash
+   join Catalyst + AQE can plan, skew-split, and co-locate;
+5. re-check the exact range predicate as a residual condition.
+
+A fact can match a window only in the fact's own single bucket, so no
+post-join dedup is needed — the residual predicate alone makes the
+result exactly equal to the theta join. Shuffle volume is |facts| +
+sum(window spans)/width rows, never a cross product.
+
+At 100 TB: facts shuffle once on (keys, bucket); the exploded window
+side is usually dim-sized — pass ``broadcast_windows=True`` and the
+fact side never shuffles at all (explosion happens on the tiny side
+either way).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__ivj_bucket"
+
+
+def _epoch_us(col: Column) -> Column:
+    # TIMESTAMP_NTZ-safe: cast through timestamp (session TZ pinned UTC)
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def _width_us(bucket: str) -> Column:
+    # interval literal -> microseconds, engine-side (no driver parsing):
+    # epoch + interval, then unix_micros of the result
+    return F.unix_micros(
+        F.to_timestamp(F.lit("1970-01-01 00:00:00")) + F.expr(f"INTERVAL {bucket}")
+    )
+
+
+def interval_join(
+    facts: DataFrame,
+    windows: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    on: list[str] | None = None,
+    bucket: str = "1 hour",
+    how: str = "inner",
+    broadcast_windows: bool = False,
+) -> DataFrame:
+    """Join each fact row to every window row with
+    ``start <= ts < end`` (half-open, the log-window convention) and
+    equal values on the optional ``on`` key columns.
+
+    Returns all fact columns followed by the window columns that are
+    not join keys. ``bucket`` is a Spark interval literal (``'1 hour'``,
+    ``'15 minutes'`` ...); correctness does not depend on it, only the
+    window-explosion factor does. ``how='left'`` keeps unmatched facts
+    with NULL window columns (the "no deploy was active" row).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    on = on or []
+    width = _width_us(bucket)
+
+    f = facts.withColumn(_BUCKET, F.floor(_epoch_us(F.col(ts_col)) / width))
+    # window -> one row per covered bucket. sequence is inclusive on
+    # both ends; the half-open [start, end) interval can still need the
+    # bucket containing `end` when end is not bucket-aligned, so the
+    # floor(start)..floor(end) span is correct (at worst one extra
+    # bucket row per window that the residual predicate discards).
+    w = windows.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(_epoch_us(F.col(start_col)) / width),
+                F.floor(_epoch_us(F.col(end_col)) / width),
+            )
+        ),
+    )
+    if broadcast_windows:
+        w = F.broadcast(w)
+    fa, wa = f.alias("f"), w.alias("w")
+    conds = (
+        [F.col(f"f.{c}").eqNullSafe(F.col(f"w.{c}")) for c in on]
+        + [
+            F.col(f"f.{_BUCKET}") == F.col(f"w.{_BUCKET}"),
+            F.col(f"f.{ts_col}") >= F.col(f"w.{start_col}"),
+            F.col(f"f.{ts_col}") < F.col(f"w.{end_col}"),
+        ]
+    )
+    joined = fa.join(wa, reduce(lambda a, b: a & b, conds), how)
+    fact_cols = [F.col(f"f.{c}") for c in facts.columns]
+    win_cols = [
+        F.col(f"w.{c}") for c in windows.columns if c not in set(on)
+    ]
+    return joined.select(*fact_cols, *win_cols)

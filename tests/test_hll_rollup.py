@@ -1,0 +1,109 @@
+"""HLL distinct-count rollup cascade (operators/cascade.hll_cascade).
+
+The gated property is sketch-level losslessness: HLL registers are an
+elementwise-max monoid, so the day sketch built by UNIONING hour
+sketches must estimate identically to a sketch built directly from the
+raw day — the same re-aggregation contract rollup_cascade pins for
+count/sum/min/max, extended to the one aggregate counters can't do."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.cascade import hll_cascade, hll_estimates
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # 3 days x 24 hours x 20 rows, user ids overlapping across hours so
+    # day-distinct < sum(hour-distinct) — the case plain counters get wrong
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (
+            t0 + timedelta(hours=h, minutes=m),
+            "sink-a" if h % 2 == 0 else "sink-b",
+            (h * 7 + m * 13) % 97,  # overlapping user ids
+        )
+        for h in range(72)
+        for m in range(20)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, sink string, user_id long").cache()
+
+
+def test_union_of_hours_equals_direct_day(spark, events):
+    levels = hll_cascade(events, ["sink"], "user_id", levels=("hour", "day"))
+    cascaded = {
+        (r["ws"], r["sink"]): r["n_distinct"]
+        for r in hll_estimates(levels["day"]).collect()
+    }
+    direct = {
+        (r["ws"], r["sink"]): r["nd"]
+        for r in events.groupBy(
+            F.date_trunc("day", "ts").alias("ws"), "sink"
+        )
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+            ).cast("long").alias("nd")
+        )
+        .collect()
+    }
+    assert cascaded == direct  # lossless merge: identical register state
+
+
+def test_estimates_near_exact(events):
+    levels = hll_cascade(events, ["sink"], "user_id")
+    est = {
+        (r["ws"], r["sink"]): r["n_distinct"]
+        for r in hll_estimates(levels["day"]).collect()
+    }
+    exact = {
+        (r["ws"], r["sink"]): r["nd"]
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("ws"), "sink")
+        .agg(F.count_distinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)
+
+
+def test_day_not_sum_of_hours(events):
+    # the reason this operator exists: uniques do NOT add
+    levels = hll_cascade(events, ["sink"], "user_id", levels=("hour", "day"))
+    hour_sum = (
+        hll_estimates(levels["hour"])
+        .groupBy(F.date_trunc("day", "ws").alias("ws"), "sink")
+        .agg(F.sum("n_distinct").alias("s"))
+        .collect()
+    )
+    day = {
+        (r["ws"], r["sink"]): r["n_distinct"]
+        for r in hll_estimates(levels["day"]).collect()
+    }
+    assert all(day[(r["ws"], r["sink"])] < r["s"] for r in hour_sum)
+
+
+def test_row_counts_cascade(events):
+    levels = hll_cascade(events, ["sink"], "user_id")
+    total = events.count()
+    for lv, df in levels.items():
+        assert df.agg(F.sum("n")).collect()[0][0] == total, lv
+
+
+def test_week_level_single_row_per_key(events):
+    levels = hll_cascade(events, ["sink"], "user_id")
+    wk = hll_estimates(levels["week"]).collect()
+    assert len(wk) == 2  # Jan 1-3 2024 is one ISO week x 2 sinks
+    exact = {
+        r["sink"]: r["nd"]
+        for r in events.groupBy("sink")
+        .agg(F.count_distinct("user_id").alias("nd"))
+        .collect()
+    }
+    for r in wk:
+        e = exact[r["sink"]]
+        assert abs(r["n_distinct"] - e) <= max(2, 0.05 * e)

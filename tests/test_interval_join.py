@@ -1,0 +1,119 @@
+"""Bucketed interval-overlap join (operators/intervaljoin.py): result
+must equal the naive theta join exactly, for any bucket width, while
+planning as an equi hash/sort-merge join — never BNLJ/cartesian."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.intervaljoin import interval_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+FACTS = [
+    (0, "web", _ts("2024-01-01 00:10:00")),
+    (1, "web", _ts("2024-01-01 01:30:00")),
+    (2, "web", _ts("2024-01-01 03:59:59")),
+    (3, "db", _ts("2024-01-01 00:10:00")),   # same ts, other key
+    (4, "web", _ts("2024-01-02 12:00:00")),  # matches nothing
+    (5, "db", None),                          # NULL ts
+]
+
+WINDOWS = [
+    ("w1", "web", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00")),
+    ("w2", "web", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 04:00:00")),  # overlaps w1
+    ("w3", "db", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:30:00")),
+    # 27h window spanning many 1h buckets
+    ("w4", "web", _ts("2023-12-31 23:00:00"), _ts("2024-01-02 02:00:00")),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    f = spark.createDataFrame(FACTS, "event_id long, svc string, ts timestamp")
+    w = spark.createDataFrame(
+        WINDOWS, "win_id string, svc string, w_start timestamp, w_end timestamp"
+    )
+    return f, w
+
+
+def _theta(f, w, how="inner"):
+    cond = (
+        (F.col("f.svc") == F.col("w.svc"))
+        & (F.col("f.ts") >= F.col("w.w_start"))
+        & (F.col("f.ts") < F.col("w.w_end"))
+    )
+    j = f.alias("f").join(w.alias("w"), cond, how)
+    return sorted(
+        (r["event_id"], r["win_id"])
+        for r in j.select(F.col("f.event_id"), F.col("w.win_id")).collect()
+    )
+
+
+def _bucketed(f, w, how="inner", **kw):
+    j = interval_join(f, w, ts_col="ts", on=["svc"], how=how, **kw)
+    return sorted((r["event_id"], r["win_id"]) for r in j.collect())
+
+
+def test_equals_theta_join(frames):
+    f, w = frames
+    assert _bucketed(f, w) == _theta(f, w)
+    got = _bucketed(f, w)
+    assert (0, "w1") in got and (1, "w1") in got and (1, "w2") in got
+    assert (3, "w3") in got
+    assert not any(e == 4 for e, _ in got)  # unmatched fact absent (inner)
+    assert not any(e == 5 for e, _ in got)  # NULL ts never matches
+
+
+def test_left_join_keeps_unmatched(frames):
+    f, w = frames
+    assert _bucketed(f, w, how="left") == _theta(f, w, "left")
+    got = dict()
+    for e, win in _bucketed(f, w, how="left"):
+        got.setdefault(e, []).append(win)
+    assert got[4] == [None] and got[5] == [None]
+
+
+def test_bucket_width_invariance(frames):
+    f, w = frames
+    base = _bucketed(f, w)
+    for b in ["15 minutes", "1 hour", "6 hours", "2 days"]:
+        assert _bucketed(f, w, bucket=b) == base, b
+
+
+def test_half_open_boundaries(spark):
+    f = spark.createDataFrame(
+        [(0, _ts("2024-01-01 01:00:00")), (1, _ts("2024-01-01 02:00:00"))],
+        "event_id long, ts timestamp",
+    )
+    w = spark.createDataFrame(
+        [("w", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 02:00:00"))],
+        "win_id string, w_start timestamp, w_end timestamp",
+    )
+    got = {r["event_id"] for r in interval_join(f, w).collect()}
+    assert got == {0}  # start inclusive, end exclusive
+
+
+def test_plan_is_equi_join(frames):
+    f, w = frames
+    shuffled = interval_join(f, w, on=["svc"])
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    bcast = interval_join(f, w, on=["svc"], broadcast_windows=True)
+    bplan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bplan
+    assert "BroadcastNestedLoopJoin" not in bplan
+
+
+def test_rejects_bad_how(frames):
+    f, w = frames
+    with pytest.raises(ValueError):
+        interval_join(f, w, how="full")

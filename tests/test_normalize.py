@@ -1,0 +1,144 @@
+"""Unicode normalization + Luhn (functions/normalize.py): the cleanup
+chain and NFC must be byte-identical to their DuckDB twins, and
+luhn_valid must match a pure-Python reference."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.normalize import (
+    CLEANUPS,
+    clean_oracle_sql,
+    clean_text,
+    luhn_oracle_sql,
+    luhn_valid,
+    nfc_text,
+)
+
+TRICKY = [
+    "plain ascii stays",
+    "Cafe\u0301 decomposed vs \u00e9 composed",
+    "\u201cquoted\u201d \u2018single\u2019 \u2014dash\u2026",
+    "nbsp\u00a0and emspace\u2003ideographic\u3000end",
+    "zero\u200bwidth\u200c gone\ufeff",
+    "ctrl\x00\x07\x0bchars\x7f out, \ttab\nnewline kept",
+    "A\u030a ring composes to \u00c5",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def tricky_df(spark):
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(TRICKY)], "i long, s string"
+    )
+
+
+def test_clean_chain_matches_duckdb(spark, tricky_df):
+    got = {
+        r["i"]: r["c"]
+        for r in tricky_df.select("i", clean_text(F.col("s")).alias("c")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(TRICKY):
+        want = con.execute(
+            f"SELECT {clean_oracle_sql('?::VARCHAR')}", [s]
+        ).fetchone()[0]
+        assert got[i] == want, (i, repr(got[i]), repr(want))
+
+
+def test_clean_semantics(spark, tricky_df):
+    got = {
+        r["i"]: r["c"]
+        for r in tricky_df.select("i", clean_text(F.col("s")).alias("c")).collect()
+    }
+    assert got[2] == "\"quoted\" 'single' -dash..."
+    assert got[3] == "nbsp and emspace ideographic end"
+    assert got[4] == "zerowidth gone"
+    assert got[5] == "ctrlchars out, \ttab\nnewline kept"  # \t\n survive
+
+
+def test_nfc_matches_duckdb(spark, tricky_df):
+    got = {
+        r["i"]: r["n"]
+        for r in tricky_df.select("i", nfc_text(F.col("s")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(TRICKY):
+        want = con.execute("SELECT nfc_normalize(?::VARCHAR)", [s]).fetchone()[0]
+        assert got[i] == want, (i, repr(got[i]), repr(want))
+    # and NFC actually composed something
+    assert "\u00e9" in got[1] and "\u0301" not in got[1]
+    assert got[6].endswith("\u00c5")
+
+
+def _luhn_ref(s):
+    if s is None or s == "" or not s.isdigit():
+        return False
+    t = 0
+    for i, ch in enumerate(reversed(s)):
+        d = int(ch)
+        if i % 2 == 1:
+            d = d * 2
+            if d > 9:
+                d -= 9
+        t += d
+    return t % 10 == 0
+
+
+LUHN_CASES = [
+    "79927398713",       # classic valid
+    "79927398710",       # bad check digit
+    "4532015112830366",  # valid 16-digit
+    "4532015112830367",
+    "0",                 # valid (sum 0)
+    "1",
+    "",                  # empty -> false
+    "12a3",              # non-digit -> false
+    None,                # NULL -> false
+    "00000000000000000000000018",  # long, leading zeros
+]
+
+
+def test_luhn_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(LUHN_CASES)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select("i", luhn_valid(F.col("s")).alias("ok")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(LUHN_CASES):
+        assert got[i] == _luhn_ref(s), (i, s)
+        # the generated expression references its input many times, so
+        # bind it once via a subquery
+        want = con.execute(
+            f"SELECT {luhn_oracle_sql('s')} FROM (SELECT ?::VARCHAR AS s)",
+            [s],
+        ).fetchone()[0]
+        assert bool(got[i]) == bool(want), (i, s, got[i], want)
+
+
+def test_plan_shapes(spark, tricky_df):
+    clean_plan = (
+        tricky_df.select(clean_text(F.col("s")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in clean_plan  # fully native
+    nfc_plan = (
+        tricky_df.select(nfc_text(F.col("s")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in nfc_plan
+    assert "BatchEvalPython" not in nfc_plan
+
+
+def test_cleanup_list_is_portable():
+    # guard against literal codepoints sneaking into the pattern list:
+    # every pattern must be pure ASCII with \x{hhhh} escapes only
+    for name, pat, rep in CLEANUPS:
+        assert pat.isascii(), name
+        assert rep.isascii(), name
