@@ -712,7 +712,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_set_union(spark, sf):
         ev = _t(spark, sf, "events").select(F.col("event_type").alias("val"))
         dl = _t(spark, sf, "documents").select(F.col("lang").alias("val"))
-        return ev.unionByName(dl).distinct()
+        base = ev.unionByName(dl).distinct()
+        # + snapshot-diff audit (r4 s10: operators/tablediff.py — the
+        # CDC-shaped reconciliation operator). Two deterministic
+        # customer snapshots: "old" drops custkey%3==0, "new" drops
+        # custkey%5==0 and bumps acctbal for custkey%7==0 — so all
+        # three change kinds fire with data-derived counts. Spark runs
+        # the md5 row-signature mechanism; the DuckDB twin classifies
+        # by direct value comparison — mechanism checked against the
+        # semantic definition.
+        from node_log_forwarder_spark.operators.tablediff import diff_summary
+
+        cust = _t(spark, sf, "customer").select(
+            "c_custkey", "c_name", "c_acctbal"
+        )
+        old = cust.filter(F.col("c_custkey") % 3 != 0)
+        new = cust.filter(F.col("c_custkey") % 5 != 0).withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1
+            ).otherwise(F.col("c_acctbal")),
+        )
+        sect = diff_summary(old, new, ["c_custkey"]).select(
+            F.concat(
+                F.lit("_diff:"), F.col("change"), F.lit(":"),
+                F.col("n").cast("string"),
+            ).alias("val")
+        )
+        return base.unionByName(sect)
     q["set_union"] = q_set_union
 
     # --- relational aggregates (TPC-H Q1 shape) ------------------------------
@@ -2264,9 +2291,32 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["set_union"] = """
-        SELECT DISTINCT event_type AS val FROM events
-        UNION
-        SELECT DISTINCT lang AS val FROM documents
+        WITH base AS (
+          SELECT DISTINCT event_type AS val FROM events
+          UNION
+          SELECT DISTINCT lang AS val FROM documents
+        ),
+        -- snapshot-diff twin (operators/tablediff.py): direct value
+        -- comparison defines the semantics the md5-signature plan must
+        -- match (customer columns are NOT NULL, so <> suffices)
+        o AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+              WHERE c_custkey % 3 <> 0),
+        n AS (SELECT c_custkey, c_name,
+                     CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1
+                          ELSE c_acctbal END AS c_acctbal
+              FROM customer WHERE c_custkey % 5 <> 0),
+        d AS (
+          SELECT CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                      WHEN n.c_custkey IS NULL THEN 'delete'
+                      ELSE 'update' END AS change
+          FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+          WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+             OR o.c_name <> n.c_name OR o.c_acctbal <> n.c_acctbal
+        )
+        SELECT val FROM base
+        UNION ALL
+        SELECT '_diff:' || change || ':' || CAST(count(*) AS VARCHAR)
+        FROM d GROUP BY change
     """
 
     sql["tpch_q1"] = """

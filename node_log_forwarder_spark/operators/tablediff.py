@@ -1,0 +1,121 @@
+"""Snapshot diff / reconciliation — the CDC-shaped "what changed
+between these two table versions" operator.
+
+Two snapshots of a keyed table (yesterday's corpus build vs today's, a
+replica vs its source, pre- vs post-migration) are compared into a
+change feed: one row per key that was INSERTED, DELETED, or UPDATED,
+plus an optional per-partition summary for the "is the replica in
+sync" health check.
+
+Scale shape: a full row-by-row compare at 10^12 rows must not ship
+row payloads twice through a shuffle. Each side is first REDUCED
+map-side to ``(key..., row_hash)`` where row_hash is one md5 over the
+null-tagged value columns — the scan projects only compared columns
+(column pruning) and the shuffle moves hashes, not payloads. The diff
+itself is ONE full outer join on the key. ``diff_rows`` then fetches
+payloads for changed keys only, via a semi-join-shaped inner join of
+the (small) change-key set back to each snapshot — at reconciliation
+scale changes are sparse, so the second pass touches a sliver.
+
+md5 over concat_ws with a null sentinel is engine-portable, so the
+DuckDB oracle twin replays the identical hash (driver gate: `set_union`
+``_diff:*`` rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# field separator / null sentinel for the row hash: \x01 never occurs
+# in the corpus (controls are stripped upstream by functions/normalize)
+_SEP = "\x01"
+_NULL = "\x02"
+
+
+def row_signature(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(key..., row_hash) — md5 over all non-key columns in NAME order
+    (schema-evolution-proof: column order changes don't change the
+    hash; added columns do, loudly). NULL and '' hash differently."""
+    value_cols = sorted(c for c in df.columns if c not in set(key_cols))
+    tagged = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in value_cols
+    ]
+    return df.select(
+        *[F.col(k) for k in key_cols],
+        F.md5(F.concat_ws(_SEP, *tagged)).alias("row_hash"),
+    )
+
+
+def signature_oracle_sql(table: str, key_cols: list[str], value_cols: list[str]) -> str:
+    """DuckDB twin of ``row_signature`` (pass value_cols explicitly —
+    SQL can't introspect); replays the same sorted order + sentinels."""
+    cols = ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(2))" for c in sorted(value_cols)
+    )
+    keys = ", ".join(key_cols)
+    return (
+        f"SELECT {keys}, md5(concat_ws(chr(1), {cols})) AS row_hash "
+        f"FROM {table}"
+    )
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Change feed ``(key..., change)`` with change in
+    insert|delete|update. Unchanged keys are filtered OUT before
+    anything else happens to them (the common case at reconciliation
+    scale), so downstream work is proportional to the change set.
+
+    PRECONDITION: ``key_cols`` is unique within each snapshot —
+    enforce upstream with ``operators/validate.unique`` (duplicate keys
+    would fan out in the outer join and over-report). Both snapshots
+    must carry the SAME column set — the hash covers every non-key
+    column; to diff across schema evolution, project both sides to the
+    common columns first."""
+    o = row_signature(old, key_cols).alias("o")
+    n = row_signature(new, key_cols).alias("n")
+    joined = o.join(n, key_cols, "full_outer")
+    return joined.select(
+        *[F.col(k) for k in key_cols],
+        F.when(F.col("o.row_hash").isNull(), F.lit("insert"))
+        .when(F.col("n.row_hash").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change"),
+    ).filter(
+        F.col("o.row_hash").isNull()
+        | F.col("n.row_hash").isNull()
+        | (F.col("o.row_hash") != F.col("n.row_hash"))
+    )
+
+
+def diff_rows(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Full change feed with payloads: the ``table_diff`` key set joined
+    back to each snapshot. ``old_<col>``/``new_<col>`` for every value
+    column; inserts have NULL old_*, deletes NULL new_*. The change-key
+    frame is small by assumption — Spark broadcasts it under AQE when
+    it is, and the two payload joins prune to changed keys only."""
+    changes = table_diff(old, new, key_cols)
+    value_cols = sorted(c for c in old.columns if c not in set(key_cols))
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"old_{c}") for c in value_cols]
+    )
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"new_{c}") for c in value_cols]
+    )
+    return changes.join(o, key_cols, "left").join(n, key_cols, "left")
+
+
+def diff_summary(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """One row per change kind: ``(change, n)`` — the replica-health
+    number. Empty diff yields zero rows (a healthy replica is silent)."""
+    return (
+        table_diff(old, new, key_cols)
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

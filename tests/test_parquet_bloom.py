@@ -1,0 +1,111 @@
+"""Parquet bloom-filter write option pinned (Spark built-in).
+
+Footer min/max stats (test_zorder) prune RANGE queries on clustered
+columns; they are useless for POINT lookups on high-cardinality
+UNSORTED columns — every row group spans nearly the full domain. The
+parquet bloom filter is the layout feature for exactly that case
+(needle-in-haystack id lookups on a 10^12-row table): the reader
+probes each row group's bloom before touching its pages.
+
+Pinned contract:
+* writing with ``parquet.bloom.filter.enabled#<col>`` makes an
+  absent-key equality scan output ZERO rows from the scan node (row
+  groups pruned at reader init);
+* the same scan WITHOUT blooms reads ~everything (min/max can't help);
+* results are identical either way (a pruning feature, never a
+  semantics one — the same contract test_runtime_bloom pins for the
+  join-time bloom).
+
+The probed key is chosen INSIDE [min, max] (odd value in an even-only
+domain) so min/max pruning provably cannot be the cause, and the
+column is high-cardinality so parquet's dictionary-based row-group
+pruning can't engage either (dict falls back to plain encoding).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+N = 300_000  # enough distinct int64s that dictionary encoding falls back
+
+
+def _scan_output_rows(df) -> int:
+    """Sum of numOutputRows over every scan node of the EXECUTED plan
+    (call after an action — metrics are filled by execution)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "scan" not in node.nodeName().lower():
+            continue
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                total += kv._2().value()
+    return total
+
+
+@pytest.fixture(scope="module")
+def paths(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bloom")
+    # even-only, scrambled (md5-ordered) so every row group spans ~the
+    # full [0, 2N) range -> min/max stats are useless for point lookups
+    df = (
+        spark.range(N)
+        .select((F.col("id") * 2).alias("k"))
+        .orderBy(F.md5(F.col("k").cast("string")))
+        .coalesce(1)
+    )
+    bloom, plain = str(base / "bloom"), str(base / "plain")
+    (
+        df.write.mode("overwrite")
+        .option("parquet.block.size", 256 * 1024)  # force many row groups
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", str(N))
+        .parquet(bloom)
+    )
+    (
+        df.write.mode("overwrite")
+        .option("parquet.block.size", 256 * 1024)
+        .parquet(plain)
+    )
+    return bloom, plain
+
+
+def _probe(spark, path, key):
+    df = spark.read.parquet(path).filter(F.col("k") == key)
+    rows = df.collect()
+    return rows, _scan_output_rows(df)
+
+
+def test_bloom_prunes_absent_key(spark, paths):
+    bloom, plain = paths
+    absent = N + 1  # odd -> absent, and strictly inside [0, 2N)
+    b_rows, b_scanned = _probe(spark, bloom, absent)
+    p_rows, p_scanned = _probe(spark, plain, absent)
+    assert b_rows == [] and p_rows == []  # identical (empty) results
+    # without blooms the scan must read essentially everything...
+    assert p_scanned > N // 2, p_scanned
+    # ...with blooms the reader skips every row group
+    assert b_scanned == 0, b_scanned
+
+
+def test_bloom_never_loses_present_keys(spark, paths):
+    bloom, _ = paths
+    for key in (0, 2, N, 2 * N - 2):  # present evens incl. both ends
+        rows, _scanned = _probe(spark, bloom, key)
+        assert [r["k"] for r in rows] == [key]
+
+
+def test_bloom_results_equal_plain(spark, paths):
+    bloom, plain = paths
+    got_b = spark.read.parquet(bloom).agg(
+        F.count(F.lit(1)), F.sum("k"), F.min("k"), F.max("k")
+    ).collect()
+    got_p = spark.read.parquet(plain).agg(
+        F.count(F.lit(1)), F.sum("k"), F.min("k"), F.max("k")
+    ).collect()
+    assert got_b == got_p

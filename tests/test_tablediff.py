@@ -1,0 +1,98 @@
+"""Snapshot diff / reconciliation (operators/tablediff.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.tablediff import (
+    diff_rows,
+    diff_summary,
+    row_signature,
+    signature_oracle_sql,
+    table_diff,
+)
+
+OLD = [
+    (1, "alpha", 10),
+    (2, "beta", 20),
+    (3, "gamma", 30),
+    (4, None, 40),     # NULL value
+    (5, "", 50),       # empty string (must differ from NULL)
+    (6, "zeta", 60),
+]
+NEW = [
+    (1, "alpha", 10),   # unchanged
+    (2, "beta", 21),    # updated (int col)
+    (3, "GAMMA", 30),   # updated (str col)
+    (4, "", 40),        # NULL -> '' is an update, not unchanged
+    (5, "", 50),        # unchanged
+    (7, "eta", 70),     # inserted
+]  # 6 deleted
+
+
+@pytest.fixture(scope="module")
+def snaps(spark):
+    old = spark.createDataFrame(OLD, "id long, name string, v int")
+    new = spark.createDataFrame(NEW, "id long, name string, v int")
+    return old, new
+
+
+def test_change_feed(spark, snaps):
+    old, new = snaps
+    got = {r["id"]: r["change"] for r in table_diff(old, new, ["id"]).collect()}
+    assert got == {2: "update", 3: "update", 4: "update", 6: "delete", 7: "insert"}
+
+
+def test_null_vs_empty_distinct(spark, snaps):
+    old, new = snaps
+    got = {r["id"]: r["change"] for r in table_diff(old, new, ["id"]).collect()}
+    assert got.get(4) == "update"  # NULL -> ''
+    assert 5 not in got  # '' -> '' unchanged
+
+
+def test_diff_rows_payloads(spark, snaps):
+    old, new = snaps
+    rows = {r["id"]: r for r in diff_rows(old, new, ["id"]).collect()}
+    assert rows[2]["old_v"] == 20 and rows[2]["new_v"] == 21
+    assert rows[7]["old_name"] is None and rows[7]["new_name"] == "eta"
+    assert rows[6]["new_name"] is None and rows[6]["old_name"] == "zeta"
+
+
+def test_summary_and_empty_diff(spark, snaps):
+    old, new = snaps
+    s = {r["change"]: r["n"] for r in diff_summary(old, new, ["id"]).collect()}
+    assert s == {"update": 3, "delete": 1, "insert": 1}
+    assert diff_summary(old, old, ["id"]).count() == 0  # healthy replica: silent
+
+
+def test_signature_column_order_independent(spark):
+    a = spark.createDataFrame([(1, "x", 2)], "id long, a string, b int")
+    b = spark.createDataFrame([(1, 2, "x")], "id long, b int, a string")
+    ha = row_signature(a, ["id"]).collect()[0]["row_hash"]
+    hb = row_signature(b, ["id"]).collect()[0]["row_hash"]
+    assert ha == hb  # name order, not schema order
+
+
+def test_signature_matches_duckdb(spark, snaps):
+    old, _ = snaps
+    got = {r["id"]: r["row_hash"] for r in row_signature(old, ["id"]).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, name VARCHAR, v INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", OLD)
+    want = dict(
+        con.execute(signature_oracle_sql("t", ["id"], ["name", "v"])).fetchall()
+    )
+    assert got == want
+
+
+def test_plan_shape(spark, snaps):
+    old, new = snaps
+    plan = table_diff(old, new, ["id"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    # payload columns must be pruned out of the signature scan side:
+    # the diff plan's join carries only key + hash
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
