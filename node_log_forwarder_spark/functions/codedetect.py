@@ -1,0 +1,134 @@
+"""Code-vs-prose detection — the corpus-routing heuristic that decides
+which curation pipeline a document enters (code corpora get
+license/secret scanning and long-line tolerance; prose gets the
+quality/LM path; StarCoder/Dolma-family pipelines make this split
+first).
+
+Pure native expressions over one projection — no UDFs, no shuffles,
+fuses into the document scan. All features are exact integer counts or
+rationals of them, so every component has a trivially exact SQL twin
+(exposed by ``code_features_oracle_sql`` for tests; the pytest gate is
+component-exact on crafted fixtures plus ordering on real snippets).
+
+Features (per document):
+* ``n_lines``           — physical lines
+* ``n_indented``        — lines starting with >=2 spaces or a tab
+                          (block structure: the strongest code signal)
+* ``n_braceline``       — lines ending in ``{`` ``}`` ``;`` ``:``
+                          (C-family blocks + Python block openers)
+* ``n_kw``              — occurrences of a pinned keyword/operator set
+                          (``def ``, ``return``, ``import``, ``=>``,
+                          ``&&``, ``!=``, ``==``, ``();``, ``#include``)
+* ``n_sym`` / ``n_char``— code-punctuation chars vs total chars
+* ``code_score``        — [0,1] blend; >= 0.5 routes to the code path
+
+The blend is a fixed linear rule, not a trained model — deliberate:
+at routing time you want a deterministic, explainable, re-runnable
+decision (the trained alternative lives in operators/lmscore.py's
+family). Weights follow the published heuristics' spirit: block
+structure and keyword hits dominate, symbol ratio breaks ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# pinned keyword/operator markers (RE2/Java-safe literals, escaped where
+# needed). Occurrence COUNTS, not presence — a 500-line file with one
+# stray 'return' is still prose.
+CODE_MARKERS: list[str] = [
+    "def ",
+    "return ",
+    "import ",
+    "#include",
+    "function ",
+    "=> ",
+    "&& ",
+    "!= ",
+    "== ",
+    "();",
+    "var ",
+    "const ",
+]
+
+# characters over-represented in code relative to prose
+_SYM_CLASS = "[{}\\[\\]();<>=|&^%$#@\\\\~`]"
+
+
+def _count(col: Column, pat: str) -> Column:
+    return F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(pat), F.lit(0)))
+
+
+def code_features(col: Column) -> dict[str, Column]:
+    """Exact integer feature columns (see module docstring)."""
+    c = F.coalesce(col, F.lit(""))
+    lines = F.split(c, "\n", -1)
+    feats: dict[str, Column] = {}
+    feats["n_lines"] = F.size(lines)
+    feats["n_indented"] = F.size(
+        F.filter(lines, lambda ln: ln.rlike("^(  |\\t)"))
+    )
+    feats["n_braceline"] = F.size(
+        F.filter(lines, lambda ln: ln.rlike("[{};:]\\s*$") & (F.trim(ln) != ""))
+    )
+    kw = None
+    for m in CODE_MARKERS:
+        t = _count(c, _re_escape(m))
+        kw = t if kw is None else kw + t
+    feats["n_kw"] = kw
+    feats["n_sym"] = _count(c, _SYM_CLASS)
+    feats["n_char"] = F.length(c)
+    return feats
+
+
+def _re_escape(lit: str) -> str:
+    out = []
+    for ch in lit:
+        out.append("\\" + ch if ch in r"\.[]{}()*+?^$|#&" else ch)
+    return "".join(out)
+
+
+def code_score(col: Column) -> Column:
+    """[0,1] routing score: 0.4·indent_frac + 0.3·brace_frac +
+    0.2·min(2·kw_per_line, 1) + 0.1·min(4·sym_frac, 1). The keyword
+    term saturates at one marker per TWO lines — a stray 'return' in a
+    prose paragraph contributes ~0.05, not the full 0.2. Empty/NULL
+    text scores 0."""
+    f = code_features(col)
+    nl = F.greatest(f["n_lines"], F.lit(1)).cast("double")
+    nc = F.greatest(f["n_char"], F.lit(1)).cast("double")
+    indent = f["n_indented"] / nl
+    brace = f["n_braceline"] / nl
+    kw = F.least(2.0 * f["n_kw"] / nl, F.lit(1.0))
+    sym = F.least(4.0 * f["n_sym"] / nc, F.lit(1.0))
+    score = 0.4 * indent + 0.3 * brace + 0.2 * kw + 0.1 * sym
+    return F.when(F.length(F.coalesce(col, F.lit(""))) == 0, F.lit(0.0)).otherwise(
+        F.round(score, 6)
+    )
+
+
+def is_code(col: Column, threshold: float = 0.5) -> Column:
+    return code_score(col) >= F.lit(threshold)
+
+
+def code_features_oracle_sql(expr: str) -> dict[str, str]:
+    """DuckDB twins of the integer features (exact; used by pytest)."""
+    c = f"coalesce({expr}, '')"
+    lines = f"string_split({c}, chr(10))"
+    kw_terms = " + ".join(
+        f"len(regexp_extract_all({c}, '{_re_escape(m)}'))" for m in CODE_MARKERS
+    )
+    return {
+        "n_lines": f"len({lines})",
+        "n_indented": (
+            f"len(list_filter({lines}, ln -> regexp_matches(ln, '^(  |\\t)')))"
+        ),
+        "n_braceline": (
+            f"len(list_filter({lines}, ln -> regexp_matches(ln, '[{{}};:]\\s*$')"
+            f" AND trim(ln) <> ''))"
+        ),
+        "n_kw": f"({kw_terms})",
+        "n_sym": f"len(regexp_extract_all({c}, '{_SYM_CLASS}'))",
+        "n_char": f"length({c})",
+    }

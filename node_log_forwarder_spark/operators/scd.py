@@ -1,0 +1,121 @@
+"""Slowly-changing-dimension (SCD Type 2) versioning — "what was this
+host's config / this user's plan WHEN the event happened".
+
+Log enrichment against a dimension that itself changes over time is
+wrong if you join today's dimension onto last month's events (the
+classic time-travel bug). SCD2 fixes it in two halves:
+
+* ``build_scd2`` — turn a change-event history ``(key, ts, attrs...)``
+  into versioned rows ``(key, attrs..., effective_from,
+  effective_to)`` where ``effective_to`` is the NEXT change's ts (open
+  horizon for the current version). ONE shuffle: a lead() window
+  partitioned by key — at 10^12 change events the sort is per-key and
+  the partitioning is reusable by any downstream per-key work.
+  Same-timestamp duplicate changes are collapsed last-writer-wins
+  (deterministic: highest ``seq_col``) BEFORE ranging, so no
+  zero-width versions exist.
+* ``scd2_enrich`` — attach the version effective AT each fact's ts.
+  Closed versions join through ``operators/intervaljoin.interval_join``
+  (bucketed equi-join, never a theta join); the single open CURRENT
+  version per key joins by plain equi-key + ``ts >= effective_from``.
+  Each fact matches at most one version by construction (ranges
+  partition time per key), verified by tests against a naive
+  windowless reference.
+
+The as-of join (``operators/asof.py``) answers "most recent AT-OR-
+BEFORE"; SCD2 is the materialized form — build once, reuse across
+every enrichment job, prune old versions by ``effective_to`` at scan
+time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.intervaljoin import interval_join
+
+
+def build_scd2(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Version the change history: adds ``effective_from`` (= change
+    ts) and ``effective_to`` (= next change's ts on the same key, NULL
+    for the open current version). ``seq_col`` breaks same-timestamp
+    ties (last writer wins); without one, same-ts duplicates collapse
+    to an arbitrary-but-deterministic max over remaining columns is
+    NOT attempted — pass a sequence column if your feed has them."""
+    latest_per_ts = (
+        changes.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*key_cols, ts_col).orderBy(
+                    *([F.col(seq_col).desc()] if seq_col else [F.lit(1)])
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    nxt = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
+    out = latest_per_ts.withColumn(
+        "effective_from", F.col(ts_col)
+    ).withColumn("effective_to", F.lead(ts_col).over(nxt))
+    return out.drop(ts_col) if ts_col not in key_cols else out
+
+
+def scd2_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    bucket: str = "1 day",
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact to the dimension version effective at its ts
+    (``effective_from <= ts < effective_to``, open current version =
+    NULL effective_to). Closed versions go through the bucketed
+    interval join; the one open version per key is a plain equi join
+    with a residual lower bound — no explosion, no theta join
+    anywhere. Facts before the key's first version (or with no key in
+    the dim) keep NULL dimension columns under ``how='left'``."""
+    closed = dim.filter(F.col("effective_to").isNotNull())
+    open_v = dim.filter(F.col("effective_to").isNull())
+
+    via_closed = interval_join(
+        facts,
+        closed,
+        ts_col=ts_col,
+        start_col="effective_from",
+        end_col="effective_to",
+        on=key_cols,
+        bucket=bucket,
+        how="inner",
+    )
+    o = open_v.alias("d")
+    fa = facts.alias("f")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"f.{k}") == F.col(f"d.{k}")
+        cond = c if cond is None else cond & c
+    cond = cond & (F.col(f"f.{ts_col}") >= F.col("d.effective_from"))
+    via_open = fa.join(o, cond, "inner").select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"d.{c}") for c in dim.columns if c not in set(key_cols)],
+    )
+    matched = via_closed.unionByName(via_open)
+    if how == "inner":
+        return matched
+    if how != "left":
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    # left: add back facts that matched no version
+    miss = facts.join(
+        matched.select(*facts.columns), facts.columns, "left_anti"
+    )
+    dim_cols = [c for c in dim.columns if c not in set(key_cols)]
+    for c in dim_cols:
+        miss = miss.withColumn(c, F.lit(None).cast(dict(dim.dtypes)[c]))
+    return matched.unionByName(miss)

@@ -1,0 +1,99 @@
+"""Code-vs-prose routing heuristic (functions/codedetect.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.codedetect import (
+    code_features,
+    code_features_oracle_sql,
+    code_score,
+    is_code,
+)
+
+PY_SNIPPET = (
+    "import os\n"
+    "def walk(root):\n"
+    "    for d in os.listdir(root):\n"
+    "        if d != '.git':\n"
+    "            return d\n"
+)
+C_SNIPPET = (
+    "#include <stdio.h>\n"
+    "int main() {\n"
+    "    int x = 1;\n"
+    "    if (x == 1 && x != 2) { printf(\"hi\"); }\n"
+    "    return 0;\n"
+    "}\n"
+)
+PROSE = (
+    "The quarterly report shows steady growth across all regions.\n"
+    "Customers responded well to the new pricing, and churn fell\n"
+    "for the third consecutive quarter. We return to profitability.\n"
+)
+EMPTY = ""
+
+DOCS = [(0, PY_SNIPPET), (1, C_SNIPPET), (2, PROSE), (3, EMPTY), (4, None)]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_features_match_duckdb(spark, docs):
+    feats = code_features(F.col("text"))
+    got = docs.select("doc_id", *[c.alias(k) for k, c in feats.items()]).collect()
+    con = duckdb.connect()
+    oracle = code_features_oracle_sql("t")
+    for r in got:
+        text = dict(DOCS)[r["doc_id"]]
+        for k in feats:
+            want = con.execute(
+                f"SELECT {oracle[k]} FROM (SELECT ?::VARCHAR AS t)", [text]
+            ).fetchone()[0]
+            assert r[k] == want, (r["doc_id"], k, r[k], want)
+
+
+def test_feature_values_python(spark, docs):
+    feats = code_features(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", *[c.alias(k) for k, c in feats.items()]).collect()
+    }
+    # C snippet: 7 lines (trailing \n -> empty last), 3 indented,
+    # 5 brace/semicolon-terminated lines (incl. the closing '}')
+    assert got[1]["n_indented"] == 3
+    assert got[1]["n_braceline"] == 5
+    assert got[0]["n_kw"] >= 3  # import / def / return / !=
+    assert got[2]["n_braceline"] == 0
+    assert got[3]["n_char"] == 0 and got[4]["n_char"] == 0
+
+
+def test_routing_order(spark, docs):
+    got = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", code_score(F.col("text")).alias("s")).collect()
+    }
+    # both code snippets far above prose; prose contains the word
+    # 'return' and still stays low; empty/null exactly 0
+    assert got[0] > got[2] and got[1] > got[2]
+    assert got[0] >= 0.5 and got[1] >= 0.5
+    assert got[2] < 0.2
+    assert got[3] == 0.0 and got[4] == 0.0
+    flags = {
+        r["doc_id"]: r["f"]
+        for r in docs.select("doc_id", is_code(F.col("text")).alias("f")).collect()
+    }
+    assert flags[0] and flags[1] and not flags[2]
+
+
+def test_plan_native(spark, docs):
+    plan = (
+        docs.select(code_score(F.col("text")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # row-local, fuses into the scan

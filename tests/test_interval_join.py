@@ -117,3 +117,34 @@ def test_rejects_bad_how(frames):
     f, w = frames
     with pytest.raises(ValueError):
         interval_join(f, w, how="full")
+
+
+def test_randomized_equivalence(spark):
+    # seeded random fleets of facts and (possibly overlapping,
+    # zero-length, long, unaligned) windows: bucketed result must equal
+    # the theta join exactly
+    import random
+
+    rng = random.Random(20240818)
+    t0 = _ts("2024-01-01 00:00:00").timestamp()
+    facts = [
+        (i, rng.choice(["a", "b", "c"]),
+         datetime.fromtimestamp(t0 + rng.randint(0, 7 * 86400)))
+        for i in range(300)
+    ]
+    wins = []
+    for j in range(60):
+        start = t0 + rng.randint(-86400, 6 * 86400)
+        length = rng.choice([0, 1, 59, 3600, 5400, 86400 * 3])
+        wins.append(
+            (f"w{j}", rng.choice(["a", "b", "c"]),
+             datetime.fromtimestamp(start),
+             datetime.fromtimestamp(start + length))
+        )
+    f = spark.createDataFrame(facts, "event_id long, svc string, ts timestamp")
+    w = spark.createDataFrame(
+        wins, "win_id string, svc string, w_start timestamp, w_end timestamp"
+    )
+    want = _theta(f, w)
+    for b in ["37 minutes", "1 hour", "1 day"]:
+        assert _bucketed(f, w, bucket=b) == want, b

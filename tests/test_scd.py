@@ -1,0 +1,116 @@
+"""SCD Type 2 dimension versioning (operators/scd.py): ranges must
+partition time per key, enrichment must equal a naive point-in-time
+reference, and the plan must stay equi-join-only."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.scd import build_scd2, scd2_enrich
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+CHANGES = [
+    # host-a: three config versions, incl. a same-ts duplicate (seq wins)
+    ("host-a", _ts("2024-01-01 00:00:00"), "v1", 1),
+    ("host-a", _ts("2024-01-05 00:00:00"), "v2-losing", 1),
+    ("host-a", _ts("2024-01-05 00:00:00"), "v2", 2),
+    ("host-a", _ts("2024-01-10 00:00:00"), "v3", 1),
+    # host-b: single (current) version
+    ("host-b", _ts("2024-01-03 00:00:00"), "b1", 1),
+]
+
+FACTS = [
+    (0, "host-a", _ts("2024-01-02 12:00:00")),   # -> v1
+    (1, "host-a", _ts("2024-01-05 00:00:00")),   # boundary: from inclusive -> v2
+    (2, "host-a", _ts("2024-01-09 23:59:59")),   # -> v2
+    (3, "host-a", _ts("2024-01-10 00:00:00")),   # boundary -> v3 (open)
+    (4, "host-a", _ts("2024-06-01 00:00:00")),   # far future -> v3 (open)
+    (5, "host-a", _ts("2023-12-31 00:00:00")),   # before first version -> NULL
+    (6, "host-b", _ts("2024-01-04 00:00:00")),   # -> b1
+    (7, "host-c", _ts("2024-01-04 00:00:00")),   # unknown key -> NULL
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    ch = spark.createDataFrame(CHANGES, "host string, ts timestamp, cfg string, seq int")
+    fx = spark.createDataFrame(FACTS, "event_id long, host string, ts timestamp")
+    return ch, fx
+
+
+def test_build_ranges(spark, frames):
+    ch, _ = frames
+    dim = build_scd2(ch, ["host"], seq_col="seq")
+    rows = sorted(
+        (r["host"], r["effective_from"], r["effective_to"], r["cfg"])
+        for r in dim.collect()
+    )
+    assert [r[3] for r in rows if r[0] == "host-a"] == ["v1", "v2", "v3"]
+    a = [r for r in rows if r[0] == "host-a"]
+    # ranges chain exactly: to == next from; final open
+    assert a[0][2] == a[1][1] and a[1][2] == a[2][1] and a[2][2] is None
+    # same-ts duplicate collapsed to the higher seq
+    assert not any(r[3] == "v2-losing" for r in rows)
+    b = [r for r in rows if r[0] == "host-b"]
+    assert len(b) == 1 and b[0][2] is None
+
+
+def _expected():
+    return {0: "v1", 1: "v2", 2: "v2", 3: "v3", 4: "v3", 5: None, 6: "b1", 7: None}
+
+
+def test_enrich_point_in_time(spark, frames):
+    ch, fx = frames
+    dim = build_scd2(ch, ["host"], seq_col="seq")
+    out = scd2_enrich(fx, dim.select("host", "cfg", "effective_from", "effective_to"),
+                      ["host"], bucket="1 day")
+    got = {r["event_id"]: r["cfg"] for r in out.collect()}
+    assert got == _expected()
+    assert out.count() == len(FACTS)  # at most one version per fact
+
+
+def test_enrich_inner(spark, frames):
+    ch, fx = frames
+    dim = build_scd2(ch, ["host"], seq_col="seq")
+    out = scd2_enrich(fx, dim.select("host", "cfg", "effective_from", "effective_to"),
+                      ["host"], how="inner")
+    got = {r["event_id"]: r["cfg"] for r in out.collect()}
+    assert got == {k: v for k, v in _expected().items() if v is not None}
+
+
+def test_bucket_invariance(spark, frames):
+    ch, fx = frames
+    dim = build_scd2(ch, ["host"], seq_col="seq").select(
+        "host", "cfg", "effective_from", "effective_to"
+    )
+    base = sorted(
+        (r["event_id"], r["cfg"])
+        for r in scd2_enrich(fx, dim, ["host"], bucket="1 day").collect()
+    )
+    for b in ["6 hours", "3 days", "30 days"]:
+        got = sorted(
+            (r["event_id"], r["cfg"])
+            for r in scd2_enrich(fx, dim, ["host"], bucket=b).collect()
+        )
+        assert got == base, b
+
+
+def test_plan_no_theta_join(spark, frames):
+    ch, fx = frames
+    dim = build_scd2(ch, ["host"], seq_col="seq").select(
+        "host", "cfg", "effective_from", "effective_to"
+    )
+    plan = (
+        scd2_enrich(fx, dim, ["host"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
