@@ -1,0 +1,124 @@
+"""Secret/credential scanning for the CODE corpus path.
+
+The code-routing split (``functions/codedetect.py``) exists largely so
+this stage can run on the right documents: public code corpora leak
+committed credentials, and StarCoder/BigCode-family pipelines scrub
+them before training. Same architecture as ``functions/redact.py``
+(pinned native regexp_replace chain, RE2-and-Java common subset — no
+backrefs, no lookarounds, zero UDFs, fuses into the scan), different
+pattern class: machine-ISSUED tokens with rigid prefixes/alphabets,
+which make HIGH-PRECISION patterns possible (an AWS access key id is
+exactly ``AKIA``+16 Base32 chars; nothing in prose looks like that).
+
+Order is pinned: private-key blocks first (their body would otherwise
+partially match the generic-token patterns), prefixed tokens next,
+the generic assignment pattern LAST (most false-positive-prone, so it
+only sees text the precise patterns already cleaned).
+
+``detect_secrets``/``secret_counts`` are the audit face (exact integer
+counts per class); ``redact_secrets`` the scrubbing face. Oracle twins
+are GENERATED from the same list (html.py/normalize.py pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) — ORDER PINNED, see module docstring.
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "private_key",
+        # PEM block: header + body (base64 lines incl. newlines, lazy
+        # star — RE2 caps COUNTED repetition at 1000, so {0,4096}? is
+        # not portable; the \s-classed body never crosses a footer)
+        "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"
+        "[A-Za-z0-9+/=\\s]*?"
+        "-----END [A-Z ]{0,20}PRIVATE KEY-----",
+        "<PRIVATE_KEY>",
+    ),
+    (
+        "aws_access_key",
+        # issued ids: AKIA (long-term) / ASIA (STS) + 16 uppercase Base32
+        "\\b(AKIA|ASIA)[0-9A-Z]{16}\\b",
+        "<AWS_KEY>",
+    ),
+    (
+        "github_token",
+        # fine-grained + classic: ghp_/gho_/ghu_/ghs_/ghr_ + 36 base62
+        "\\bgh[pousr]_[A-Za-z0-9]{36}\\b",
+        "<GH_TOKEN>",
+    ),
+    (
+        "slack_token",
+        "\\bxox[baprs]-[0-9A-Za-z-]{10,60}\\b",
+        "<SLACK_TOKEN>",
+    ),
+    (
+        "jwt",
+        # three dot-separated base64url segments, header always 'eyJ'
+        "\\beyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}\\b",
+        "<JWT>",
+    ),
+    (
+        "generic_assignment",
+        # api_key/secret/token/passwd = 'long literal' — deliberately
+        # LAST and deliberately demanding: >=16 chars of value, quoted
+        "(?i)(api_key|apikey|secret|token|passwd|password)"
+        "( *[:=] *)['\"][A-Za-z0-9+/_=-]{16,}['\"]",
+        "$1$2'<SECRET>'",
+    ),
+]
+
+
+def redact_secrets(col: Column) -> Column:
+    """Apply the full secret-scrubbing chain in pinned order."""
+    out = col
+    for _name, pat, rep in SECRET_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def secret_counts(col: Column) -> dict[str, Column]:
+    """Per-class match counts (exact ints), each computed after all
+    PRIOR classes are replaced — left-to-right chain semantics, NULL
+    text counts zero (the redact.py contract)."""
+    counts: dict[str, Column] = {}
+    cur = F.coalesce(col, F.lit(""))
+    for name, pat, rep in SECRET_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, rep)
+    return counts
+
+
+def detect_secrets(col: Column) -> Column:
+    """Total secret count — the per-document drop/scrub decision."""
+    total = None
+    for c in secret_counts(col).values():
+        total = c if total is None else total + c
+    return total.cast("int")
+
+
+def secrets_oracle_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of ``redact_secrets`` — generated from the same
+    list. NOTE: DuckDB's regexp_replace uses RE2 '\\1' group syntax
+    only via backslash; the generic_assignment '$1$2' Java replacement
+    is translated here."""
+    out = text_expr
+    for _name, pat, rep in SECRET_PATTERNS:
+        p = pat.replace("'", "''")
+        r = rep.replace("$1", "\\1").replace("$2", "\\2").replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'gs')"
+    return out
+
+
+def secret_count_oracle_sql(name: str, text_expr: str = "text") -> str:
+    """DuckDB count of one class after all prior chain steps."""
+    cur = text_expr
+    for n, pat, rep in SECRET_PATTERNS:
+        p = pat.replace("'", "''")
+        r = rep.replace("$1", "\\1").replace("$2", "\\2").replace("'", "''")
+        if n == name:
+            return f"coalesce(len(regexp_extract_all({cur}, '{p}', 0, 's')), 0)"
+        cur = f"regexp_replace({cur}, '{p}', '{r}', 'gs')"
+    raise KeyError(name)
