@@ -1149,13 +1149,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- dedup: n-gram jaccard -------------------------------------------------------
     def q_ngram_jaccard(spark, sf):
+        # + signature-only estimator audit (r4 s10: dedup.py::
+        # minhash_agreement — mh_agree/k is the MinHash Jaccard
+        # estimate, computed WITHOUT re-reading text). Same rows carry
+        # the exact Jaccard and the agreement count, so estimator-vs-
+        # exact lives in one gated frame; the DuckDB twin replays the
+        # identical affine-minhash arithmetic per component.
+        from node_log_forwarder_spark.operators.dedup import minhash_agreement
+
         docs = _t(spark, sf, "documents")
         ids = docs.select("doc_id")
         pairs = ids.select(F.col("doc_id").alias("id_a")).join(
             ids.select(F.col("doc_id").alias("id_b")),
             F.col("id_b") == F.col("id_a") + 1,
         )
-        return ngram_jaccard(docs, pairs, ngram=2)
+        jac = ngram_jaccard(docs, pairs, ngram=2)
+        return minhash_agreement(jac, minhash_signatures(docs, k=8), k=8)
     q["ngram_jaccard"] = q_ngram_jaccard
 
     # --- dedup: simhash -----------------------------------------------------------
@@ -2749,19 +2758,36 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN c5 ON s.doc_id = c5.doc_id
     """
 
+    _agree8 = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
     sql["ngram_jaccard"] = f"""
         WITH w_t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
         g AS (SELECT doc_id, list_distinct({_NGRAM2}) AS grams FROM w_t),
         pairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
           FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
-        )
-        SELECT id_a, id_b,
-               round(CASE WHEN len(list_distinct(ga || gb)) > 0
-                     THEN CAST(len(list_intersect(ga, gb)) AS DOUBLE)
-                          / len(list_distinct(ga || gb))
-                     ELSE 0.0 END, 4) AS jaccard
-        FROM pairs
+        ),
+        jac AS (
+          SELECT id_a, id_b,
+                 round(CASE WHEN len(list_distinct(ga || gb)) > 0
+                       THEN CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                            / len(list_distinct(ga || gb))
+                       ELSE 0.0 END, 4) AS jaccard
+          FROM pairs
+        ),
+        -- signature-only estimator twin (dedup.minhash_agreement):
+        -- same affine-minhash replay as minhash_sig/minhash_pairs
+        -- (3-gram shingles, k=8); exact metric above uses 2-grams
+        sh AS (SELECT DISTINCT doc_id, unnest({_NGRAM3}) AS shingle FROM w_t),
+        hs AS (SELECT doc_id, {_H} AS h FROM sh),
+        sigs AS (SELECT doc_id, {mh_cols} FROM hs GROUP BY doc_id)
+        SELECT j.id_a, j.id_b, j.jaccard,
+               CASE WHEN a.doc_id IS NULL OR b.doc_id IS NULL THEN -1
+                    ELSE {_agree8} END AS mh_agree
+        FROM jac j
+        LEFT JOIN sigs a ON a.doc_id = j.id_a
+        LEFT JOIN sigs b ON b.doc_id = j.id_b
     """
 
     bit_votes = ",\n".join(

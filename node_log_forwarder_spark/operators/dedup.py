@@ -341,3 +341,42 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_agreement(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Signature-only Jaccard estimate for a pair list: ``mh_agree`` =
+    number of agreeing minhash components (E[mh_agree/k] = Jaccard, the
+    MinHash identity). -1 when either side has no signature (docs with
+    < ngram tokens).
+
+    Why it exists next to ``ngram_jaccard``: the exact verifier re-reads
+    TEXT for both pair members — at 10^12 docs that's a payload fetch
+    per candidate. The estimator needs only the signature table (the
+    same one LSH banding already built), so the whole
+    candidate->estimate->threshold pass runs without ever touching the
+    corpus again; exact verification is reserved for the survivors.
+    The pair list is orders smaller than the corpus, so AQE broadcasts
+    it into the two signature joins."""
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)],
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)],
+    )
+    j = pairs.join(a, "id_a", "left").join(b, "id_b", "left")
+    agree = None
+    for i in range(k):
+        t = (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
+        agree = t if agree is None else agree + t
+    has = F.col("_a0").isNotNull() & F.col("_b0").isNotNull()
+    return j.select(
+        *pairs.columns,
+        F.when(has, agree).otherwise(F.lit(-1)).alias("mh_agree"),
+    )

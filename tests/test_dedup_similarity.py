@@ -401,3 +401,32 @@ def test_quantized_ivf_assignment_and_recall(spark):
         qt, qt.filter(F.col("vec_id") == 0), cents, k=10, nprobe=2
     ).select("vec_id").collect()}
     assert len(exact & got) >= 9
+
+
+def test_minhash_agreement(spark):
+    from node_log_forwarder_spark.operators.dedup import (
+        minhash_agreement,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),  # identical -> 8/8
+            (2, "one two three four five six seven"),    # disjoint from 0
+            (3, "xy"),                                   # <3 tokens: no signature
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    sigs = minhash_signatures(docs, k=8)
+    got = {
+        (r["id_a"], r["id_b"]): r["mh_agree"]
+        for r in minhash_agreement(pairs, sigs, k=8).collect()
+    }
+    assert got[(0, 1)] == 8          # identical docs agree on every component
+    assert 0 <= got[(0, 2)] <= 2     # disjoint shingle sets: near-zero agreement
+    assert got[(0, 3)] == -1         # missing signature -> no estimate
+    assert len(got) == 3             # pair list preserved exactly
