@@ -1,0 +1,97 @@
+"""Leakage-safe train/validation/test splitting.
+
+A hash split on doc_id alone is rerun-stable but LEAKY: near-duplicate
+documents land in different splits, and the model is then "evaluated"
+on paraphrases of its own training data — the standard contamination
+failure benchmark decontamination papers warn about. The fix is to
+split at the DEDUP-CLUSTER level: every member of a near-dup cluster
+(connected component over the LSH pair graph — ``operators/cluster``)
+inherits the split of its component representative, so a cluster is
+entirely in train or entirely in eval, never both.
+
+Properties (all pytest-pinned in test_split):
+* deterministic + rerun-stable at any parallelism: split = md5-derived
+  uniform of (salt, component-representative id) against cumulative
+  thresholds — no RNG state, the same arithmetic family as
+  ``operators/sampling.hash_sample``;
+* growth-stable on singletons: a NEW doc never moves an OLD singleton
+  doc's split (its representative is itself). Docs newly joined into
+  an existing cluster adopt the cluster's split — that is the point;
+* zero straddling: no pair edge crosses splits, transitively.
+
+Scale shape: the pair graph is the (already tiny) LSH candidate set;
+connected_components is pointer-jumped O(log diameter); the final
+assignment is a broadcast-or-shuffle left join of labels onto the
+corpus + pure hash arithmetic. Nothing here touches text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.cluster import connected_components
+
+
+def _uniform01(col: Column, salt: str) -> Column:
+    """md5-derived uniform in [0,1): first 8 hex chars / 2^32 — the
+    hash_sample arithmetic (engine-portable, no RNG state)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(4294967296.0)
+
+
+def assign_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add ``split`` (and ``rep``, the component representative) to
+    ``docs``. ``pairs`` is the near-dup pair list (id_a, id_b) —
+    typically ``lsh_candidate_pairs`` output, optionally
+    threshold-filtered by ``minhash_agreement``. ``fractions`` maps
+    split name -> fraction and must sum to 1 (default 90/5/5
+    train/val/test); names are assigned in sorted order against
+    cumulative thresholds so the mapping itself is deterministic."""
+    fractions = fractions or {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    labels = comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("_comp")
+    )
+    with_rep = docs.join(labels, id_col, "left").withColumn(
+        "rep", F.coalesce(F.col("_comp"), F.col(id_col))
+    ).drop("_comp")
+
+    u = _uniform01(F.col("rep"), salt)
+    expr = None
+    cum = 0.0
+    names = sorted(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    expr = (expr.otherwise(F.lit(names[-1]))
+            if expr is not None else F.lit(names[-1]))
+    return with_rep.withColumn("split", expr)
+
+
+def split_leakage(assigned: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Audit: pair edges whose endpoints landed in DIFFERENT splits —
+    must be empty by construction; run it anyway after every split
+    (an incomplete pair list at split time is the real-world way this
+    breaks, and this check is how you notice)."""
+    a = assigned.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )

@@ -1,0 +1,113 @@
+"""Leakage-safe splitting (operators/split.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.split import assign_splits, split_leakage
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+# chain 0-1-2 (one cluster), pair 10-11, singleton everything else
+EDGES = [(0, 1), (1, 2), (10, 11)]
+
+
+def _ref_uniform(salt, rep):
+    h = hashlib.md5(f"{salt}{rep}".encode()).hexdigest()[:8]
+    return int(h, 16) / 2**32
+
+
+def test_clusters_never_straddle(spark):
+    assigned = assign_splits(_docs(spark), _pairs(spark, EDGES))
+    got = {r["doc_id"]: (r["split"], r["rep"]) for r in assigned.collect()}
+    assert got[0] == got[1] == got[2]  # whole chain, transitively
+    assert got[10] == got[11]
+    assert got[0][1] == 0 and got[10][1] == 10  # min-id representative
+    assert split_leakage(assigned, _pairs(spark, EDGES)).count() == 0
+
+
+def test_matches_hash_reference_and_fractions(spark):
+    assigned = assign_splits(_docs(spark), _pairs(spark, EDGES))
+    got = {r["doc_id"]: r["split"] for r in assigned.collect()}
+    names = sorted(["train", "val", "test"])
+    for doc, rep in [(5, 5), (0, 0), (2, 0), (11, 10)]:
+        u = _ref_uniform("split-v1", rep)
+        cum, want = 0.0, names[-1]
+        fr = {"test": 0.05, "train": 0.90, "val": 0.05}
+        for nm in names[:-1]:
+            cum += fr[nm]
+            if u < cum:
+                want = nm
+                break
+        assert got[doc] == want, (doc, rep, u)
+    counts = {s: 0 for s in names}
+    for s in got.values():
+        counts[s] += 1
+    assert counts["train"] > 300  # ~90% of 400
+    assert counts["val"] + counts["test"] < 100
+
+
+def test_rerun_and_growth_stability(spark):
+    base = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(_docs(spark, 200), _pairs(spark, EDGES)).collect()
+    }
+    again = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(_docs(spark, 200), _pairs(spark, EDGES)).collect()
+    }
+    assert base == again
+    grown = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(_docs(spark, 400), _pairs(spark, EDGES)).collect()
+    }
+    assert all(grown[d] == s for d, s in base.items())  # old docs never move
+
+
+def test_new_edge_adopts_cluster_split(spark):
+    # doc 50 newly discovered near-dup of 0: it must ADOPT cluster 0's
+    # split (and only docs in that cluster may change)
+    before = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(_docs(spark), _pairs(spark, EDGES)).collect()
+    }
+    after = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            _docs(spark), _pairs(spark, EDGES + [(0, 50)])
+        ).collect()
+    }
+    assert after[50] == after[0] == before[0]
+    changed = {d for d in before if before[d] != after[d]}
+    assert changed <= {50}
+
+
+def test_salt_changes_assignment(spark):
+    a = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(_docs(spark), _pairs(spark, EDGES)).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            _docs(spark), _pairs(spark, EDGES), salt="split-v2"
+        ).collect()
+    }
+    assert a != b  # 400 docs: astronomically unlikely to coincide
+
+
+def test_fractions_validated(spark):
+    with pytest.raises(ValueError):
+        assign_splits(
+            _docs(spark), _pairs(spark, EDGES), fractions={"a": 0.5, "b": 0.4}
+        )

@@ -1,0 +1,76 @@
+"""Stream-static interval join: streaming facts attributed to a STATIC
+window table (incident windows, maintenance calendars, deploy ranges)
+through the same bucketed interval_join operator — must converge to
+the batch result on the same input.
+
+Why this works unchanged: interval_join is explode + equi join +
+residual predicate; stream-static inner/left equi joins are supported
+stateless (the static side is re-broadcast per micro-batch, no
+watermark state), so window attribution in the forwarder's streaming
+path costs nothing beyond the batch plan."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.intervaljoin import interval_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+FACTS = [
+    (i, "svc-a" if i % 2 == 0 else "svc-b", _ts("2024-01-01 00:00:00"))
+    for i in range(0, 40)
+]
+# spread facts across 20 hours
+FACTS = [
+    (i, svc, datetime.fromtimestamp(t.timestamp() + i * 1800))
+    for (i, svc, t) in FACTS
+]
+
+WINDOWS = [
+    ("w1", "svc-a", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 04:30:00")),
+    ("w2", "svc-b", _ts("2024-01-01 02:00:00"), _ts("2024-01-01 09:00:00")),
+    ("w3", "svc-a", _ts("2024-01-01 08:00:00"), _ts("2024-01-01 08:30:00")),
+]
+
+
+def test_stream_static_interval_join_matches_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    facts = spark.createDataFrame(FACTS, "event_id long, svc string, ts timestamp")
+    facts.repartition(5).write.mode("overwrite").parquet(inp)
+    wins = spark.createDataFrame(
+        WINDOWS, "win_id string, svc string, w_start timestamp, w_end timestamp"
+    )
+
+    batch = interval_join(
+        spark.read.parquet(inp), wins, on=["svc"], bucket="1 hour"
+    )
+    exp = {(r["event_id"], r["win_id"]) for r in batch.collect()}
+    assert exp, "fixture must attribute at least one event"
+
+    stream = spark.readStream.schema(
+        "event_id long, svc string, ts timestamp"
+    ).option("maxFilesPerTrigger", 2).parquet(inp)
+    joined = interval_join(stream, wins, on=["svc"], bucket="1 hour")
+    assert joined.isStreaming
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_id"], r["win_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == exp
