@@ -585,6 +585,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat_ws(">", "prev_tool", "tool").alias("day"),
             "n",
         )
+        # + tool-loop audit (r4 s11: toolchain.loop_report — maximal
+        # same-tool runs >= 3 over tool-bearing turns, gaps-and-islands
+        # with ONE conv_id Exchange). Section: ('_loop:<tool>', stat, n).
+        from node_log_forwarder_spark.operators.toolchain import loop_report
+
+        loops = loop_report(transcripts_from_events(ev), min_len=3).select(
+            F.concat(F.lit("_loop:"), F.col("tool")).alias("event_type"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("n_loops").alias("day"),
+                        F.col("n_loops").cast("bigint").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("max_run").alias("day"),
+                        F.col("max_run").cast("bigint").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("loop_turns").alias("day"),
+                        F.col("loop_turns").cast("bigint").alias("n"),
+                    ),
+                )
+            ).alias("kv"),
+        ).select("event_type", F.col("kv.day").alias("day"), F.col("kv.n").alias("n"))
         # + snapshot-drift audit (r4: operators/drift.py — exact
         # rational TV distance between the odd/even documents halves'
         # token distributions + top movers; every value BIGINT, so the
@@ -631,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             roll.unionByName(cohort)
             .unionByName(chain)
+            .unionByName(loops)
             .unionByName(drift)
             .unionByName(casc_rows)
         )
@@ -1156,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact lives in one gated frame; the DuckDB twin replays the
         # identical affine-minhash arithmetic per component.
         from node_log_forwarder_spark.operators.dedup import minhash_agreement
+        from node_log_forwarder_spark.operators.setjoin import similarity_join
 
         docs = _t(spark, sf, "documents")
         ids = docs.select("doc_id")
@@ -1164,7 +1190,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id_b") == F.col("id_a") + 1,
         )
         jac = ngram_jaccard(docs, pairs, ngram=2)
-        return minhash_agreement(jac, minhash_signatures(docs, k=8), k=8)
+        base = minhash_agreement(jac, minhash_signatures(docs, k=8), k=8)
+        # + exact set-similarity join audit (r4 s11: operators/setjoin
+        # — AllPairs/PPJoin prefix filtering, the zero-false-negative
+        # complement to LSH). Bounded-id subset like cosine_near_dup's
+        # exact baseline; the DuckDB twin is the NAIVE all-pairs theta
+        # join, so equality proves the prefix filter lost nothing.
+        # All audit values are integer-derived ((10000*i) div u — no
+        # float summation-order hazard).
+        ssj = similarity_join(docs.filter(F.col("doc_id") < 500), 0.5)
+        bp = F.expr("10000 * inter_size div union_size")
+        audit = ssj.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.coalesce(F.sum(bp), F.lit(0)).alias("_jm"),
+            F.coalesce(
+                F.sum(
+                    F.col("id_a") * 211 + F.col("id_b") * 7 + F.col("inter_size")
+                ) % 1000000007,
+                F.lit(0),
+            ).alias("_ck"),
+            F.coalesce(F.sum("inter_size"), F.lit(0)).alias("_si"),
+            F.coalesce(F.sum("union_size"), F.lit(0)).alias("_su"),
+            F.coalesce(F.max("union_size"), F.lit(0)).alias("_mu"),
+        ).cache()
+        row_a = audit.select(
+            F.lit(-1).cast("bigint").alias("id_a"),
+            F.col("_n").cast("bigint").alias("id_b"),
+            F.col("_jm").cast("double").alias("jaccard"),
+            F.col("_ck").cast("int").alias("mh_agree"),
+        )
+        row_b = audit.select(
+            F.lit(-2).cast("bigint").alias("id_a"),
+            F.col("_si").cast("bigint").alias("id_b"),
+            F.col("_su").cast("double").alias("jaccard"),
+            F.col("_mu").cast("int").alias("mh_agree"),
+        )
+        return base.unionByName(row_a).unionByName(row_b)
     q["ngram_jaccard"] = q_ngram_jaccard
 
     # --- dedup: simhash -----------------------------------------------------------
@@ -2204,6 +2265,35 @@ def oracle_sql() -> dict[str, str]:
         )
         WHERE prev_tool IS NOT NULL GROUP BY 1, 2
         UNION ALL
+        -- tool-loop twin (toolchain.loop_report): identical
+        -- gaps-and-islands (lag change indicator -> running sum ->
+        -- run collapse), runs >= 3 over tool-bearing turns
+        SELECT '_loop:' || tool AS event_type, k AS day, v AS n
+        FROM (
+          WITH t2 AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+          s2 AS (SELECT conv_id, turn_idx, tool FROM t2
+                 WHERE tool IS NOT NULL),
+          c2 AS (SELECT conv_id, turn_idx, tool,
+                   CASE WHEN lag(tool) OVER (PARTITION BY conv_id
+                                             ORDER BY turn_idx) IS NULL
+                          OR lag(tool) OVER (PARTITION BY conv_id
+                                             ORDER BY turn_idx) <> tool
+                        THEN 1 ELSE 0 END AS chg
+                 FROM s2),
+          r2 AS (SELECT conv_id, tool,
+                   sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                     AS run_idx
+                 FROM c2),
+          g2 AS (SELECT conv_id, tool, run_idx, count(*) AS run_len
+                 FROM r2 GROUP BY 1, 2, 3),
+          l2 AS (SELECT tool, count(*) AS n_loops, max(run_len) AS max_run,
+                        sum(run_len) AS loop_turns
+                 FROM g2 WHERE run_len >= 3 GROUP BY tool)
+          SELECT tool, 'n_loops' AS k, n_loops AS v FROM l2
+          UNION ALL SELECT tool, 'max_run', max_run FROM l2
+          UNION ALL SELECT tool, 'loop_turns', loop_turns FROM l2
+        )
+        UNION ALL
         SELECT '_drift:' || metric AS event_type, key AS day, value AS n
         FROM (
           WITH cur AS (SELECT unnest({_TOKENS}) AS token
@@ -2781,13 +2871,46 @@ def oracle_sql() -> dict[str, str]:
         -- (3-gram shingles, k=8); exact metric above uses 2-grams
         sh AS (SELECT DISTINCT doc_id, unnest({_NGRAM3}) AS shingle FROM w_t),
         hs AS (SELECT doc_id, {_H} AS h FROM sh),
-        sigs AS (SELECT doc_id, {mh_cols} FROM hs GROUP BY doc_id)
+        sigs AS (SELECT doc_id, {mh_cols} FROM hs GROUP BY doc_id),
+        -- exact set-similarity join twin (operators/setjoin.py): the
+        -- NAIVE all-pairs theta join over distinct 1-gram token sets,
+        -- doc_id < 500, t = 0.5. Equality with Spark's prefix-filtered
+        -- plan proves the filter lost no qualifying pair. Audit values
+        -- are integer-derived ((10000*i) // u) — no float summation.
+        ssets AS (
+          SELECT doc_id, list_distinct({_TOKENS}) AS ts
+          FROM documents WHERE doc_id < 500
+        ),
+        sne AS (SELECT * FROM ssets WHERE len(ts) > 0),
+        sp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.ts, b.ts)) AS i,
+                 len(list_distinct(a.ts || b.ts)) AS u
+          FROM sne a JOIN sne b ON a.doc_id < b.doc_id
+        ),
+        sq AS (SELECT * FROM sp WHERE i >= 0.5 * u),
+        ssj_audit AS (
+          SELECT CAST(-1 AS BIGINT) AS id_a,
+                 CAST(coalesce(count(*), 0) AS BIGINT) AS id_b,
+                 CAST(coalesce(sum((10000 * i) // u), 0) AS DOUBLE) AS jaccard,
+                 CAST(coalesce(sum(id_a * 211 + id_b * 7 + i), 0)
+                      % 1000000007 AS INT) AS mh_agree
+          FROM sq
+          UNION ALL
+          SELECT CAST(-2 AS BIGINT),
+                 CAST(coalesce(sum(i), 0) AS BIGINT),
+                 CAST(coalesce(sum(u), 0) AS DOUBLE),
+                 CAST(coalesce(max(u), 0) AS INT)
+          FROM sq
+        )
         SELECT j.id_a, j.id_b, j.jaccard,
                CASE WHEN a.doc_id IS NULL OR b.doc_id IS NULL THEN -1
                     ELSE {_agree8} END AS mh_agree
         FROM jac j
         LEFT JOIN sigs a ON a.doc_id = j.id_a
         LEFT JOIN sigs b ON b.doc_id = j.id_b
+        UNION ALL
+        SELECT id_a, id_b, jaccard, mh_agree FROM ssj_audit
     """
 
     bit_votes = ",\n".join(

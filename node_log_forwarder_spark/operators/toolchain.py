@@ -67,3 +67,64 @@ def tool_chain_ngrams(
         .groupBy(chain.alias("chain"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def tool_runs(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Maximal runs of the SAME tool over a conversation's tool-bearing
+    turns: (conv_id, tool, run_idx, run_len, start_turn) — the
+    "agent stuck in a loop" detector.
+
+    Semantics: rows with a NULL tool (non-tool turns) are dropped
+    FIRST, then runs are maximal blocks of equal ``tool`` in
+    ``order_col`` order within the remaining subsequence — so a
+    browse / reply / browse pattern counts as one run of length 2
+    (the agent returned to the same tool), which is the loop notion
+    that matters for transcript QA. Classic gaps-and-islands: one
+    change-indicator lag + one running sum, i.e. ONE Exchange on
+    conv_id and one sort for any run length; the groupBy that
+    collapses runs reuses the same partitioning. Nothing is
+    quadratic in turns and no per-row Python runs."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    seq = transcripts.where(F.col(tool_col).isNotNull()).select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(order_col).alias("turn_idx"),
+        F.col(tool_col).alias("tool"),
+    )
+    chg = F.when(
+        F.lag("tool").over(w).isNull() | (F.lag("tool").over(w) != F.col("tool")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = seq.select(
+        "conv_id", "turn_idx", "tool", F.sum(chg).over(w).alias("run_idx")
+    )
+    return runs.groupBy("conv_id", "tool", "run_idx").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("turn_idx").alias("start_turn"),
+    )
+
+
+def loop_report(
+    transcripts: DataFrame,
+    min_len: int = 3,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-tool loop summary: (tool, n_loops, max_run, loop_turns) over
+    runs of length >= ``min_len``. Tool vocabulary is tiny, so the
+    final groupBy collapses map-side."""
+    runs = tool_runs(transcripts, conv_col, order_col, tool_col)
+    return (
+        runs.where(F.col("run_len") >= min_len)
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_loops"),
+            F.max("run_len").alias("max_run"),
+            F.sum("run_len").alias("loop_turns"),
+        )
+    )

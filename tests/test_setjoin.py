@@ -1,0 +1,126 @@
+"""Exact set-similarity join (operators/setjoin.py) vs a brute-force
+pure-Python reference: the prefix filter must lose NO qualifying pair
+(PPJoin Lemma 1) and the integer threshold test must admit no extras."""
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.setjoin import (
+    ordered_token_arrays,
+    similarity_join,
+)
+
+
+def _brute(docs: dict[int, str], t: float) -> dict[tuple[int, int], tuple[int, int]]:
+    sets = {i: set(s.split()) for i, s in docs.items() if s.split()}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter >= t * union:
+            out[(a, b)] = (inter, union)
+    return out
+
+
+def _run(spark, docs: dict[int, str], t: float):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in docs.items()], "doc_id long, text string"
+    )
+    rows = similarity_join(df, t).collect()
+    got = {(r.id_a, r.id_b): (r.inter_size, r.union_size) for r in rows}
+    assert len(got) == len(rows), "duplicate pairs emitted"
+    return got
+
+
+CORPUS = {
+    0: "alpha beta gamma delta epsilon",
+    1: "alpha beta gamma delta zeta",      # J=4/6 with 0
+    2: "alpha beta gamma delta epsilon",   # exact dup of 0
+    3: "omega psi chi",
+    4: "omega psi chi phi",                # J=3/4 with 3
+    5: "",                                 # empty: never pairs
+    6: "alpha",                            # tiny set
+    7: "the the the alpha beta gamma delta epsilon",  # dup tokens collapse
+}
+
+
+@pytest.mark.parametrize("t", [0.5, 0.7, 0.9, 1.0])
+def test_matches_bruteforce_fixed(spark, t):
+    assert _run(spark, CORPUS, t) == _brute(CORPUS, t)
+
+
+def test_threshold_one_is_exact_dup(spark):
+    got = _run(spark, CORPUS, 1.0)
+    # only 0==2 exactly; 7 keeps 'the' so J(0,7)=5/6 < 1 even though
+    # its duplicate tokens collapse
+    assert set(got) == {(0, 2)}
+    assert all(i == u for i, u in got.values())
+
+
+def test_bad_threshold_rejected(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            similarity_join(df, bad)
+
+
+def test_ordered_arrays_rarest_first(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare1"), (2, "common rare2"), (3, "common")],
+        "doc_id long, text string",
+    )
+    arrs = {r._id: r.toks for r in ordered_token_arrays(df).collect()}
+    # 'common' has df=3, rare tokens df=1 -> rare first
+    assert arrs[1] == ["rare1", "common"]
+    assert arrs[2] == ["rare2", "common"]
+    assert arrs[3] == ["common"]
+
+
+def test_no_cartesian_in_plan(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in CORPUS.items()], "doc_id long, text string"
+    )
+    plan = similarity_join(df, 0.7)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.lists(
+            st.sampled_from("a b c d e f g h i j k".split()),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.34, 0.5, 0.75, 1.0]),
+)
+def test_matches_bruteforce_random(spark, docs, t):
+    assert _run(spark, docs, t) == _brute(docs, t)
+
+
+def test_prefix_lengths_are_tight(spark):
+    """The prefix slice must be |x| - ceil(t|x|) + 1, not a lazier
+    over-emit: check the emitted posting volume on a known corpus."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in CORPUS.items()], "doc_id long, text string"
+    )
+    arrs = ordered_token_arrays(df)
+    t = 0.7
+    plen = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
+    emitted = arrs.select(F.sum(plen).alias("s")).collect()[0].s
+    expected = sum(
+        len(set(s.split())) - math.ceil(t * len(set(s.split()))) + 1
+        for s in CORPUS.values()
+        if s.split()
+    )
+    assert emitted == expected

@@ -115,3 +115,73 @@ def test_duckdb_twin_on_synth_transcripts(spark):
     ).fetchall()
     assert got == {(r[0], r[1]): r[2] for r in twin}
     assert sum(got.values()) > 500  # transitions actually fire (985 at sf0.001)
+
+
+# --- tool-loop run detection (gaps-and-islands) -------------------------
+
+LOOP_ROWS = [
+    # c1: browser x3 with a NULL (non-tool) turn inside — still ONE run
+    ("c1", 0, "browser"),
+    ("c1", 1, "browser"),
+    ("c1", 2, None),
+    ("c1", 3, "browser"),
+    ("c1", 4, "search"),
+    # c2: browser x2 then search x3
+    ("c2", 0, "browser"),
+    ("c2", 1, "browser"),
+    ("c2", 2, "search"),
+    ("c2", 3, "search"),
+    ("c2", 4, "search"),
+    # c3: alternating — no run > 1
+    ("c3", 0, "bash"),
+    ("c3", 1, "sql"),
+    ("c3", 2, "bash"),
+]
+
+
+@pytest.fixture(scope="module")
+def loop_tr(spark):
+    return spark.createDataFrame(
+        LOOP_ROWS, "conv_id string, turn_idx int, tool string"
+    ).cache()
+
+
+def test_tool_runs_exact(loop_tr):
+    from node_log_forwarder_spark.operators.toolchain import tool_runs
+
+    got = {
+        (r.conv_id, r.tool, r.run_idx): (r.run_len, r.start_turn)
+        for r in tool_runs(loop_tr).collect()
+    }
+    assert got == {
+        ("c1", "browser", 1): (3, 0),   # NULL turn does not break the run
+        ("c1", "search", 2): (1, 4),
+        ("c2", "browser", 1): (2, 0),
+        ("c2", "search", 2): (3, 2),
+        ("c3", "bash", 1): (1, 0),
+        ("c3", "sql", 2): (1, 1),
+        ("c3", "bash", 3): (1, 2),
+    }
+
+
+def test_loop_report_threshold(loop_tr):
+    from node_log_forwarder_spark.operators.toolchain import loop_report
+
+    got = {r.tool: (r.n_loops, r.max_run, r.loop_turns)
+           for r in loop_report(loop_tr, min_len=3).collect()}
+    assert got == {"browser": (1, 3, 3), "search": (1, 3, 3)}
+    got2 = {r.tool: (r.n_loops, r.max_run, r.loop_turns)
+            for r in loop_report(loop_tr, min_len=2).collect()}
+    assert got2 == {"browser": (2, 3, 5), "search": (1, 3, 3)}
+
+
+def test_tool_runs_single_exchange(loop_tr):
+    from node_log_forwarder_spark.operators.toolchain import tool_runs
+
+    plan = (
+        tool_runs(loop_tr)._jdf.queryExecution().executedPlan().toString()
+    )
+    # window chg + running sum + run collapse share the conv_id
+    # partitioning: exactly one data Exchange
+    n_exch = plan.count("Exchange hashpartitioning")
+    assert n_exch == 1, plan
