@@ -764,7 +764,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("n").cast("string"),
             ).alias("val")
         )
-        return base.unionByName(sect)
+        # + blocked fuzzy record linkage audit (operators/linkage.py —
+        # Fellegi-Sunter blocking: consonant-skeleton block key, equi-
+        # join candidates, native levenshtein verify). Records derive
+        # from customer: 'node-<custkey%50>' with a doubled-vowel typo
+        # ('noode-') on custkey%10==0 rows — typo'd and clean variants
+        # share a skeleton, so every within-group pair is a candidate
+        # and dist is 0 (same spelling) or 1 (typo vs clean). The
+        # DuckDB twin replays blocking with the GENERATED key SQL
+        # (linkage.consonant_key_sql) + its own levenshtein.
+        from node_log_forwarder_spark.operators.linkage import (
+            blocked_links,
+            consonant_key,
+        )
+
+        recs = _t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("id"),
+            F.concat(
+                F.when(F.col("c_custkey") % 10 == 0, F.lit("noode-"))
+                .otherwise(F.lit("node-")),
+                (F.col("c_custkey") % 50).cast("string"),
+            ).alias("name"),
+        )
+        links = blocked_links(recs, max_dist=1, block_keys=(consonant_key,))
+        lagg = links.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)), F.lit(0)
+            ).alias("d0"),
+            F.coalesce(
+                F.sum(F.when(F.col("dist") == 1, 1).otherwise(0)), F.lit(0)
+            ).alias("d1"),
+            F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0)).alias(
+                "ids"
+            ),
+        )
+        lsect = lagg.select(
+            F.explode(
+                F.array(
+                    F.concat(F.lit("_link:n:"), F.col("n").cast("string")),
+                    F.concat(F.lit("_link:d0:"), F.col("d0").cast("string")),
+                    F.concat(F.lit("_link:d1:"), F.col("d1").cast("string")),
+                    F.concat(F.lit("_link:ids:"), F.col("ids").cast("string")),
+                )
+            ).alias("val")
+        )
+        return base.unionByName(sect).unionByName(lsect)
     q["set_union"] = q_set_union
 
     # --- relational aggregates (TPC-H Q1 shape) ------------------------------
@@ -2416,6 +2461,40 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT '_diff:' || change || ':' || CAST(count(*) AS VARCHAR)
         FROM d GROUP BY change
+    """
+
+    # blocked-linkage audit twin: blocking replayed with the GENERATED
+    # consonant-skeleton SQL (operators/linkage.py builds both engines'
+    # chains from one shared step list), verify via DuckDB levenshtein.
+    from node_log_forwarder_spark.operators.linkage import consonant_key_sql
+
+    sql["set_union"] += f"""
+        UNION ALL
+        SELECT '_link:' || metric || ':' || CAST(v AS VARCHAR)
+        FROM (
+          WITH lrec AS (
+            SELECT c_custkey AS id,
+                   CASE WHEN c_custkey % 10 = 0 THEN 'noode-'
+                        ELSE 'node-' END
+                     || CAST(c_custkey % 50 AS VARCHAR) AS nm
+            FROM customer
+          ),
+          lkey AS (
+            SELECT id, nm, {consonant_key_sql('nm')} AS bk FROM lrec
+          ),
+          lpair AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   levenshtein(a.nm, b.nm) AS dist
+            FROM lkey a JOIN lkey b ON a.bk = b.bk AND a.id < b.id
+            WHERE length(a.bk) > 0 AND levenshtein(a.nm, b.nm) <= 1
+          )
+          SELECT unnest(['n', 'd0', 'd1', 'ids']) AS metric,
+                 unnest([count(*),
+                         coalesce(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END), 0),
+                         coalesce(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END), 0),
+                         coalesce(sum(id_a + id_b), 0)]) AS v
+          FROM lpair
+        )
     """
 
     sql["tpch_q1"] = """

@@ -1,0 +1,123 @@
+"""Blocked fuzzy record linkage (entity resolution).
+
+"Are `api-gateway-7` and `api_gateway7` the same source?" — the
+identity-merge problem every log/telemetry pipeline hits once sources
+are free-text (hostnames, tool names, user handles). The naive answer
+is an O(n^2) edit-distance join; at 10^12 rows that's not a plan. The
+standard scale answer (Fellegi-Sunter blocking) is implemented here:
+
+1. BLOCK: each record computes one or more cheap deterministic block
+   keys (default: consonant skeleton — lowercase, strip non-alnum,
+   drop vowels after the first char, collapse adjacent repeats). Key
+   computation is a pinned native regexp_replace chain in the Java∩RE2
+   common subset — no UDFs, fuses into the scan.
+2. CANDIDATE: self-equi-join on block key (id_a < id_b). Only blocks
+   shuffle; block-key cardinality is data-scale, so postings lists are
+   short and the join never degenerates toward n^2 — the same shape as
+   the LSH band join in operators/dedup.py, but exact-key.
+3. VERIFY: native `levenshtein(name_a, name_b) <= max_dist` on the
+   candidate pairs only.
+
+Multi-pass blocking: pass several key functions and the candidate set
+is the UNION of the per-key joins (deduplicated) — the standard recall
+fix for typos that mutate a single block key (e.g. a first-letter typo
+breaks the consonant skeleton but survives a length-bucket key).
+
+Recall caveat (documented, measured in tests/test_linkage.py): blocking
+is exact-precision but not exact-recall — a pair whose edit survives
+NO configured block key is missed. The driver gate therefore defines
+the operator's semantics as "links within shared blocks", and the
+DuckDB twin replicates blocking; the pytest suite measures recall
+against the unblocked O(n^2) reference on a typo fixture.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+# collapse-repeats is one regexp_replace per alphabet char, NOT
+# '(.)\\1+' -> '$1': backreferences in the PATTERN are Java-only (RE2
+# rejects them), and the DuckDB twin must run the identical chain. The
+# char list is the shared source both engines generate from.
+COLLAPSE_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def collapse_repeats(col: Column) -> Column:
+    for c in COLLAPSE_CHARS:
+        col = F.regexp_replace(col, f"{c}{c}+", c)
+    return col
+
+
+def collapse_repeats_sql(expr: str) -> str:
+    """The DuckDB twin of collapse_repeats, generated from the same
+    char list (regexp_replace needs the explicit 'g' flag there)."""
+    for c in COLLAPSE_CHARS:
+        expr = f"regexp_replace({expr}, '{c}{c}+', '{c}', 'g')"
+    return expr
+
+
+def consonant_key(col: Column) -> Column:
+    """Consonant skeleton: lowercase -> strip non-alnum -> drop vowels
+    after the first char -> collapse adjacent repeated chars.
+    'Customer#000000042' -> 'cstmr042'."""
+    low = F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+    head = F.substring(low, 1, 1)
+    tail = F.regexp_replace(F.substring(low, 2, 2147483647), "[aeiou]", "")
+    return collapse_repeats(F.concat(head, tail))
+
+
+def consonant_key_sql(expr: str) -> str:
+    """DuckDB twin of consonant_key, generated from the same steps."""
+    low = f"regexp_replace(lower({expr}), '[^a-z0-9]', '', 'g')"
+    head = f"substr({low}, 1, 1)"
+    tail = f"regexp_replace(substr({low}, 2), '[aeiou]', '', 'g')"
+    return collapse_repeats_sql(f"concat({head}, {tail})")
+
+
+def prefix_key(col: Column, n: int = 4) -> Column:
+    """First-n-alnum-chars block key — the cheap second pass that
+    catches edits the consonant skeleton is sensitive to."""
+    return F.substring(F.regexp_replace(F.lower(col), "[^a-z0-9]", ""), 1, n)
+
+
+def blocked_links(
+    df: DataFrame,
+    max_dist: int = 1,
+    id_col: str = "id",
+    name_col: str = "name",
+    block_keys: Sequence[Callable[[Column], Column]] = (consonant_key,),
+) -> DataFrame:
+    """All (id_a < id_b) pairs sharing at least one block key with
+    levenshtein(name_a, name_b) <= max_dist.
+
+    Returns (id_a, id_b, name_a, name_b, dist). Empty block keys
+    (records whose name normalizes to '') never pair."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    base = df.select(F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"))
+    posts = None
+    for i, kf in enumerate(block_keys):
+        p = base.select(
+            "_id",
+            "_nm",
+            F.concat(F.lit(f"{i}|"), kf(F.col("_nm"))).alias("bk"),
+        ).where(F.length("bk") > len(f"{i}|"))
+        posts = p if posts is None else posts.unionByName(p)
+    a = posts.select(
+        F.col("_id").alias("id_a"), F.col("_nm").alias("name_a"), "bk"
+    )
+    b = posts.select(
+        F.col("_id").alias("id_b"), F.col("_nm").alias("name_b"), "bk"
+    )
+    cand = (
+        a.join(b, ["bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.select(
+        "id_a", "id_b", "name_a", "name_b", dist.alias("dist")
+    ).where(F.col("dist") <= max_dist)

@@ -1,0 +1,151 @@
+"""Blocked fuzzy record linkage (operators/linkage.py).
+
+Precision is exact by construction (native levenshtein on candidates);
+recall is measured against an UNBLOCKED O(n^2) pure-Python reference on
+a typo fixture, and the consonant block key is byte-checked against its
+generated DuckDB twin (the oracle-gate mechanism)."""
+from __future__ import annotations
+
+import itertools
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.linkage import (
+    blocked_links,
+    consonant_key,
+    consonant_key_sql,
+    prefix_key,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute(recs: dict[int, str], max_dist: int) -> set[tuple[int, int]]:
+    return {
+        (a, b)
+        for a, b in itertools.combinations(sorted(recs), 2)
+        if _lev(recs[a], recs[b]) <= max_dist
+    }
+
+
+# typo fixture: pairs that vowel edits / repeats / punctuation keep in
+# the same consonant block, plus one consonant-edit pair that only the
+# prefix pass can recover, plus a true non-match.
+RECS = {
+    1: "api-gateway-7",
+    2: "api_gateway7",     # punct-only variants: dist 2, same skeleton
+    3: "api-gataway-7",    # vowel typo of 1: dist 1, same skeleton
+    4: "api-gatewayy-7",   # repeat typo of 1: dist 1, same skeleton
+    5: "billing-svc",
+    6: "billing-svk",      # consonant typo: skeleton differs, prefix same
+    7: "zzz-other",
+    8: "",                 # empty never pairs
+}
+
+
+def _run(spark, max_dist, keys):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in RECS.items()], "id long, name string"
+    )
+    rows = blocked_links(df, max_dist=max_dist, block_keys=keys).collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    assert len(pairs) == len(rows), "duplicate pairs emitted"
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.dist == _lev(RECS[r.id_a], RECS[r.id_b]) <= max_dist
+    return pairs
+
+
+def test_precision_exact_and_subset_of_brute(spark):
+    got = _run(spark, 2, (consonant_key,))
+    assert got <= _brute(RECS, 2)
+    # the in-block true pairs are all found
+    assert {(1, 3), (1, 4)} <= got
+
+
+def test_multipass_recovers_consonant_break(spark):
+    single = _run(spark, 1, (consonant_key,))
+    assert (5, 6) not in single  # consonant edit breaks the skeleton
+    multi = _run(spark, 1, (consonant_key, prefix_key))
+    assert (5, 6) in multi
+    assert single <= multi  # union of passes only adds recall
+
+
+def test_full_recall_on_skeleton_stable_edits(spark):
+    # restrict brute to pairs sharing a consonant skeleton: recall there
+    # must be 1.0 (the operator's documented contract)
+    got = _run(spark, 2, (consonant_key,))
+    import re
+
+    def skel(s):
+        low = re.sub(r"[^a-z0-9]", "", s.lower())
+        t = low[:1] + re.sub(r"[aeiou]", "", low[1:])
+        return re.sub(r"(.)\1+", r"\1", t)
+
+    expected = {
+        (a, b)
+        for (a, b) in _brute(RECS, 2)
+        if RECS[a] and RECS[b] and skel(RECS[a]) == skel(RECS[b])
+    }
+    assert got == expected
+
+
+def test_empty_names_never_pair(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "##"), (4, "a")], "id long, name string"
+    )
+    rows = blocked_links(df, max_dist=3).collect()
+    assert rows == []  # '', '##' normalize to empty keys; 'a' is alone
+
+
+def test_max_dist_zero_is_exact_name_match(spark):
+    df = spark.createDataFrame(
+        [(1, "web-1"), (2, "web-1"), (3, "web1")], "id long, name string"
+    )
+    got = {(r.id_a, r.id_b, r.dist) for r in blocked_links(df, max_dist=0).collect()}
+    assert got == {(1, 2, 0)}
+
+
+def test_negative_dist_rejected(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(ValueError):
+        blocked_links(df, max_dist=-1)
+
+
+def test_consonant_key_duckdb_twin_byte_equal(spark):
+    names = sorted(set(RECS.values())) + [
+        "Customer#000000042", "NOODE-42", "  mixed Case  99 ", "aeiou", "x"
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = [
+        r.k for r in
+        df.select(consonant_key(F.col("name")).alias("k")).orderBy("name").collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        r[0] for r in con.execute(
+            f"SELECT {consonant_key_sql('name')} FROM (SELECT unnest(?) AS name) "
+            "ORDER BY name",
+            [names],
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+
+
+def test_docstring_example(spark):
+    df = spark.createDataFrame([("Customer#000000042",)], "name string")
+    [r] = df.select(consonant_key(F.col("name")).alias("k")).collect()
+    assert r.k == "cstmr042"
