@@ -75,6 +75,8 @@ _SEARCH_QUERY = ("merge", "spark", "window")
 # fixed stage sequence for the funnel audit in topk_users
 # (operators/funnel.py); the DuckDB twin replays the identical chain
 _FUNNEL_STAGES = ("signup", "view", "purchase")
+# fixed probe users for the Count-Min audit section in topk_users
+_CM_PROBES = (1, 2, 3, 4, 5)
 
 # CIDR table for the enrich_broadcast audit (operators/iplookup.py):
 # three NESTED prefixes so longest-prefix-match actually fires —
@@ -546,7 +548,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("stage_idx").alias("user_id"),
             F.col("n_users").alias("n"),
         )
-        return topk.unionByName(funnel)
+        # + Count-Min sketch audit (operators/cmsketch.py — the
+        # overestimating counterpart of the Misra-Gries hh section in
+        # vocab_topk): build the d=3/w=256 sketch over user_id in one
+        # exploded hash aggregation (cells cap the shuffle at d*w), then
+        # point-estimate five fixed probe users. Estimates are
+        # deterministic given the md5 bucket arithmetic, so the DuckDB
+        # twin replays build+probe bit-exactly (cm_estimate_sql,
+        # generated from the same constants).
+        from node_log_forwarder_spark.operators.cmsketch import (
+            cm_estimate,
+            cm_sketch,
+        )
+
+        sk = cm_sketch(ev, "user_id", width=256, depth=3, seed="cmu")
+        qdf = spark.createDataFrame([(v,) for v in _CM_PROBES], "qv long")
+        cm = cm_estimate(sk, qdf, "qv", width=256, depth=3, seed="cmu").select(
+            F.lit("cm").alias("section"),
+            F.col("qv").alias("user_id"),
+            F.col("est").alias("n"),
+        )
+        return topk.unionByName(funnel).unionByName(cm)
     q["topk_users"] = q_topk_users
 
     # --- rollup (grouping sets) ------------------------------------------------
@@ -1479,9 +1501,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_json_extract(spark, sf):
         ev = _t(spark, sf, "events")
         k = F.from_json(F.col("props"), "k int").getField("k")
-        return ev.groupBy("event_type").agg(
+        base = ev.groupBy("event_type").agg(
             F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
         )
+        # + pivot/unpivot round-trip audit (operators/pivot.py):
+        # events reshape to one column per event_type over hourly row
+        # keys (explicit config-scale vocabulary — never an inferred
+        # distinct job at 10^12 rows), melt back, re-aggregate. The
+        # DuckDB twin aggregates the LONG form directly: hash equality
+        # proves the wide reshape is lossless (absent-as-zero), the
+        # same mechanism-vs-semantics policy as the interval-join gate.
+        from node_log_forwarder_spark.operators.pivot import (
+            pivot_wide,
+            unpivot_long,
+        )
+
+        # bounded driver collect: event-type vocabulary is config-scale
+        vocab = [
+            r[0]
+            for r in ev.select("event_type")
+            .where(F.col("event_type").isNotNull())
+            .distinct()
+            .orderBy("event_type")
+            .collect()
+        ]
+        hourly = ev.select(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr"),
+            "event_type",
+        )
+        wide = pivot_wide(hourly, "hr", "event_type", vocab)
+        long = unpivot_long(wide, "hr", vocab, var_name="et", value_name="cnt")
+        psect = (
+            long.groupBy("et")
+            .agg(F.sum("cnt").alias("n"))
+            .select(
+                F.concat(F.lit("_pivot:"), F.col("et")).alias("event_type"),
+                F.lit(0).cast("long").alias("sum_k"),
+                F.col("n"),
+            )
+        )
+        return base.unionByName(psect)
     q["json_extract"] = q_json_extract
 
     # --- grouped-map UDF (applyInPandas): whole-conversation stats ----------------------
@@ -1532,12 +1591,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_running_total(spark, sf):
         from pyspark.sql import Window
 
+        # + gap-fill audit (operators/interpolate.py): every 5th
+        # event's value is masked to NULL, then forward-filled and
+        # linearly interpolated over event time per user. The DuckDB
+        # twin replays with IGNORE NULLS windows + epoch(ts) (same
+        # microsecond-seconds double as Spark's timestamp→double
+        # cast); float parity at round(4) like every windowed float.
+        from node_log_forwarder_spark.operators.interpolate import (
+            forward_fill,
+            linear_interpolate,
+        )
+
         ev = _t(spark, sf, "events").filter(F.col("user_id") < 20)
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        return ev.select(
+        base = ev.select(
             "user_id",
             "event_id",
+            "ts",
             F.round(F.sum("value").over(w), 4).alias("running_value"),
+            F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("_vg"),
+            F.col("ts").cast("timestamp").cast("double").alias("_tsd"),
+        )
+        filled = forward_fill(
+            base, ["user_id"], ["ts", "event_id"], "_vg", out_col="_ff"
+        )
+        interp = linear_interpolate(
+            filled,
+            ["user_id"],
+            "_tsd",
+            "_vg",
+            order=["ts", "event_id"],
+            out_col="_li",
+        )
+        return interp.select(
+            "user_id",
+            "event_id",
+            "running_value",
+            F.round(F.col("_ff"), 4).alias("ffill_value"),
+            F.round(F.col("_li"), 4).alias("interp_value"),
         )
     q["running_total"] = q_running_total
 
@@ -1662,9 +1753,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tmod = feature_model(docs.filter(F.col("doc_id") % 11 == 0), buckets=_B)
         rmod = feature_model(docs.filter(F.col("doc_id") % 7 == 3), buckets=_B)
         dsir = dsir_audit(docs, tmod, rmod, group_col="lang", buckets=_B)
+        # + contrastive negative-sampling audit (r4 s11:
+        # operators/negatives.py — hash-deterministic k=3 negatives per
+        # anchor over the dense doc_id index; self-pairs and the
+        # synthetic positive (doc_id*7+1) mod N excluded). n_neg /
+        # sum_neg per anchor lang gate the md5-mod arithmetic and both
+        # exclusion joins; the DuckDB twin replays them as predicates.
+        from node_log_forwarder_spark.operators.negatives import (
+            sample_negatives,
+        )
+
+        n_docs = docs.count()  # bounded: documents is the 500-row dim
+        cands = docs.select(
+            F.col("doc_id").alias("idx"), F.col("doc_id").alias("cand_id")
+        )
+        pos = docs.select(
+            "doc_id", ((F.col("doc_id") * 7 + 1) % n_docs).alias("pos_id")
+        )
+        negs = sample_negatives(docs, cands, n_docs, k=3, positives=pos)
+        negaud = (
+            negs.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_neg"),
+                F.sum("cand_id").alias("sum_neg"),
+            )
+        )
         return (
             base.join(strat, "lang", "left")
             .join(dsir, "lang", "left")
+            .join(negaud, "lang", "left")
             .select(
                 "lang",
                 "n_sampled",
@@ -1675,6 +1793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.coalesce("sum_strat_ids", F.lit(0)).alias("sum_strat_ids"),
                 F.coalesce("sum_dsir_t", F.lit(0)).alias("sum_dsir_t"),
                 F.coalesce("sum_dsir_r", F.lit(0)).alias("sum_dsir_r"),
+                F.coalesce("n_neg", F.lit(0)).alias("n_neg"),
+                F.coalesce("sum_neg", F.lit(0)).alias("sum_neg"),
             )
         )
     q["sample_hash"] = q_sample_hash
@@ -2140,6 +2260,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(regexp_extract(props, '(\\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
                count(*) AS n
         FROM events GROUP BY event_type
+        UNION ALL
+        -- pivot round-trip twin: the long form aggregated DIRECTLY —
+        -- equality proves Spark's wide reshape lost/invented nothing
+        SELECT concat('_pivot:', event_type), CAST(0 AS BIGINT), count(*)
+        FROM events WHERE event_type IS NOT NULL GROUP BY event_type
     """
 
     sql["conversation_stats"] = f"""
@@ -2239,6 +2364,11 @@ def oracle_sql() -> dict[str, str]:
     # chained running-min windows; strict ts > t_prev makes the result
     # independent of intra-timestamp row order in both engines)
     _fs = _FUNNEL_STAGES
+    from node_log_forwarder_spark.operators.cmsketch import cm_estimate_sql
+
+    _cm_twin = cm_estimate_sql(
+        "events", "user_id", list(_CM_PROBES), width=256, depth=3, seed="cmu"
+    )
     sql["topk_users"] = f"""
         WITH topk AS (
             SELECT 'topk' AS section, user_id, count(*) AS n FROM events
@@ -2269,8 +2399,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'funnel', CAST(3 AS BIGINT),
                    CAST(coalesce(sum(CASE WHEN m2 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM u
-        )
+        ),
+        -- Count-Min twin: full build+probe replay generated from the
+        -- same (width, depth, seed) constants as the Spark sketch
+        cmtwin AS ({_cm_twin})
         SELECT * FROM topk UNION ALL SELECT * FROM fc
+        UNION ALL
+        SELECT 'cm' AS section, CAST(qv AS BIGINT) AS user_id,
+               CAST(est AS BIGINT) AS n
+        FROM cmtwin
     """
 
     # rollup section + weekly cohort-retention section (operators/
@@ -3111,9 +3248,40 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["running_total"] = """
-        SELECT user_id, event_id,
-               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS running_value
-        FROM events WHERE user_id < 20
+        WITH e AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN event_id % 5 <> 0 THEN value END AS vg,
+                 epoch(ts) AS tsd
+          FROM events WHERE user_id < 20
+        ),
+        wnd AS (
+          SELECT user_id, event_id, vg, tsd,
+                 round(sum(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id), 4) AS running_value,
+                 last_value(vg IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS ff,
+                 last_value(CASE WHEN vg IS NOT NULL THEN tsd END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS pt,
+                 last_value(vg IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS py,
+                 first_value(CASE WHEN vg IS NOT NULL THEN tsd END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+                 first_value(vg IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ny
+          FROM e
+        )
+        SELECT user_id, event_id, running_value,
+               round(ff, 4) AS ffill_value,
+               round(CASE WHEN vg IS NOT NULL THEN vg
+                          WHEN pt IS NOT NULL AND nt IS NOT NULL
+                          THEN py + (ny - py) * (tsd - pt) / (nt - pt)
+                     END, 4) AS interp_value
+        FROM wnd
     """
 
     mh_cols8 = ",\n".join(mh(i) for i in range(8))
@@ -3198,14 +3366,36 @@ def oracle_sql() -> dict[str, str]:
           FROM df_ d
           LEFT JOIN tmod t USING (f) LEFT JOIN rmod r ON d.f = r.f
           GROUP BY d.lang
+        ),
+        -- negative-sampling twin (operators/negatives.py): md5-mod
+        -- probes replayed per (anchor, slot); self-pair and the
+        -- synthetic positive (a*7+1) mod N become predicates
+        nn AS (SELECT count(*) AS n FROM documents),
+        nprobe AS (
+          SELECT d.lang, d.doc_id, j,
+                 CAST(concat('0x', substr(md5(concat('neg|', CAST(d.doc_id AS VARCHAR), '|', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT)
+                   % (SELECT n FROM nn) AS neg
+          FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) jj
+        ),
+        negaud AS (
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_neg,
+                 CAST(sum(neg) AS BIGINT) AS sum_neg
+          FROM nprobe
+          WHERE neg <> doc_id
+            AND neg <> (doc_id * 7 + 1) % (SELECT n FROM nn)
+          GROUP BY lang
         )
         SELECT base.lang, n_sampled, n_mixture, sum_shard, n_shard0,
                coalesce(n_strat, 0) AS n_strat,
                coalesce(sum_strat_ids, 0) AS sum_strat_ids,
                coalesce(sum_dsir_t, 0) AS sum_dsir_t,
-               coalesce(sum_dsir_r, 0) AS sum_dsir_r
+               coalesce(sum_dsir_r, 0) AS sum_dsir_r,
+               coalesce(n_neg, 0) AS n_neg,
+               coalesce(sum_neg, 0) AS sum_neg
         FROM base LEFT JOIN strat_agg ON base.lang = strat_agg.lang
                   LEFT JOIN dsir ON base.lang = dsir.lang
+                  LEFT JOIN negaud ON base.lang = negaud.lang
     """
 
     # vocab section + lexical-search section (operators/search.py twin:

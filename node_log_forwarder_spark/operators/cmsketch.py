@@ -1,0 +1,171 @@
+"""Count-Min sketch: mergeable frequency estimation in bounded space.
+
+The complement of `operators/heavyhitters.py` (Misra-Gries): MG
+UNDER-counts (trim subtracts), CM OVER-counts (collisions add) — run
+both and a key's true frequency is bracketed. Unlike MG, a CM sketch
+is a pure commutative monoid over (row, bucket) counter cells, so the
+sketch is EXACTLY partitioning-independent and two sketches merge by
+elementwise sum — the property a 1000-executor rollup (or an
+hour→day cascade, see operators/cascade.py) needs.
+
+Spark-first shape — no UDFs anywhere:
+
+- build: each input row explodes to its d (row_idx, bucket) cells,
+  then ONE hash aggregation. Distinct cell count is capped at d×w, so
+  map-side partial combine bounds the shuffle at tasks×d×w rows no
+  matter how many input rows there are.
+- point estimate: min over the d cells a value hashes to — the
+  classic CM upper bound (est ≥ true; est ≤ true + εN w.h.p. for
+  w = ⌈e/ε⌉). Queries join the sketch broadcast (d×w rows is KBs).
+- merge: union + the same groupBy-sum. `cascade.rollup_cascade`
+  compatible (counters are sums).
+
+The bucket hash is the repo's shared md5 arithmetic (same family as
+`sampling.hash_uniform`), so the DuckDB oracle twin replays it
+bit-exactly: `CAST(concat('0x', substr(md5(...),1,8)) AS BIGINT) % w`.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def cm_bucket(value: Column, row_idx: int, width: int, seed: str) -> Column:
+    """h_j(x) ∈ [0, width): first 8 md5 hex chars of 'seed|j|x' as an
+    unsigned 32-bit int, mod width. Non-negative in both engines."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|{row_idx}|"), value.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(width)
+
+
+def cm_bucket_sql(expr: str, row_idx: int, width: int, seed: str) -> str:
+    """DuckDB twin of `cm_bucket`, generated from the same constants."""
+    md5 = f"md5(concat('{seed}|{row_idx}|', CAST({expr} AS VARCHAR)))"
+    return f"(CAST(concat('0x', substr({md5}, 1, 8)) AS BIGINT) % {width})"
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+    seed: str = "cm",
+) -> DataFrame:
+    """Build the sketch: (row_idx, bucket, cnt) rows, absent cells are
+    implicitly 0. NULL values carry no frequency and are skipped."""
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    v = F.col(value_col)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row_idx"),
+                    cm_bucket(v, j, width, seed).alias("bucket"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(cells.alias("c"), w.alias("_w"))
+        .groupBy(F.col("c.row_idx").alias("row_idx"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Elementwise sum — the monoid combine. Exact: merge(sketch(A),
+    sketch(B)) == sketch(A ∪ B) cell-for-cell."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    width: int,
+    depth: int,
+    seed: str = "cm",
+) -> DataFrame:
+    """Point estimates for each row of ``queries``: adds an ``est``
+    column = min over the d cells (0 when a cell is empty). The sketch
+    (≤ d×w rows) broadcasts; queries never shuffle."""
+    v = F.col(value_col)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row_idx"),
+                    cm_bucket(v, j, width, seed).alias("bucket"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    probed = (
+        queries.select("*", cells.alias("c"))
+        .join(
+            F.broadcast(sketch),
+            (F.col("c.row_idx") == sketch.row_idx)
+            & (F.col("c.bucket") == sketch.bucket),
+            "left",
+        )
+        .select(*queries.columns, F.coalesce(F.col("cnt"), F.lit(0)).alias("_cell"))
+    )
+    return probed.groupBy(*queries.columns).agg(F.min("_cell").alias("est"))
+
+
+def cm_estimate_sql(
+    table: str,
+    value_expr: str,
+    query_values: Sequence[int],
+    width: int,
+    depth: int,
+    seed: str = "cm",
+) -> str:
+    """DuckDB twin: direct estimate replay (build + probe in one
+    query) for a literal query-value list. Returns SQL producing
+    (qv, est) rows."""
+    js = ", ".join(str(j) for j in range(depth))
+    qs = ", ".join(str(q) for q in query_values)
+    cases = " ".join(
+        f"WHEN j = {j} THEN {cm_bucket_sql(value_expr, j, width, seed)}"
+        for j in range(depth)
+    )
+    qcases = " ".join(
+        f"WHEN j = {j} THEN {cm_bucket_sql('qv', j, width, seed)}"
+        for j in range(depth)
+    )
+    return f"""
+        WITH cm_cells AS (
+          SELECT j, CASE {cases} END AS bucket, count(*) AS cnt
+          FROM {table} CROSS JOIN (SELECT unnest([{js}]) AS j) jj
+          WHERE {value_expr} IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        cm_q AS (
+          SELECT p.qv, p.j, coalesce(c.cnt, 0) AS cell
+          FROM (SELECT qv, j, CASE {qcases} END AS bucket
+                FROM (SELECT unnest([{qs}]) AS qv) qq
+                     CROSS JOIN (SELECT unnest([{js}]) AS j) jj) p
+          LEFT JOIN cm_cells c ON c.j = p.j AND c.bucket = p.bucket
+        )
+        SELECT qv, min(cell) AS est FROM cm_q GROUP BY qv
+    """

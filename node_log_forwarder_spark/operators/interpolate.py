@@ -1,0 +1,107 @@
+"""Per-key time-series gap filling: forward/backward fill and linear
+interpolation over event time.
+
+Telemetry streams arrive with holes — a gauge that failed to report, a
+turn whose parsed numeric field missed. Downstream rate/ratio math
+wants a dense series. Three fills, all pure window functions (one
+range/row frame each, no joins, no UDFs — whole-stage codegen'd, ONE
+hash Exchange on the key like every other per-key window op here):
+
+- `forward_fill`: last non-null value at-or-before each row
+  (`F.last(ignorenulls=True)` over UNBOUNDED PRECEDING).
+- `backward_fill`: first non-null at-or-after (mirror frame).
+- `linear_interpolate`: y0 + (y1-y0)*(t-t0)/(t1-t0) between the
+  bracketing non-null observations; rows before the first / after the
+  last observation stay NULL (composable with either fill for
+  endpoint policy). The bracketing (ts, value) pairs ride ONE struct
+  through `last`/`first` ignorenulls — no self-join against the
+  observation set, which is the naive O(n·gap) shape this avoids.
+
+Missing GRID rows (no row at all, vs a row with a null value) are the
+complementary problem — `operators/anomaly.densify_windows` creates
+them; compose densify → interpolate for a fully dense series.
+
+The DuckDB twin uses the same `IGNORE NULLS` window semantics, so the
+driver gate (`running_total` ffill/interp columns) is float-parity at
+round(4) like every windowed float in the registry.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def _wins(keys: Sequence[str], order: Sequence[str]) -> tuple[WindowSpec, WindowSpec]:
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return back, fwd
+
+
+def forward_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    back, _ = _wins(keys, order)
+    return df.withColumn(
+        out_col or f"{value_col}_ffill",
+        F.last(F.col(value_col), ignorenulls=True).over(back),
+    )
+
+
+def backward_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    _, fwd = _wins(keys, order)
+    return df.withColumn(
+        out_col or f"{value_col}_bfill",
+        F.first(F.col(value_col), ignorenulls=True).over(fwd),
+    )
+
+
+def linear_interpolate(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    order: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill NULL ``value_col`` rows by linear interpolation between the
+    nearest non-null observations (by ``ts_col``) within each key.
+    Non-null rows keep their value exactly. ``order`` defaults to
+    (ts_col,) — pass a tiebreaker column for deterministic plans when
+    timestamps can collide."""
+    order = list(order) if order is not None else [ts_col]
+    back, fwd = _wins(keys, order)
+    v, t = F.col(value_col), F.col(ts_col).cast("double")
+    obs = F.when(v.isNotNull(), F.struct(t.alias("t"), v.alias("y")))
+    prev = F.last(obs, ignorenulls=True).over(back)
+    nxt = F.first(obs, ignorenulls=True).over(fwd)
+    # prev/nxt both exist and bracket a gap -> interpolate; a non-null
+    # row is its own prev AND nxt (t1 == t0), guarded before dividing
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev.isNotNull() & nxt.isNotNull(),
+            prev["y"]
+            + (nxt["y"] - prev["y"])
+            * (t - prev["t"])
+            / (nxt["t"] - prev["t"]),
+        )
+    )
+    return df.withColumn(out_col or f"{value_col}_interp", interp)

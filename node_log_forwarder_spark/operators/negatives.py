@@ -1,0 +1,107 @@
+"""Deterministic negative sampling for contrastive training pairs.
+
+Contrastive objectives (retrieval embedders, rerankers) need k
+negatives per anchor. At corpus scale the naive approach — per-anchor
+`ORDER BY rand() LIMIT k` — is a full shuffle per anchor and is not
+reproducible. This operator is the hash-based alternative the repo
+uses everywhere randomness must be rerun-stable (`sampling.py`
+family): negative j of anchor a is `md5(salt|a|j) mod N` over a dense
+candidate index, so the sample is a pure function of (anchor, j,
+salt) — no RNG state, no extra scan, identical on every rerun and at
+any parallelism.
+
+Shape: anchors explode to k (anchor, slot, neg_idx) probes (map-side,
+no shuffle), ONE equi-join attaches the candidate identity/payload,
+and self-pairs plus known positives are removed by a broadcast
+anti-join. Collisions leave a sampled slot empty rather than
+resampling — at corpus scale the loss rate is |positives|/N ≈ 0 and
+resampling loops are not a plan; callers needing exact-k oversample
+slots and keep the first k surviving (documented).
+
+DuckDB twin: the md5-mod arithmetic replays bit-exactly (same family
+as `cmsketch.cm_bucket_sql`).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def neg_index(anchor: Column, slot: int, n: int, salt: str) -> Column:
+    """Candidate index in [0, n) for (anchor, slot): first 8 md5 hex
+    chars of 'salt|anchor|slot' as an unsigned 32-bit int, mod n."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}|"), anchor.cast("string"), F.lit(f"|{slot}")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(n)
+
+
+def neg_index_sql(anchor_expr: str, slot: int, n: int, salt: str) -> str:
+    """DuckDB twin of `neg_index`, generated from the same constants."""
+    md5 = f"md5(concat('{salt}|', CAST({anchor_expr} AS VARCHAR), '|{slot}'))"
+    return f"(CAST(concat('0x', substr({md5}, 1, 8)) AS BIGINT) % {n})"
+
+
+def sample_negatives(
+    anchors: DataFrame,
+    candidates: DataFrame,
+    n_candidates: int,
+    k: int = 4,
+    anchor_col: str = "doc_id",
+    cand_idx_col: str = "idx",
+    cand_id_col: str = "cand_id",
+    positives: DataFrame | None = None,
+    salt: str = "neg",
+) -> DataFrame:
+    """k hash-deterministic negatives per anchor.
+
+    ``candidates`` must carry a dense index column ``cand_idx_col``
+    with values exactly 0..n_candidates-1 (build once with
+    `row_number() - 1` or reuse the `shards.py` sort key) plus the
+    candidate's identity as ``cand_id_col`` and any payload columns.
+    Returns (anchor_col, slot, <cand_id_col>, payload...); self-pairs
+    (cand_id == anchor) and any (anchor, cand_id) present in
+    ``positives`` (columns: anchor_col, ``pos_id``) are dropped,
+    leaving that slot absent.
+    """
+    if k < 1 or n_candidates < 1:
+        raise ValueError("k and n_candidates must be >= 1")
+    a = F.col("_anchor")
+    probes = (
+        anchors.select(F.col(anchor_col).alias("_anchor"))
+        .select(
+            "_anchor",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("slot"),
+                            neg_index(a, j, n_candidates, salt).alias("neg_idx"),
+                        )
+                        for j in range(k)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("_anchor", F.col("p.slot").alias("slot"), F.col("p.neg_idx").alias("neg_idx"))
+    )
+    out = (
+        probes.join(candidates, probes.neg_idx == candidates[cand_idx_col], "inner")
+        .drop(cand_idx_col, "neg_idx")
+        .where(F.col(cand_id_col) != F.col("_anchor"))
+    )
+    if positives is not None:
+        pos = positives.select(
+            F.col(anchor_col).alias("_anchor"), F.col("pos_id").alias(cand_id_col)
+        )
+        out = out.join(F.broadcast(pos), ["_anchor", cand_id_col], "left_anti")
+    return out.withColumnRenamed("_anchor", anchor_col)

@@ -1,0 +1,107 @@
+"""PageRank over the tool-transition graph (iterative DataFrame jobs).
+
+`operators/toolchain.py` mines (src_tool, dst_tool, n) transition
+edges from transcripts; PageRank on that graph ranks tools by flow
+centrality ("which tool do agent loops orbit around"). The classic
+iterative-algorithm shape on Spark, done the way a 100-TB graph needs:
+
+- Edges carry WEIGHTS (transition counts): contribution splits
+  proportionally to weight, i.e. a random surfer follows an outgoing
+  edge with probability weight/out_weight.
+- Per iteration: ONE broadcast-or-shuffle join (ranks × edges, ranks
+  is |V| rows — tool/rule vocabularies are config-scale, so Spark
+  auto-broadcasts it under the 10 MB threshold) + one groupBy(dst).
+- Dangling nodes (no out-edges) redistribute their mass uniformly —
+  a 1-row aggregate crossed onto the update, not a join explosion.
+- `localCheckpoint` every iteration truncates the lineage/plan: an
+  iterative union of 20 joins otherwise compounds Catalyst analysis
+  exponentially (the bpe_train/cluster.py lesson, applied here).
+- Convergence by L1 delta against a driver-side epsilon on |V|-scale
+  numbers (bounded collect, same policy as IVF centroids).
+
+No driver gate: iterative float fixpoints are the documented
+rows-only/pytest class (same policy as bpe_train, cluster). The
+pytest gate is exact-structure equality with a pure-Python power
+iteration at 1e-9 plus the analytic two-node fixpoint.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank → (node, rank), ranks summing to 1.
+
+    ``edges``: one row per directed edge; parallel edges allowed
+    (weights add). Vertices = union of src and dst values.
+    """
+    if not 0 < damping < 1:
+        raise ValueError("damping must be in (0, 1)")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    # normalize edge weight to a transition probability once, up front
+    out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iter):
+        contrib = (
+            trans.join(ranks, trans.src == ranks.node)
+            .select("dst", (F.col("p") * F.col("rank")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass: rank sitting on nodes with no out-edges
+        dangling = (
+            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        dm = dangling.collect()[0].dm  # 1-row aggregate, driver scalar
+        new = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dm / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        delta = (
+            new.join(ranks.withColumnRenamed("rank", "old"), "node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+            .collect()[0]
+            .d
+        )
+        ranks = new
+        if delta is not None and delta < tol:
+            break
+    return ranks

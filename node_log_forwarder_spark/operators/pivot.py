@@ -1,0 +1,88 @@
+"""Pivot / unpivot (long↔wide reshaping) with an explicit vocabulary.
+
+The forwarder's per-sink/per-rule counter tables are long-form
+(key, metric, n); dashboards and per-destination exports want them
+wide (one column per metric). Spark's `.pivot(col)` WITHOUT a values
+list runs a hidden driver-side distinct job over the pivot column —
+at 10^12 rows that is an unbounded extra pass and an unbounded-width
+schema. Both operators here therefore take the category vocabulary
+EXPLICITLY: the caller either knows it (rule ids, sink ids, event
+types are config-scale) or computes it once with a bounded distinct
+and reuses it. With values supplied, pivot is a single hash
+aggregation (map-side partial combine, one shuffle on the row key,
+output width fixed at |values|).
+
+`unpivot_long` is the exact inverse on the same vocabulary (Spark's
+native melt/stack — one generator projection, zero shuffles), so
+pivot→unpivot is lossless for absent-as-zero aggregates; the driver
+gate (`json_extract` `_pivot:` rows) hashes the ROUND-TRIP against a
+DuckDB twin that aggregates the long form directly — the reshape
+mechanism is checked against the semantic definition, the same policy
+as the interval-join and CIDR audits.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def pivot_wide(
+    df: DataFrame,
+    row_key: str | Sequence[str],
+    col_key: str,
+    values: Sequence[str],
+    agg: Column | None = None,
+) -> DataFrame:
+    """Wide table: one row per ``row_key``, one column per entry of
+    ``values``, cell = ``agg`` (default row count) over the matching
+    (row, category) slice. Cells with no rows are 0, not NULL — the
+    absent-as-zero convention that makes the reshape invertible.
+
+    Rows whose ``col_key`` is NULL or outside ``values`` are DROPPED
+    (they belong to no declared column); callers wanting a catch-all
+    add an explicit '<other>' category before pivoting.
+    """
+    if not values:
+        raise ValueError("values vocabulary must be non-empty")
+    if len(set(values)) != len(values):
+        raise ValueError("values vocabulary contains duplicates")
+    keys = [row_key] if isinstance(row_key, str) else list(row_key)
+    agg = agg if agg is not None else F.count(F.lit(1))
+    wide = (
+        df.where(F.col(col_key).isin(list(values)))
+        .groupBy(*keys)
+        .pivot(col_key, list(values))
+        .agg(agg)
+    )
+    # absent (row, category) cells come back NULL from pivot; pin 0
+    return wide.select(
+        *keys, *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(v) for v in values]
+    )
+
+
+def unpivot_long(
+    wide: DataFrame,
+    row_key: str | Sequence[str],
+    values: Sequence[str],
+    var_name: str = "key",
+    value_name: str = "n",
+    drop_zeros: bool = False,
+) -> DataFrame:
+    """Exact inverse of `pivot_wide` on the same vocabulary: melt the
+    category columns back to (row_key, var_name, value_name) rows.
+    Native unpivot — one generator projection, zero shuffles.
+    ``drop_zeros`` restores the sparse long form (pivot materialized
+    absent cells as 0)."""
+    if not values:
+        raise ValueError("values vocabulary must be non-empty")
+    if len(set(values)) != len(values):
+        raise ValueError("values vocabulary contains duplicates")
+    keys = [row_key] if isinstance(row_key, str) else list(row_key)
+    long = wide.unpivot(
+        [F.col(k) for k in keys],
+        [F.col(f"`{v}`") for v in values],
+        var_name,
+        value_name,
+    )
+    return long.where(F.col(value_name) != 0) if drop_zeros else long

@@ -1,0 +1,122 @@
+"""Count-Min sketch (operators/cmsketch.py): overestimate-only bound,
+exact monoid merge, partitioning independence, and DuckDB twin parity
+of the full build+probe replay."""
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.cmsketch import (
+    cm_estimate,
+    cm_estimate_sql,
+    cm_merge,
+    cm_sketch,
+)
+
+VALS = [1, 1, 1, 1, 2, 2, 3, 7, 7, 7, 7, 7, 7, 11, 13, 13]
+
+
+def _df(spark, vals=VALS):
+    return spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v long")
+
+
+def _est(spark, df, queries, width, depth, seed="cm"):
+    qdf = spark.createDataFrame([(q,) for q in queries], "qv long")
+    sk = cm_sketch(df, "v", width=width, depth=depth, seed=seed)
+    out = cm_estimate(sk, qdf, "qv", width=width, depth=depth, seed=seed)
+    return {r.qv: r.est for r in out.collect()}
+
+
+def test_overestimate_only_and_exact_when_wide(spark):
+    df = _df(spark)
+    truth = Counter(VALS)
+    est = _est(spark, df, [1, 2, 3, 7, 11, 13, 99], width=4096, depth=4)
+    for qv, e in est.items():
+        assert e >= truth.get(qv, 0), (qv, e)
+    # width 4096 over 6 distinct values: collisions vanishingly unlikely
+    # under md5 — pin exactness (deterministic given the fixed seed)
+    assert est == {1: 4, 2: 2, 3: 1, 7: 6, 11: 1, 13: 2, 99: 0}
+
+
+def test_width_one_collapses_to_total(spark):
+    est = _est(spark, _df(spark), [1, 99], width=1, depth=3)
+    assert est == {1: len(VALS), 99: len(VALS)}
+
+
+def test_merge_is_exact_monoid(spark):
+    a, b = VALS[:9], VALS[9:]
+    sa = cm_sketch(_df(spark, a), "v", width=64, depth=3)
+    sb = cm_sketch(_df(spark, b), "v", width=64, depth=3)
+    merged = {
+        (r.row_idx, r.bucket): r.cnt for r in cm_merge(sa, sb).collect()
+    }
+    direct = {
+        (r.row_idx, r.bucket): r.cnt
+        for r in cm_sketch(_df(spark), "v", width=64, depth=3).collect()
+    }
+    assert merged == direct
+
+
+def test_partitioning_independent(spark):
+    df = _df(spark)
+    one = {
+        (r.row_idx, r.bucket): r.cnt
+        for r in cm_sketch(df.repartition(1), "v", width=64, depth=3).collect()
+    }
+    many = {
+        (r.row_idx, r.bucket): r.cnt
+        for r in cm_sketch(df.repartition(7), "v", width=64, depth=3).collect()
+    }
+    assert one == many
+
+
+def test_weight_column(spark):
+    df = spark.createDataFrame([(1, 10), (1, 5), (2, 7)], "v long, w long")
+    qdf = spark.createDataFrame([(1,), (2,)], "qv long")
+    sk = cm_sketch(df, "v", width=1024, depth=3, weight_col="w")
+    est = {
+        r.qv: r.est
+        for r in cm_estimate(sk, qdf, "qv", width=1024, depth=3).collect()
+    }
+    assert est == {1: 15, 2: 7}
+
+
+def test_nulls_carry_no_frequency(spark):
+    df = spark.createDataFrame([(1,), (None,), (None,)], "v long")
+    sk = cm_sketch(df, "v", width=1024, depth=2)
+    assert sum(r.cnt for r in sk.collect()) == 2  # 1 value x depth 2
+
+
+def test_param_validation(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError):
+        cm_sketch(df, "v", width=0)
+    with pytest.raises(ValueError):
+        cm_sketch(df, "v", depth=0)
+    with pytest.raises(ValueError):
+        cm_merge()
+
+
+def test_duckdb_twin_replay(spark):
+    queries = [1, 2, 3, 7, 11, 13, 99]
+    got = _est(spark, _df(spark), queries, width=32, depth=4, seed="cmx")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": VALS}))
+    want = dict(
+        con.execute(
+            cm_estimate_sql("t", "v", queries, width=32, depth=4, seed="cmx")
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_plan_native_single_exchange(spark):
+    sk = cm_sketch(_df(spark), "v", width=64, depth=4)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1  # the one cell-aggregation shuffle

@@ -1,0 +1,107 @@
+"""Gap filling (operators/interpolate.py): fill semantics vs
+hand-computed fixtures, a pure-Python reference, and the DuckDB
+IGNORE NULLS twin the driver gate builds on."""
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.interpolate import (
+    backward_fill,
+    forward_fill,
+    linear_interpolate,
+)
+
+# (key, ts, value): leading null, interior gap of 2, trailing null
+ROWS = [
+    ("a", 0.0, None),
+    ("a", 1.0, 10.0),
+    ("a", 2.0, None),
+    ("a", 3.0, None),
+    ("a", 4.0, 40.0),
+    ("a", 5.0, None),
+    ("b", 0.0, 7.0),
+    ("b", 10.0, None),
+    ("b", 30.0, 13.0),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "k string, ts double, v double")
+
+
+def test_forward_fill(spark):
+    out = forward_fill(_df(spark), ["k"], ["ts"], "v")
+    got = {(r.k, r.ts): r.v_ffill for r in out.collect()}
+    assert got[("a", 0.0)] is None          # nothing before
+    assert got[("a", 2.0)] == 10.0
+    assert got[("a", 3.0)] == 10.0
+    assert got[("a", 5.0)] == 40.0
+    assert got[("b", 10.0)] == 7.0          # keys isolated
+
+
+def test_backward_fill(spark):
+    out = backward_fill(_df(spark), ["k"], ["ts"], "v")
+    got = {(r.k, r.ts): r.v_bfill for r in out.collect()}
+    assert got[("a", 0.0)] == 10.0
+    assert got[("a", 2.0)] == 40.0
+    assert got[("a", 5.0)] is None          # nothing after
+    assert got[("b", 10.0)] == 13.0
+
+
+def test_linear_interpolate_exact(spark):
+    out = linear_interpolate(_df(spark), ["k"], "ts", "v")
+    got = {(r.k, r.ts): r.v_interp for r in out.collect()}
+    assert got[("a", 2.0)] == 20.0          # 10 + (40-10)*(2-1)/(4-1)
+    assert got[("a", 3.0)] == 30.0
+    assert got[("a", 0.0)] is None          # before first obs
+    assert got[("a", 5.0)] is None          # after last obs
+    assert got[("b", 10.0)] == 9.0          # 7 + (13-7)*(10-0)/(30-0)
+    # observed rows pass through bit-exactly
+    assert got[("a", 1.0)] == 10.0 and got[("a", 4.0)] == 40.0
+    assert got[("b", 0.0)] == 7.0 and got[("b", 30.0)] == 13.0
+
+
+def test_duckdb_ignore_nulls_twin(spark):
+    out = linear_interpolate(
+        forward_fill(_df(spark), ["k"], ["ts"], "v"), ["k"], "ts", "v"
+    )
+    got = [
+        (r.k, r.ts, r.v_ffill, r.v_interp)
+        for r in out.orderBy("k", "ts").collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(ROWS, columns=["k", "ts", "v"]))
+    want = con.execute("""
+        SELECT k, ts,
+               last_value(v IGNORE NULLS) OVER
+                 (PARTITION BY k ORDER BY ts ROWS UNBOUNDED PRECEDING) AS f,
+               CASE WHEN v IS NOT NULL THEN v ELSE
+                 py + (ny - py) * (ts - pt) / (nt - pt) END AS li
+        FROM (
+          SELECT *,
+            last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER
+              (PARTITION BY k ORDER BY ts ROWS UNBOUNDED PRECEDING) AS pt,
+            last_value(v IGNORE NULLS) OVER
+              (PARTITION BY k ORDER BY ts ROWS UNBOUNDED PRECEDING) AS py,
+            first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER
+              (PARTITION BY k ORDER BY ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+            first_value(v IGNORE NULLS) OVER
+              (PARTITION BY k ORDER BY ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ny
+          FROM t
+        ) ORDER BY k, ts
+    """).fetchall()
+    con.close()
+    assert got == [tuple(r) for r in want]
+
+
+def test_single_exchange_plan(spark):
+    out = linear_interpolate(
+        forward_fill(_df(spark), ["k"], ["ts"], "v"), ["k"], "ts", "v"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert plan.count("Exchange") == 1  # one hash partition by key

@@ -1,0 +1,107 @@
+"""Deterministic negative sampling (operators/negatives.py):
+reproducibility, exclusion semantics, and md5-arithmetic parity with
+a pure-Python replay."""
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.negatives import (
+    neg_index_sql,
+    sample_negatives,
+)
+
+N = 10  # candidate corpus size
+
+
+def _py_neg(anchor: int, slot: int, salt: str = "neg") -> int:
+    h = hashlib.md5(f"{salt}|{anchor}|{slot}".encode()).hexdigest()
+    return int(h[:8], 16) % N
+
+
+def _frames(spark):
+    anchors = spark.createDataFrame([(i,) for i in (0, 3, 7)], "doc_id long")
+    cands = spark.createDataFrame(
+        [(i, i, f"text-{i}") for i in range(N)],
+        "idx long, cand_id long, text string",
+    )
+    return anchors, cands
+
+
+def test_matches_python_replay_and_self_exclusion(spark):
+    anchors, cands = _frames(spark)
+    out = sample_negatives(anchors, cands, N, k=3)
+    got = {(r.doc_id, r.slot): r.cand_id for r in out.collect()}
+    for a in (0, 3, 7):
+        for j in range(3):
+            want = _py_neg(a, j)
+            if want == a:
+                assert (a, j) not in got  # self-pair dropped
+            else:
+                assert got[(a, j)] == want
+
+
+def test_rerun_and_parallelism_stable(spark):
+    anchors, cands = _frames(spark)
+    one = sorted(
+        (r.doc_id, r.slot, r.cand_id)
+        for r in sample_negatives(anchors.repartition(1), cands, N, k=4).collect()
+    )
+    many = sorted(
+        (r.doc_id, r.slot, r.cand_id)
+        for r in sample_negatives(anchors.repartition(5), cands, N, k=4).collect()
+    )
+    assert one == many and one
+
+
+def test_positives_excluded(spark):
+    anchors, cands = _frames(spark)
+    base = {
+        (r.doc_id, r.cand_id)
+        for r in sample_negatives(anchors, cands, N, k=4).collect()
+    }
+    assert base, "fixture must produce some negatives"
+    a0, c0 = next(iter(base))
+    pos = spark.createDataFrame([(a0, c0)], "doc_id long, pos_id long")
+    after = {
+        (r.doc_id, r.cand_id)
+        for r in sample_negatives(anchors, cands, N, k=4, positives=pos).collect()
+    }
+    assert (a0, c0) not in after
+    assert after == base - {(a0, c0)}
+
+
+def test_payload_carried(spark):
+    anchors, cands = _frames(spark)
+    out = sample_negatives(anchors, cands, N, k=2)
+    for r in out.collect():
+        assert r.text == f"text-{r.cand_id}"
+
+
+def test_sql_twin_matches_python(spark):
+    # the generated DuckDB arithmetic equals the Python replay
+    import duckdb
+
+    for a in (0, 3, 7):
+        for j in range(3):
+            [(v,)] = duckdb.sql(
+                f"SELECT {neg_index_sql(str(a), j, N, 'neg')}"
+            ).fetchall()
+            assert v == _py_neg(a, j)
+
+
+def test_param_validation(spark):
+    anchors, cands = _frames(spark)
+    with pytest.raises(ValueError):
+        sample_negatives(anchors, cands, N, k=0)
+    with pytest.raises(ValueError):
+        sample_negatives(anchors, cands, 0, k=1)
+
+
+def test_plan_no_python_no_cartesian(spark):
+    anchors, cands = _frames(spark)
+    out = sample_negatives(anchors, cands, N, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Cartesian" not in plan

@@ -1,0 +1,91 @@
+"""PageRank (operators/pagerank.py) vs a pure-Python power iteration
+and the analytic two-node fixpoint."""
+from __future__ import annotations
+
+import pytest
+
+from node_log_forwarder_spark.operators.pagerank import pagerank
+
+
+def _py_pagerank(edges, d=0.85, iters=25):
+    w = {}
+    for s, t, wt in edges:
+        w[(s, t)] = w.get((s, t), 0.0) + wt
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    out = {}
+    for (s, t), wt in w.items():
+        out[s] = out.get(s, 0.0) + wt
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0.0 for v in nodes}
+        for (s, t), wt in w.items():
+            inflow[t] += r[s] * wt / out[s]
+        dm = sum(r[v] for v in nodes if v not in out)
+        r = {v: (1 - d) / n + d * (inflow[v] + dm / n) for v in nodes}
+    return r
+
+
+EDGES = [
+    ("grep", "read", 3.0),
+    ("read", "edit", 2.0),
+    ("edit", "test", 2.0),
+    ("test", "edit", 1.0),
+    ("test", "grep", 1.0),
+    ("read", "grep", 1.0),
+]
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    out = pagerank(df, weight_col="w", max_iter=25, tol=0.0, **kw)
+    return {r.node: r.rank for r in out.collect()}
+
+
+def test_matches_python_reference(spark):
+    got = _run(spark, EDGES)
+    want = _py_pagerank([tuple(e) for e in EDGES])
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_two_node_analytic_fixpoint(spark):
+    # a<->b symmetric: rank = 0.5 each, exactly, for any damping
+    got = _run(spark, [("a", "b", 1.0), ("b", "a", 1.0)])
+    assert got["a"] == pytest.approx(0.5, abs=1e-12)
+    assert got["b"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_dangling_mass_redistributes(spark):
+    # b has no out-edges; total rank must still sum to 1
+    got = _run(spark, [("a", "b", 1.0)])
+    want = _py_pagerank([("a", "b", 1.0)])
+    assert got["b"] > got["a"]
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_parallel_edges_add(spark):
+    one = _run(spark, [("a", "b", 2.0), ("b", "a", 1.0)])
+    dup = _run(spark, [("a", "b", 1.0), ("a", "b", 1.0), ("b", "a", 1.0)])
+    for v in one:
+        assert dup[v] == pytest.approx(one[v], abs=1e-12)
+
+
+def test_damping_validation(spark):
+    df = spark.createDataFrame([("a", "b", 1.0)], "src string, dst string, w double")
+    for bad in (0.0, 1.0, 1.5):
+        with pytest.raises(ValueError):
+            pagerank(df, damping=bad)
+
+
+def test_early_convergence_stops(spark):
+    # tol large -> stops after first iteration without error
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], "src string, dst string, w double"
+    )
+    out = pagerank(df, max_iter=50, tol=10.0)
+    assert abs(sum(r.rank for r in out.collect()) - 1.0) < 1e-9

@@ -1,0 +1,87 @@
+"""Pivot/unpivot (operators/pivot.py): explicit-vocabulary reshape,
+absent-as-zero losslessness, and the round-trip identity the driver
+gate (`json_extract` `_pivot:` rows) relies on."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.pivot import pivot_wide, unpivot_long
+
+ROWS = [
+    ("h1", "click", 2.0),
+    ("h1", "click", 3.0),
+    ("h1", "view", 1.0),
+    ("h2", "view", 5.0),
+    ("h2", "error", 7.0),
+    ("h3", "other", 9.0),   # outside the vocabulary -> dropped
+    ("h3", None, 4.0),      # NULL category -> dropped
+    ("h3", "click", 6.0),
+]
+VOCAB = ["click", "view", "error"]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "hr string, et string, val double")
+
+
+def test_pivot_counts_absent_as_zero(spark):
+    wide = pivot_wide(_df(spark), "hr", "et", VOCAB)
+    got = {r.hr: (r.click, r.view, r.error) for r in wide.collect()}
+    assert got == {"h1": (2, 1, 0), "h2": (0, 1, 1), "h3": (1, 0, 0)}
+
+
+def test_round_trip_identity(spark):
+    df = _df(spark)
+    wide = pivot_wide(df, "hr", "et", VOCAB)
+    long = unpivot_long(wide, "hr", VOCAB, var_name="et", value_name="n")
+    got = {(r.hr, r.et): r.n for r in long.collect()}
+    # dense: every (hr, vocab) cell present, zeros included
+    assert len(got) == 3 * len(VOCAB)
+    direct = {
+        (r.hr, r.et): r.n
+        for r in df.where(F.col("et").isin(VOCAB))
+        .groupBy("hr", "et")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sparse = {k: v for k, v in got.items() if v != 0}
+    assert sparse == direct
+    # drop_zeros restores the sparse long form exactly
+    sparse2 = {
+        (r.hr, r.et): r.n
+        for r in unpivot_long(
+            wide, "hr", VOCAB, var_name="et", value_name="n", drop_zeros=True
+        ).collect()
+    }
+    assert sparse2 == direct
+
+
+def test_custom_agg_sum(spark):
+    wide = pivot_wide(_df(spark), "hr", "et", VOCAB, agg=F.sum("val"))
+    got = {r.hr: (r.click, r.view, r.error) for r in wide.collect()}
+    assert got == {"h1": (5.0, 1.0, 0), "h2": (0, 5.0, 7.0), "h3": (6.0, 0, 0)}
+
+
+def test_multi_column_row_key(spark):
+    df = _df(spark).withColumn("day", F.lit("d1"))
+    wide = pivot_wide(df, ["day", "hr"], "et", VOCAB)
+    assert wide.columns == ["day", "hr"] + VOCAB
+    assert wide.count() == 3
+
+
+def test_vocab_validation(spark):
+    df = _df(spark)
+    for bad in ([], ["a", "a"]):
+        with pytest.raises(ValueError):
+            pivot_wide(df, "hr", "et", bad)
+        with pytest.raises(ValueError):
+            unpivot_long(df, "hr", bad)
+
+
+def test_unpivot_adds_no_exchange(spark):
+    wide = pivot_wide(_df(spark), "hr", "et", VOCAB)
+    base = wide._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    long = unpivot_long(wide, "hr", VOCAB)
+    after = long._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert after == base  # melt is a generator projection, no shuffle
