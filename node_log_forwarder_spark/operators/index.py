@@ -1,0 +1,90 @@
+"""Dense global index assignment: ids 0..N-1 in a chosen order.
+
+Several operators here need a DENSE index over a corpus —
+`negatives.py` samples `md5 mod N` against one, PQ/IVF codebooks
+address rows by position, shard readers want gap-free offsets. The
+obvious Spark answers are all wrong at scale:
+
+- `monotonically_increasing_id()` is NOT dense (partition id lives in
+  the high bits — gaps of 2^33 between partitions).
+- `row_number() OVER (ORDER BY ...)` with no partition collapses the
+  whole table through ONE task.
+- `zipWithIndex` drops to RDDs (banned in this repo).
+
+The scale shape implemented here:
+
+1. ONE range shuffle on the order columns + sort within partitions
+   (`repartitionByRange` — the same machinery a global orderBy uses,
+   but we stop before collapsing anything).
+2. Per-partition row counts — an aggregate whose result is
+   #partitions rows (bounded driver state, same policy as IVF
+   centroids / hot-key lists).
+3. Exclusive prefix sum of those counts on the driver → per-partition
+   offsets, broadcast-joined back (map-side, order-preserving).
+4. Local row numbering by an Arrow `mapInPandas` that carries a
+   running counter through the partition's batch iterator — NO second
+   shuffle (a `row_number() OVER (PARTITION BY pid)` would hash-
+   exchange on pid; the map-side counter keeps the range partitioning
+   untouched).
+
+The sorted frame is localCheckpoint'ed so the range shuffle runs ONCE
+(steps 2 and 4 both read it). Result: `idx` is exactly 0..N-1,
+ordered by the order columns (pass a unique tiebreaker for full
+determinism, as every caller here does).
+"""
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def assign_dense_index(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    idx_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``idx_col`` with values exactly 0..N-1, dense and gap-free,
+    ordered by ``order_cols``. One range shuffle total."""
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    cols = [F.col(c) for c in order_cols]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # range shuffle runs once
+    )
+    # bounded: one row per partition
+    counts = {
+        r._pid: r.n
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = ranged.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
+    )
+    joined = ranged.join(F.broadcast(off_df), "_pid")
+
+    def number(batches: Iterator) -> Iterator:
+        seen = 0
+        for pdf in batches:
+            n = len(pdf)
+            pdf[idx_col] = pdf["_off"].to_numpy() + seen + list(range(n))
+            seen += n
+            yield pdf
+
+    # fresh StructType: StructType.add would MUTATE joined's cached schema
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(joined.schema.fields) + [StructField(idx_col, LongType())]
+    )
+    numbered = joined.mapInPandas(number, schema=out_schema)
+    return numbered.drop("_pid", "_off")

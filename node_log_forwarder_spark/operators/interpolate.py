@@ -105,3 +105,69 @@ def linear_interpolate(
         )
     )
     return df.withColumn(out_col or f"{value_col}_interp", interp)
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    lookback: int = 8,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average with a BOUNDED lookback —
+    the smoothed-rate view dashboards put over bursty counters.
+
+    y_t = Σ_{j=0..lookback} (1-α)^j · x_{t-j} / Σ_{j} (1-α)^j, summed
+    over the terms that exist (rows near the partition start normalize
+    over fewer). The truncation error vs the infinite EWMA is
+    (1-α)^(lookback+1) — pick lookback so it's below your display
+    precision (8 at α=0.5 → 0.2%).
+
+    Why bounded: the exact recurrence y_t = αx_t + (1-α)y_{t-1} is not
+    a frame aggregate, and the closed form Σ x_i (1-α)^{t-i} needs
+    (1-α)^{-i} factors that overflow for large partitions. A fixed lag
+    chain is k window expressions SHARING one sort — whole-stage
+    codegen'd, one Exchange, and the DuckDB twin is the identical
+    chain. NULL gaps contribute nothing (their weight drops out of the
+    normalizer); a NULL current value still gets a smoothed estimate
+    from history.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    if lookback < 0:
+        raise ValueError("lookback must be >= 0")
+    w = Window.partitionBy(*keys).orderBy(*order)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(lookback + 1):
+        x = F.lag(F.col(value_col), j).over(w)
+        wt = F.lit((1 - alpha) ** j)
+        num = num + F.coalesce(x * wt, F.lit(0.0))
+        den = den + F.when(x.isNotNull(), wt).otherwise(F.lit(0.0))
+    return df.withColumn(
+        out_col or f"{value_col}_ewma",
+        F.when(den > 0, num / den),
+    )
+
+
+def ewma_oracle_sql(
+    value_expr: str,
+    partition_by: str,
+    order_by: str,
+    alpha: float = 0.5,
+    lookback: int = 8,
+) -> str:
+    """DuckDB twin of `ewma`, generated from the same constants — the
+    identical lag chain and term order, so float results match
+    bit-for-bit."""
+    num, den = [], []
+    for j in range(lookback + 1):
+        lag = f"lag({value_expr}, {j}) OVER (PARTITION BY {partition_by} ORDER BY {order_by})"
+        wt = repr((1 - alpha) ** j)
+        num.append(f"coalesce({lag} * {wt}, 0.0)")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    n = " + ".join(num)
+    d = " + ".join(den)
+    return f"CASE WHEN ({d}) > 0 THEN ({n}) / ({d}) END"

@@ -1,0 +1,92 @@
+"""CUBE / GROUPING SETS pinned (Spark built-in): the multi-granularity
+aggregation surface beyond rollup_counts' ROLLUP — semantics pinned
+against the explicit union-of-groupBys definition and the DuckDB twin.
+
+Scale note: CUBE over g grouping columns replicates each input row
+2^g times pre-aggregation (map-side, before the single shuffle) — the
+right call for the 2-3 dashboard dimensions it's for, and exactly why
+the hour→day→week path uses `operators/cascade.py` (re-aggregate
+partials) instead of a CUBE over time grains."""
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+ROWS = [
+    ("click", "eu", 1),
+    ("click", "us", 2),
+    ("view", "eu", 3),
+    ("view", "eu", 4),
+    ("error", None, 5),  # NULL dimension value vs NULL from the cube total
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "et string, region string, v int")
+
+
+def _key(r):
+    # grouping_id disambiguates a NULL data value from a cube total
+    return (r.et, r.region, r.gid)
+
+
+def test_cube_equals_union_of_groupbys(spark):
+    df = _df(spark)
+    cube = df.cube("et", "region").agg(
+        F.sum("v").alias("s"), F.grouping_id().alias("gid")
+    )
+    got = {_key(r): r.s for r in cube.collect()}
+    manual = {}
+    for r in df.groupBy("et", "region").agg(F.sum("v").alias("s")).collect():
+        manual[(r.et, r.region, 0)] = r.s
+    for r in df.groupBy("et").agg(F.sum("v").alias("s")).collect():
+        manual[(r.et, None, 1)] = r.s
+    for r in df.groupBy("region").agg(F.sum("v").alias("s")).collect():
+        manual[(None, r.region, 2)] = r.s
+    [(total,)] = df.agg(F.sum("v")).collect()
+    manual[(None, None, 3)] = total
+    assert got == manual
+
+
+def test_grouping_sets_sql_subset(spark):
+    df = _df(spark)
+    df.createOrReplaceTempView("gs_ev")
+    rows = spark.sql("""
+        SELECT et, region, sum(v) AS s, grouping_id() AS gid
+        FROM gs_ev GROUP BY GROUPING SETS ((et), (et, region))
+    """).collect()
+    got = {_key(r): r.s for r in rows}
+    # only the two requested grains appear — no grand total, no region-only
+    assert {g for (_, _, g) in got} == {0, 1}
+    assert got[("click", None, 1)] == 3
+    assert got[("view", "eu", 0)] == 7
+
+
+def test_matches_duckdb_cube(spark):
+    got = {
+        _key(r): r.s
+        for r in _df(spark)
+        .cube("et", "region")
+        .agg(F.sum("v").alias("s"), F.grouping_id().alias("gid"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(ROWS, columns=["et", "region", "v"]))
+    want = {
+        (et, region, gid): s
+        for et, region, s, gid in con.execute("""
+            SELECT et, region, CAST(sum(v) AS BIGINT),
+                   grouping(et, region)
+            FROM t GROUP BY CUBE (et, region)
+        """).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+def test_single_shuffle_plan(spark):
+    cube = _df(spark).cube("et", "region").agg(F.sum("v").alias("s"))
+    plan = cube._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # expand is map-side, one shuffle
+    assert "Expand" in plan

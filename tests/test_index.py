@@ -1,0 +1,69 @@
+"""Dense global index (operators/index.py): gap-free 0..N-1, ordered,
+shuffle-bounded, and composable with the negative sampler that
+requires it."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.index import assign_dense_index
+
+
+def _df(spark, n=100):
+    # scrambled insertion order, keys 0..n-1 via a multiplicative perm
+    return spark.createDataFrame(
+        [((i * 37) % n, f"p-{(i * 37) % n}") for i in range(n)],
+        "key long, payload string",
+    )
+
+
+def test_dense_and_ordered(spark):
+    out = assign_dense_index(_df(spark), ["key"], num_partitions=5).collect()
+    assert sorted(r.idx for r in out) == list(range(100))
+    by_key = sorted(out, key=lambda r: r.key)
+    assert [r.idx for r in by_key] == list(range(100))  # idx follows key order
+    for r in out:
+        assert r.payload == f"p-{r.key}"  # payload rides along
+
+
+def test_single_partition_and_many(spark):
+    for parts in (1, 3, 17):
+        out = assign_dense_index(_df(spark, 40), ["key"], num_partitions=parts)
+        assert sorted(r.idx for r in out.collect()) == list(range(40))
+
+
+def test_empty_frame(spark):
+    df = spark.createDataFrame([], "key long, payload string")
+    out = assign_dense_index(df, ["key"])
+    assert out.columns == ["key", "payload", "idx"]
+    assert out.count() == 0
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError):
+        assign_dense_index(_df(spark), [])
+
+
+def test_composes_with_negative_sampler(spark):
+    from node_log_forwarder_spark.operators.negatives import sample_negatives
+
+    docs = spark.createDataFrame(
+        [(i * 10, f"d{i}") for i in range(20)], "doc_id long, text string"
+    )
+    cands = assign_dense_index(
+        docs.select(F.col("doc_id").alias("cand_id")), ["cand_id"],
+        num_partitions=4,
+    )
+    out = sample_negatives(
+        docs.select("doc_id"), cands, 20, k=3, anchor_col="doc_id"
+    )
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r.cand_id % 10 == 0 and r.cand_id != r.doc_id
+
+
+def test_plan_no_row_python(spark):
+    out = assign_dense_index(_df(spark), ["key"], num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # Arrow mapInPandas only

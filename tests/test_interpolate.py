@@ -7,8 +7,12 @@ import duckdb
 import pandas as pd
 from pyspark.sql import functions as F
 
+import pytest
+
 from node_log_forwarder_spark.operators.interpolate import (
     backward_fill,
+    ewma,
+    ewma_oracle_sql,
     forward_fill,
     linear_interpolate,
 )
@@ -96,6 +100,68 @@ def test_duckdb_ignore_nulls_twin(spark):
     """).fetchall()
     con.close()
     assert got == [tuple(r) for r in want]
+
+
+def _py_ewma(vals, alpha, k):
+    out = []
+    for t in range(len(vals)):
+        num = den = 0.0
+        for j in range(k + 1):
+            if t - j >= 0 and vals[t - j] is not None:
+                w = (1 - alpha) ** j
+                num += vals[t - j] * w
+                den += w
+        out.append(num / den if den > 0 else None)
+    return out
+
+
+def test_ewma_matches_python_reference(spark):
+    vals = [10.0, 20.0, None, 40.0, 5.0, None, None, 80.0]
+    df = spark.createDataFrame(
+        [("a", float(i), v) for i, v in enumerate(vals)],
+        "k string, ts double, v double",
+    )
+    out = ewma(df, ["k"], ["ts"], "v", alpha=0.4, lookback=3)
+    got = [r.v_ewma for r in out.orderBy("ts").collect()]
+    want = _py_ewma(vals, 0.4, 3)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        if w is None:
+            assert g is None
+        else:
+            assert g == pytest.approx(w, abs=1e-12)
+
+
+def test_ewma_partition_start_normalizes(spark):
+    # first row: only itself in the window -> ewma == value exactly
+    df = spark.createDataFrame(
+        [("a", 0.0, 42.0), ("b", 0.0, 7.0)], "k string, ts double, v double"
+    )
+    got = {r.k: r.v_ewma for r in ewma(df, ["k"], ["ts"], "v").collect()}
+    assert got == {"a": 42.0, "b": 7.0}
+
+
+def test_ewma_duckdb_twin_bit_exact(spark):
+    df = _df(spark)
+    out = ewma(df, ["k"], ["ts"], "v", alpha=0.3, lookback=4)
+    got = [(r.k, r.ts, r.v_ewma) for r in out.orderBy("k", "ts").collect()]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(ROWS, columns=["k", "ts", "v"]))
+    expr = ewma_oracle_sql("v", "k", "ts", alpha=0.3, lookback=4)
+    want = con.execute(
+        f"SELECT k, ts, {expr} AS e FROM t ORDER BY k, ts"
+    ).fetchall()
+    con.close()
+    assert got == [tuple(r) for r in want]  # bit-for-bit, no rounding
+
+
+def test_ewma_validation(spark):
+    df = _df(spark)
+    for a in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError):
+            ewma(df, ["k"], ["ts"], "v", alpha=a)
+    with pytest.raises(ValueError):
+        ewma(df, ["k"], ["ts"], "v", lookback=-1)
 
 
 def test_single_exchange_plan(spark):
