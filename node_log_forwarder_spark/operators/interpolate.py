@@ -161,11 +161,20 @@ def ewma_oracle_sql(
 ) -> str:
     """DuckDB twin of `ewma`, generated from the same constants — the
     identical lag chain and term order, so float results match
+    bit-for-bit.
+
+    Weight literals are emitted as CAST('<repr>' AS DOUBLE), NOT bare
+    numerics: DuckDB parses a bare numeric literal as DECIMAL and its
+    DECIMAL->DOUBLE cast computes mantissa/10^scale with TWO roundings,
+    which lands 1 ULP off the correctly-rounded strtod result for some
+    weights (measured: 0.7+0.2401 summed as decimal then cast gave
+    ...f7 vs strtod's ...f6, shifting the quotient's last digit). The
+    string cast goes through strtod and matches the Python/JVM literal
     bit-for-bit."""
     num, den = [], []
     for j in range(lookback + 1):
         lag = f"lag({value_expr}, {j}) OVER (PARTITION BY {partition_by} ORDER BY {order_by})"
-        wt = repr((1 - alpha) ** j)
+        wt = f"CAST('{(1 - alpha) ** j!r}' AS DOUBLE)"
         num.append(f"coalesce({lag} * {wt}, 0.0)")
         den.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0.0 END")
     n = " + ".join(num)
