@@ -658,6 +658,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -row table be scanned once for three operational granularities).
         from node_log_forwarder_spark.operators.cascade import rollup_cascade
 
+        # + triangle-count audit (r4 s12: operators/graphstats.py —
+        # degree-ordered oriented wedge close, O(m^1.5) total work, no
+        # hub blowup). Two graphs: the 5-node tool-transition graph
+        # (K5-ish — every degree ties, exercising the (degree, id)
+        # tie-break) and a 101-node deterministic stress graph derived
+        # from events (user_id%101 — event_id%101, ~4.3k edges / ~103k
+        # triangles at sf0.01). The DuckDB twin enumerates triangles
+        # NAIVELY (a<b<c triple self-join), so a hash match proves the
+        # oriented plan finds exactly the same set.
+        from node_log_forwarder_spark.operators.graphstats import triangle_stats
+
+        tool_edges = tool_transitions(transcripts_from_events(ev)).select(
+            F.col("prev_tool").alias("src"), F.col("tool").alias("dst")
+        )
+        g101 = ev.select(
+            (F.col("user_id") % 101).cast("string").alias("src"),
+            (F.col("event_id") % 101).cast("string").alias("dst"),
+        )
+
+        def _tri_rows(edges, tag):
+            st = triangle_stats(edges)
+            per_node = st.select(
+                F.concat(F.lit("_tri:"), F.lit(tag)).alias("event_type"),
+                F.col("node").alias("day"),
+                F.col("n_tri").alias("n"),
+            ).unionByName(
+                st.select(
+                    F.concat(F.lit("_tri:"), F.lit(tag), F.lit(":deg")).alias(
+                        "event_type"
+                    ),
+                    F.col("node").alias("day"),
+                    F.col("degree").cast("bigint").alias("n"),
+                )
+            )
+            total = st.agg(
+                F.coalesce((F.sum("n_tri") / 3).cast("bigint"), F.lit(0)).alias("n")
+            ).select(
+                F.concat(F.lit("_tri:"), F.lit(tag), F.lit(":total")).alias(
+                    "event_type"
+                ),
+                F.lit("<all>").alias("day"),
+                "n",
+            )
+            return per_node.unionByName(total)
+
+        tri_rows = _tri_rows(tool_edges, "tools").unionByName(
+            _tri_rows(g101, "g101")
+        )
         casc = rollup_cascade(ev, ["event_type"], "ts")
         casc_rows = casc["day"].select(
             F.concat(F.lit("_cascade:day:"), F.col("event_type")).alias(
@@ -680,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(loops)
             .unionByName(drift)
             .unionByName(casc_rows)
+            .unionByName(tri_rows)
         )
     q["rollup_counts"] = q_rollup_counts
 
@@ -2514,6 +2563,66 @@ def oracle_sql() -> dict[str, str]:
                strftime(date_trunc('week', ts), '%Y-%m-%d') AS day,
                count(*) AS n
         FROM events GROUP BY 1, 2
+        -- triangle twin (operators/graphstats.py): NAIVE a<b<c triple
+        -- self-join over the identically-derived canonical edge lists;
+        -- a hash match proves the degree-oriented Spark plan enumerates
+        -- exactly the same triangle set on both graphs
+        UNION ALL
+        SELECT event_type, day, n FROM (
+          WITH t3 AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+          tr3 AS (SELECT lag(tool) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS prev_tool,
+                         tool
+                  FROM t3),
+          te AS (SELECT DISTINCT least(prev_tool, tool) AS u,
+                        greatest(prev_tool, tool) AS v
+                 FROM tr3
+                 WHERE prev_tool IS NOT NULL AND prev_tool <> tool),
+          ge AS (SELECT DISTINCT
+                        least(CAST(user_id % 101 AS VARCHAR),
+                              CAST(event_id % 101 AS VARCHAR)) AS u,
+                        greatest(CAST(user_id % 101 AS VARCHAR),
+                                 CAST(event_id % 101 AS VARCHAR)) AS v
+                 FROM events
+                 WHERE CAST(user_id % 101 AS VARCHAR)
+                       <> CAST(event_id % 101 AS VARCHAR)),
+          ttri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                   FROM te e1 JOIN te e2 ON e2.u = e1.v
+                   JOIN te e3 ON e3.u = e1.u AND e3.v = e2.v),
+          gtri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                   FROM ge e1 JOIN ge e2 ON e2.u = e1.v
+                   JOIN ge e3 ON e3.u = e1.u AND e3.v = e2.v),
+          tdeg AS (SELECT node, count(*) AS degree FROM (
+                     SELECT u AS node FROM te
+                     UNION ALL SELECT v FROM te) GROUP BY node),
+          gdeg AS (SELECT node, count(*) AS degree FROM (
+                     SELECT u AS node FROM ge
+                     UNION ALL SELECT v FROM ge) GROUP BY node),
+          tpn AS (SELECT node, count(*) AS n_tri FROM (
+                    SELECT a AS node FROM ttri
+                    UNION ALL SELECT b FROM ttri
+                    UNION ALL SELECT c FROM ttri) GROUP BY node),
+          gpn AS (SELECT node, count(*) AS n_tri FROM (
+                    SELECT a AS node FROM gtri
+                    UNION ALL SELECT b FROM gtri
+                    UNION ALL SELECT c FROM gtri) GROUP BY node)
+          SELECT '_tri:tools' AS event_type, node AS day,
+                 CAST(coalesce(n_tri, 0) AS BIGINT) AS n
+          FROM tdeg LEFT JOIN tpn USING (node)
+          UNION ALL
+          SELECT '_tri:tools:deg', node, CAST(degree AS BIGINT) FROM tdeg
+          UNION ALL
+          SELECT '_tri:tools:total', '<all>',
+                 CAST((SELECT count(*) FROM ttri) AS BIGINT)
+          UNION ALL
+          SELECT '_tri:g101', node, CAST(coalesce(n_tri, 0) AS BIGINT)
+          FROM gdeg LEFT JOIN gpn USING (node)
+          UNION ALL
+          SELECT '_tri:g101:deg', node, CAST(degree AS BIGINT) FROM gdeg
+          UNION ALL
+          SELECT '_tri:g101:total', '<all>',
+                 CAST((SELECT count(*) FROM gtri) AS BIGINT)
+        )
     """
 
     # JL projection twin: the SAME ±1 literal matrix as the Spark query

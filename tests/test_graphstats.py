@@ -1,0 +1,136 @@
+"""Triangle counting / clustering stats (operators/graphstats.py).
+
+Gates: seeded random graphs vs a pure-Python brute force (both the
+triangle SET and per-node counts), the sqrt(2m) oriented out-degree
+bound that makes the plan scale, canonicalization (self-loops,
+duplicates, reversed edges), degenerate graphs, and a plan assert
+that the wedge-close pipeline stays hash-join-only.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.graphstats import (
+    _oriented,
+    node_degrees,
+    triangle_stats,
+    triangles,
+    undirected_edges,
+)
+
+
+def _random_edges(seed: int, n: int, p: float):
+    rng = random.Random(seed)
+    return [
+        (f"n{a}", f"n{b}")
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < p
+    ]
+
+
+def _brute_triangles(pairs):
+    """Set of frozenset triangles + per-node triangle counts."""
+    adj: dict[str, set[str]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = set()
+    for u, v in itertools.combinations(sorted(adj), 2):
+        if v in adj[u]:
+            for w in adj[u] & adj[v]:
+                tris.add(frozenset((u, v, w)))
+    per_node: dict[str, int] = {n: 0 for n in adj}
+    for t in tris:
+        for n in t:
+            per_node[n] += 1
+    return tris, per_node
+
+
+def test_random_graph_matches_brute_force(spark):
+    pairs = _random_edges(seed=7, n=40, p=0.15)
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        frozenset((r.a, r.b, r.c)) for r in triangles(df).collect()
+    }
+    want, per_node = _brute_triangles(pairs)
+    assert got == want and len(want) > 5  # non-degenerate fixture
+
+    stats = {r.node: r for r in triangle_stats(df).collect()}
+    assert {n: r.n_tri for n, r in stats.items()} == per_node
+    for n, r in stats.items():
+        assert r.n_wedges == r.degree * (r.degree - 1) // 2
+
+
+def test_each_triangle_enumerated_exactly_once(spark):
+    pairs = _random_edges(seed=11, n=30, p=0.3)
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    rows = [tuple(sorted((r.a, r.b, r.c))) for r in triangles(df).collect()]
+    assert len(rows) == len(set(rows))
+
+
+def test_oriented_out_degree_bound(spark):
+    # A star + clique mix: the hub would explode a naive wedge join.
+    pairs = [("hub", f"leaf{i}") for i in range(60)]
+    pairs += _random_edges(seed=3, n=12, p=0.8)
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    edges = undirected_edges(df, "src", "dst")
+    m = edges.count()
+    out_deg = (
+        _oriented(edges, node_degrees(edges))
+        .groupBy("lo")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d"))
+        .first()[0]
+    )
+    assert out_deg <= math.isqrt(2 * m) + 1
+    # The hub contributes no wedges at all: every leaf outranks it is
+    # false — the hub has max degree, so every star edge points INTO it.
+    hub_out = (
+        _oriented(edges, node_degrees(edges))
+        .where(F.col("lo") == "hub")
+        .count()
+    )
+    assert hub_out == 0
+
+
+def test_canonicalization(spark):
+    messy = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("c", "a"),
+             ("a", "c"), ("c", "c")]
+    df = spark.createDataFrame(messy, "src string, dst string")
+    assert undirected_edges(df, "src", "dst").count() == 3
+    assert triangles(df).count() == 1
+    stats = {r.node: r.n_tri for r in triangle_stats(df).collect()}
+    assert stats == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_free_and_complete(spark):
+    # Path graph: zero triangles, stats still report every node.
+    path = [(f"p{i}", f"p{i+1}") for i in range(6)]
+    pdf = spark.createDataFrame(path, "src string, dst string")
+    assert triangles(pdf).count() == 0
+    stats = triangle_stats(pdf).collect()
+    assert len(stats) == 7 and all(r.n_tri == 0 for r in stats)
+
+    # K5: C(5,3)=10 triangles, each node in C(4,2)=6, all-tie degrees
+    # exercise the (degree, id) tie-break everywhere.
+    k5 = [(f"k{a}", f"k{b}") for a in range(5) for b in range(a + 1, 5)]
+    kdf = spark.createDataFrame(k5, "src string, dst string")
+    assert triangles(kdf).count() == 10
+    for r in triangle_stats(kdf).collect():
+        assert (r.degree, r.n_tri, r.n_wedges) == (4, 6, 6)
+
+
+def test_plan_hash_joins_only(spark):
+    pairs = _random_edges(seed=5, n=20, p=0.3)
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    plan = triangles(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
