@@ -78,6 +78,10 @@ _FUNNEL_STAGES = ("signup", "view", "purchase")
 # fixed probe users for the Count-Min audit section in topk_users
 _CM_PROBES = (1, 2, 3, 4, 5)
 
+# bigram-count floor for the PMI collocation audit in vocab_topk
+# (operators/collocations.py); the DuckDB twin replays the same floor
+_PMI_MIN_COUNT = 8
+
 # CIDR table for the enrich_broadcast audit (operators/iplookup.py):
 # three NESTED prefixes so longest-prefix-match actually fires —
 # customers with c_nationkey%25==3 land in the /16, and within those the
@@ -493,7 +497,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit(0).alias("burst_emitted"),
             )
         )
-        return damped.unionByName(sect)
+        # + CUSUM level-shift audit (r4 s12: operators/changepoint.py —
+        # Page's statistic via the prefix-sum closed form, integer-
+        # exact after scaling by the key's window count T). Section
+        # rows reuse the frame's columns: n = S+ (scaled), total_value
+        # carries S- (exact integer < 2^53, bit-safe as double),
+        # is_burst/is_quiet = shift_up/shift_down.
+        from node_log_forwarder_spark.operators.changepoint import cusum_flags
+
+        cus = cusum_flags(
+            wc.select("ws", "event_type", "n"),
+            ["event_type"],
+            threshold=1,
+            min_windows=4,
+        ).select(
+            F.col("ws"),
+            F.concat(F.lit("_cusum:"), F.col("event_type")).alias("event_type"),
+            F.col("cusum_pos").alias("n"),
+            F.col("cusum_neg").cast("double").alias("total_value"),
+            F.col("shift_up").alias("is_burst"),
+            F.col("shift_down").alias("is_quiet"),
+            F.lit(0).alias("burst_emitted"),
+        )
+        return damped.unionByName(sect).unionByName(cus)
     q["windowed_counts"] = q_windowed_counts
 
     # --- window function: latest event per user -----------------------------
@@ -1887,7 +1913,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("value").alias("token"),
             F.col("n"),
         )
-        return vocab.unionByName(search).unionByName(hh)
+        # + PMI collocation audit (r4 s12: operators/collocations.py —
+        # map-side bigrams + integer-rational PMI). Gated on the exact
+        # integers (n_ab, num = n_ab*N, den = n_a*n_b); the float ln
+        # view is pytest-gated. min_count keeps the section at the
+        # interesting-pair scale.
+        from node_log_forwarder_spark.operators.collocations import (
+            pmi_collocations,
+        )
+
+        pmi = pmi_collocations(docs, min_count=_PMI_MIN_COUNT)
+        pair = F.concat_ws(">", "w1", "w2")
+        pmi_rows = pmi.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("pmi:nab").alias("section"),
+                        pair.alias("token"),
+                        F.col("n_ab").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("pmi:num").alias("section"),
+                        pair.alias("token"),
+                        F.col("pmi_num").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("pmi:den").alias("section"),
+                        pair.alias("token"),
+                        F.col("pmi_den").alias("n"),
+                    ),
+                )
+            ).alias("kv")
+        ).select("kv.section", "kv.token", "kv.n")
+        return (
+            vocab.unionByName(search).unionByName(hh).unionByName(pmi_rows)
+        )
     q["vocab_topk"] = q_vocab_topk
 
     # --- sketch: HLL approx-distinct. Invariant oracle: n and exact_users are
@@ -2390,6 +2450,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM damped
         UNION ALL
         SELECT * FROM ivj
+        UNION ALL
+        -- CUSUM twin (operators/changepoint.py): same prefix-sum
+        -- closed form on the same T-scaled integers — running sum +
+        -- running min/max per key, threshold=1 x M, min_windows=4
+        SELECT ws, '_cusum:' || event_type AS event_type,
+               CAST(c - least(0, cmin) AS BIGINT) AS n,
+               CAST(greatest(0, cmax) - c AS DOUBLE) AS total_value,
+               CASE WHEN tw >= 4 AND c - least(0, cmin) > m
+                    THEN 1 ELSE 0 END AS is_burst,
+               CASE WHEN tw >= 4 AND greatest(0, cmax) - c > m
+                    THEN 1 ELSE 0 END AS is_quiet,
+               0 AS burst_emitted
+        FROM (
+          SELECT ws, event_type, tw, m,
+                 c,
+                 min(c) OVER o AS cmin,
+                 max(c) OVER o AS cmax
+          FROM (
+            SELECT ws, event_type, tw, m,
+                   sum(dev) OVER (PARTITION BY event_type ORDER BY ws
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS c
+            FROM (
+              SELECT ws, event_type,
+                     count(*) OVER (PARTITION BY event_type) AS tw,
+                     sum(n) OVER (PARTITION BY event_type) AS m,
+                     n * count(*) OVER (PARTITION BY event_type)
+                       - sum(n) OVER (PARTITION BY event_type) AS dev
+              FROM wc
+            )
+          )
+          WINDOW o AS (PARTITION BY event_type ORDER BY ws
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
     """
 
     sql["window_latest"] = """
@@ -3539,9 +3633,40 @@ def oracle_sql() -> dict[str, str]:
         hh AS (
             SELECT 'hh' AS section, lang AS token, count(*) AS n
             FROM documents GROUP BY lang
+        ),
+        -- PMI collocation twin (operators/collocations.py): adjacent
+        -- pairs via two PARALLEL positional unnests of the shifted
+        -- token-list slices (DuckDB zips same-SELECT unnests; no WITH
+        -- ORDINALITY needed), exact integer rational num/den
+        bg AS (
+            SELECT unnest(ls[1:len(ls)-1]) AS w1, unnest(ls[2:len(ls)]) AS w2
+            FROM (SELECT {_TOKENS} AS ls FROM documents)
+            WHERE len(ls) >= 2
+        ),
+        bcnt AS (
+            SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2
+            HAVING count(*) >= {_PMI_MIN_COUNT}
+        ),
+        ucnt AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        ntot AS (SELECT count(*) AS nt FROM toks),
+        pj AS (
+            SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b
+            FROM bcnt JOIN ucnt ua ON ua.token = bcnt.w1
+            JOIN ucnt ub ON ub.token = bcnt.w2
+        ),
+        pmirows AS (
+            SELECT 'pmi:nab' AS section, w1 || '>' || w2 AS token,
+                   CAST(n_ab AS BIGINT) AS n FROM pj
+            UNION ALL
+            SELECT 'pmi:num', w1 || '>' || w2,
+                   CAST(n_ab * (SELECT nt FROM ntot) AS BIGINT) FROM pj
+            UNION ALL
+            SELECT 'pmi:den', w1 || '>' || w2,
+                   CAST(n_a * n_b AS BIGINT) FROM pj
         )
         SELECT * FROM vocab UNION ALL SELECT * FROM srch
         UNION ALL SELECT * FROM hh
+        UNION ALL SELECT * FROM pmirows
     """
 
     # near-dup pairs + connected-components audit: recursive min-label

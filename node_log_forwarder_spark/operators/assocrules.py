@@ -1,0 +1,122 @@
+"""Association-rule mining (pairwise frequent itemsets) over baskets.
+
+"Conversations that use the sql tool also use the browser" — the
+market-basket view of transcripts: baskets = the distinct tool set per
+conversation (or products per user, rule families per source...), and
+the support / confidence / lift of pairwise rules rank which
+co-occurrences are real structure vs popularity artifacts. The
+co-occurrence complement to toolchain.py: chains care about ORDER
+within a conversation, rules about SET membership across it.
+
+Scale design (the Apriori first pass, which for pairs is the whole
+algorithm): one groupBy collapses each basket to its sorted DISTINCT
+item array, then pairs are generated MAP-SIDE from the array (indexed
+transform over suffix slices — no self-join of the basket table, which
+at 10^12 rows would shuffle the corpus against itself), and one
+word-count-shaped groupBy counts pairs. Per-basket work is C(B,2); a
+``max_items`` guard drops pathological baskets (and reports nothing
+for them) instead of letting one hub basket emit 10^12 pairs — the
+standard frequent-itemset mitigation, loudly parameterized. Item
+supports are a vocab-sized table (AQE broadcasts the joins); the
+basket total N is ONE bounded driver scalar.
+
+Exactness: support, confidence, and lift are carried as integer
+rationals — (n_ab, N), (n_ab, n_a), (n_ab*N, n_a*n_b) — so the driver
+gate is hash-exact; float convenience columns are pytest-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_pairs(
+    baskets: DataFrame,
+    basket_col: str = "conv_id",
+    item_col: str = "tool",
+    min_pair_count: int = 1,
+    max_items: int = 1000,
+) -> DataFrame:
+    """(a, b, n_ab) with a < b — number of baskets containing both
+    items. Pairs are built map-side from each basket's sorted distinct
+    item array; baskets larger than ``max_items`` are dropped."""
+    arr = F.array_sort(F.collect_set(F.col(item_col)))
+    sets = (
+        baskets.where(F.col(item_col).isNotNull())
+        .groupBy(basket_col)
+        .agg(arr.alias("_items"))
+        .where(F.size("_items").between(2, max_items))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_items"), i + F.lit(2), F.size("_items")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_count)
+    )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str = "conv_id",
+    item_col: str = "tool",
+    min_pair_count: int = 2,
+    max_items: int = 1000,
+) -> DataFrame:
+    """Directional rules (antecedent -> consequent) for every frequent
+    pair, both directions: (antecedent, consequent, n_ab, n_ante,
+    n_cons, n_baskets, lift_num, lift_den, support, confidence, lift).
+
+    confidence = n_ab / n_ante;  lift = n_ab * N / (n_ante * n_cons).
+    """
+    dedup = baskets.where(F.col(item_col).isNotNull()).select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    item_n = dedup.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+    n_baskets = dedup.select("_b").distinct().count()  # bounded driver scalar
+    pairs = basket_pairs(
+        baskets, basket_col, item_col, min_pair_count, max_items
+    )
+    directional = pairs.select(
+        F.col("a").alias("antecedent"), F.col("b").alias("consequent"), "n_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("antecedent"), F.col("a").alias("consequent"), "n_ab"
+        )
+    )
+    out = (
+        directional.join(
+            item_n.select(F.col("_i").alias("antecedent"), F.col("_n").alias("n_ante")),
+            "antecedent",
+        )
+        .join(
+            item_n.select(F.col("_i").alias("consequent"), F.col("_n").alias("n_cons")),
+            "consequent",
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_ante",
+            "n_cons",
+            F.lit(n_baskets).cast("bigint").alias("n_baskets"),
+            (F.col("n_ab") * F.lit(n_baskets)).cast("bigint").alias("lift_num"),
+            (F.col("n_ante") * F.col("n_cons")).cast("bigint").alias("lift_den"),
+        )
+    )
+    return out.select(
+        "*",
+        (F.col("n_ab") / F.lit(n_baskets)).alias("support"),
+        (F.col("n_ab") / F.col("n_ante")).alias("confidence"),
+        (F.col("lift_num") / F.col("lift_den")).alias("lift"),
+    )

@@ -1,0 +1,112 @@
+"""CUSUM level-shift (changepoint) detection over windowed counts.
+
+`operators/anomaly.py` flags SPIKES (one window far off its trailing
+baseline); this operator flags sustained LEVEL SHIFTS — the "a deploy
+doubled this sink's steady rate" / "this source half-died and stayed
+half-dead" signal a 3x-spike detector never fires on. Classic Page
+(1954) CUSUM, made DataFrame-native:
+
+The textbook recursion S_t = max(0, S_{t-1} + (x_t - ref)) is not a
+window aggregate — but it has a closed form over prefix sums: with
+C_t = sum_{i<=t} (x_i - ref) and C_0 = 0,
+
+    S+_t = C_t - min_{0<=j<=t} C_j      (upward-shift statistic)
+    S-_t = max_{0<=j<=t} C_j - C_t      (downward-shift statistic)
+
+i.e. ONE running sum + ONE running min/max per key — three window
+functions sharing a single sort, one hash Exchange on the key, zero
+iteration, zero UDFs. Like anomaly.py, this runs on the aggregated
+(key, window, n) counts table (#keys x #windows rows), never raw turns.
+
+Exactness: the reference level is the per-key mean, a rational M/T
+(M = total count, T = #windows). Everything is multiplied through by
+T — deviations d_t = n_t*T - M are integers, so the statistics and the
+flag comparisons (S > threshold * M, i.e. cumulative excess greater
+than `threshold` windows' worth of the mean rate) are pure integer
+arithmetic the DuckDB twin reproduces bit-for-bit.
+
+The per-key mean as reference makes this a retrospective segmentation
+scan (an offline changepoint sweep over the counts table); for online
+monitoring feed `ref_num/ref_den` an explicit target rate instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cusum_flags(
+    counts: DataFrame,
+    key_cols: list[str],
+    window_col: str = "ws",
+    n_col: str = "n",
+    threshold: int = 3,
+    min_windows: int = 4,
+) -> DataFrame:
+    """Add integer CUSUM columns to an aggregated counts frame:
+
+    - ``cusum_pos`` / ``cusum_neg``: the upward / downward statistics,
+      scaled by the key's window count T (units: count x windows).
+    - ``shift_up`` / ``shift_down``: 1 when the statistic exceeds
+      ``threshold`` x M (M = the key's total count) — cumulative
+      drift worth more than ``threshold`` windows at the mean rate —
+      and the key has at least ``min_windows`` windows.
+    """
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    pk = Window.partitionBy(*key_cols)
+    ordered = pk.orderBy(window_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t_w = F.count(F.lit(1)).over(pk)
+    m_tot = F.sum(F.col(n_col)).over(pk)
+    dev = F.col(n_col) * t_w - m_tot
+    c = F.sum(dev).over(ordered)
+    staged = counts.select(
+        "*",
+        t_w.alias("_T"),
+        m_tot.alias("_M"),
+        c.alias("_C"),
+        F.min(c).over(ordered).alias("_cmin"),
+        F.max(c).over(ordered).alias("_cmax"),
+    )
+    s_pos = F.col("_C") - F.least(F.lit(0), F.col("_cmin"))
+    s_neg = F.greatest(F.lit(0), F.col("_cmax")) - F.col("_C")
+    eligible = F.col("_T") >= min_windows
+    return staged.select(
+        *counts.columns,
+        s_pos.cast("bigint").alias("cusum_pos"),
+        s_neg.cast("bigint").alias("cusum_neg"),
+        (eligible & (s_pos > threshold * F.col("_M")))
+        .cast("int")
+        .alias("shift_up"),
+        (eligible & (s_neg > threshold * F.col("_M")))
+        .cast("int")
+        .alias("shift_down"),
+    )
+
+
+def changepoints(
+    flagged: DataFrame,
+    key_cols: list[str],
+    window_col: str = "ws",
+) -> DataFrame:
+    """Collapse consecutive flagged windows to their FIRST window per
+    run — the changepoint onset report (one row per shift episode, not
+    one per window it persists). Gaps-and-islands via one lag over the
+    same key partitioning; no new Exchange shape."""
+    w = Window.partitionBy(*key_cols).orderBy(window_col)
+    any_flag = (F.col("shift_up") == 1) | (F.col("shift_down") == 1)
+    prev = F.lag(any_flag.cast("int")).over(w)
+    onset = any_flag & ((prev.isNull()) | (prev == 0))
+    return flagged.withColumn("_onset", onset.cast("int")).where(
+        F.col("_onset") == 1
+    ).select(
+        *key_cols,
+        window_col,
+        "cusum_pos",
+        "cusum_neg",
+        "shift_up",
+        "shift_down",
+    )

@@ -1,0 +1,92 @@
+"""PMI collocation / phrase mining over a document corpus.
+
+"Which word pairs are a unit?" — pointwise mutual information over
+adjacent token pairs (Church & Hanks 1990; the word2phrase score of
+Mikolov et al. 2013 is the same ratio) is the standard first pass for
+phrase vocabulary induction before tokenizer training, and doubles as
+a template-drift signal on log corpora (a new strongly-associated
+bigram = a new message shape).
+
+    PMI(a,b) = ln( P(ab) / (P(a) P(b)) ) = ln( n_ab * N / (n_a * n_b) )
+
+Scale design: bigrams are built MAP-SIDE from each document's token
+array (tokenize once, then transform(sequence(1, n-1)) into (w1, w2)
+structs — zero windows, zero self-joins), so the only data-scale
+shuffle is the bigram groupBy, which combines map-side like any
+word-count. Unigram attach is two joins against the vocab-sized count
+table (AQE broadcasts it); the corpus-total N is ONE driver scalar
+folded in as a literal — never a crossJoin (the drift.py BNLJ lesson).
+A `min_count` floor is applied BEFORE the unigram joins, so the join
+input is the interesting-bigram set, not the long tail.
+
+Exactness: the score is carried as an integer rational —
+``pmi_num = n_ab * N`` and ``pmi_den = n_a * n_b`` — so the driver
+gate (vocab_topk `pmi:*` section rows) is hash-exact with no
+float/log hazard; the float ``pmi`` column is a convenience view
+pytest-gated against a pure-Python reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.functions.text import tokens
+
+
+def bigram_counts(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(w1, w2, n_ab) — adjacent-pair counts across the corpus,
+    tokenized with the shared whitespace rule (functions/text.py)."""
+    staged = docs.select(tokens(F.col(text_col)).alias("_t")).where(
+        F.size("_t") >= 2
+    )
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - 1),
+        lambda i: F.struct(
+            F.element_at("_t", i).alias("w1"),
+            F.element_at("_t", i + 1).alias("w2"),
+        ),
+    )
+    return (
+        staged.select(F.explode(bg).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """(w1, w2, n_ab, n_a, n_b, pmi_num, pmi_den, pmi) for every
+    adjacent pair seen at least ``min_count`` times. pmi_num/pmi_den
+    are the exact integer rational; pmi = ln(pmi_num / pmi_den)."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    uni = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Corpus total: ONE bounded driver scalar, folded in as a literal.
+    n_total = uni.agg(F.sum("n")).first()[0] or 0
+    bi = bigram_counts(docs, text_col, min_count)
+    return (
+        bi.join(uni.select(F.col("token").alias("w1"), F.col("n").alias("n_a")), "w1")
+        .join(uni.select(F.col("token").alias("w2"), F.col("n").alias("n_b")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab") * F.lit(n_total)).cast("bigint").alias("pmi_num"),
+            (F.col("n_a") * F.col("n_b")).cast("bigint").alias("pmi_den"),
+            F.log(F.col("n_ab") * F.lit(n_total) / (F.col("n_a") * F.col("n_b"))).alias(
+                "pmi"
+            ),
+        )
+    )

@@ -1,0 +1,115 @@
+"""k-core decomposition: coreness numbers + k-core subgraph extraction.
+
+"Which part of the graph is load-bearing?" — the k-core (maximal
+subgraph where every node keeps degree >= k) is the standard
+robustness/centrality peel for interaction graphs: tool-transition
+cores identify the workhorse tool cliques, document-link cores the
+canonical citation nucleus, near-dup-candidate cores the pathological
+template families that LSH pair mining surfaces. Coreness complements
+graphstats.py's triangles: triangles measure LOCAL density, coreness
+the node's depth in the GLOBAL density hierarchy.
+
+Scale design — distributed h-index iteration (Montresor, De Pellegrini
+& Miorandi, "Distributed k-core decomposition", PODC 2011; Lü et al.
+2016 prove the h-index fixpoint IS the core number): start every
+node's estimate at its degree, then repeatedly set
+
+    est(u) <- min(est(u), H({est(v) : v ~ u}))
+
+where H is the h-index (largest h such that >= h neighbors have
+estimate >= h). Estimates are integers, monotonically non-increasing,
+bounded below by the true coreness, and the fixpoint equals the core
+number — so convergence is detectable by a single driver scalar
+(sum(est) stops decreasing => pointwise fixpoint, by monotonicity).
+
+Per round: ONE shuffle join (adjacency x estimates, both sides keyed
+by node id — ints only, payload never moves) + one window/groupBy that
+computes the h-index WITHOUT materializing per-node neighbor arrays:
+rank neighbor estimates descending and take max(min(rank, est)) —
+identical to the textbook sorted-list h-index, but expressed as a
+codegen'd window aggregate, so a 10^8-degree hub costs a sort-run
+instead of a driver-sized array. Rounds needed are typically tiny
+(degeneracy-ordered graphs converge in a handful of sweeps); the label
+frame is 2 int columns, lineage-truncated per round via
+localCheckpoint (the bpe_train/cluster.py Catalyst lesson).
+
+No driver/oracle gate: iterative fixpoints are the documented
+rows-only/pytest class (same policy as pagerank/cluster) — but unlike
+pagerank the state is INTEGER, so the pytest gate is exact equality
+with a pure-Python peeling reference (the Batagelj-Zaversnik
+definition), not an epsilon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.graphstats import (
+    node_degrees,
+    undirected_edges,
+)
+
+
+def core_numbers(
+    df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, core) — core number of every node that has at least one
+    (non-self-loop) edge. Isolated nodes never appear, matching
+    graphstats.triangle_stats' vertex universe."""
+    edges = undirected_edges(df, src, dst)
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    adj = adj.localCheckpoint(eager=True)
+    est = node_degrees(edges).select(
+        "node", F.col("degree").cast("int").alias("est")
+    )
+    prev_sum = None
+    w = Window.partitionBy("node").orderBy(F.desc("nbr_est"), F.asc("nbr"))
+    for _ in range(max_rounds):
+        est = est.localCheckpoint(eager=True)
+        cur_sum = est.agg(F.sum("est")).first()[0]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break  # monotone + equal sum => pointwise fixpoint
+        prev_sum = cur_sum
+        nbr_est = adj.join(
+            est.select(F.col("node").alias("nbr"), F.col("est").alias("nbr_est")),
+            "nbr",
+        )
+        h = (
+            nbr_est.select(
+                "node",
+                F.least(F.row_number().over(w), F.col("nbr_est")).alias("m"),
+            )
+            .groupBy("node")
+            .agg(F.max("m").alias("h"))
+        )
+        est = est.join(h, "node").select(
+            "node", F.least(F.col("est"), F.col("h")).alias("est")
+        )
+    return est.select("node", F.col("est").alias("core"))
+
+
+def k_core(
+    df: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Edges (u, v) of the k-core subgraph: both endpoints have core
+    number >= k. Equivalent to iterative peeling (every node the peel
+    would remove has coreness < k and vice versa); the coreness route
+    prices ALL k levels for the cost of one fixpoint."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    edges = undirected_edges(df, src, dst)
+    keep = core_numbers(df, src, dst).where(F.col("core") >= k)
+    return (
+        edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+        .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+        .select("u", "v")
+    )

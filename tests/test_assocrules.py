@@ -1,0 +1,98 @@
+"""Association rules (operators/assocrules.py) vs pure-Python
+itertools reference."""
+
+from __future__ import annotations
+
+import itertools
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.assocrules import (
+    association_rules,
+    basket_pairs,
+)
+
+_ROWS = [
+    ("c1", "sql"), ("c1", "browser"), ("c1", "sql"),  # dup in basket
+    ("c2", "sql"), ("c2", "browser"), ("c2", "bash"),
+    ("c3", "browser"), ("c3", "bash"),
+    ("c4", "sql"), ("c4", "browser"),
+    ("c5", "email"),                                   # singleton basket
+    ("c6", "bash"), ("c6", None),                      # null item ignored
+]
+
+
+def _ref(rows):
+    baskets: dict[str, set] = {}
+    for b, i in rows:
+        if i is not None:
+            baskets.setdefault(b, set()).add(i)
+    items = Counter(i for s in baskets.values() for i in s)
+    pairs = Counter(
+        p
+        for s in baskets.values()
+        for p in itertools.combinations(sorted(s), 2)
+    )
+    return baskets, items, pairs
+
+
+def _df(spark):
+    return spark.createDataFrame(_ROWS, "conv_id string, tool string")
+
+
+def test_pair_counts_match_reference(spark):
+    _, _, pairs = _ref(_ROWS)
+    got = {(r.a, r.b): r.n_ab for r in basket_pairs(_df(spark)).collect()}
+    assert got == dict(pairs)
+    assert got[("browser", "sql")] == 3  # duplicate row counted once
+
+
+def test_rules_exact_rationals_and_floats(spark):
+    baskets, items, pairs = _ref(_ROWS)
+    n = len(baskets)
+    rules = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(_df(spark), min_pair_count=2).collect()
+    }
+    want = {
+        (a, b) for (x, y), c in pairs.items() if c >= 2 for a, b in [(x, y), (y, x)]
+    }
+    assert set(rules) == want
+    for (a, b), r in rules.items():
+        c = pairs[tuple(sorted((a, b)))]
+        assert (r.n_ab, r.n_ante, r.n_cons, r.n_baskets) == (
+            c, items[a], items[b], n,
+        )
+        assert r.lift_num == c * n and r.lift_den == items[a] * items[b]
+        assert abs(r.support - c / n) < 1e-12
+        assert abs(r.confidence - c / items[a]) < 1e-12
+        assert abs(r.lift - c * n / (items[a] * items[b])) < 1e-12
+    # Directionality: confidence differs when supports differ.
+    assert (
+        rules[("bash", "browser")].confidence
+        != rules[("browser", "bash")].confidence
+    )
+
+
+def test_max_items_guard_drops_hub_basket(spark):
+    rows = _ROWS + [("hub", f"i{k}") for k in range(12)]
+    df = spark.createDataFrame(rows, "conv_id string, tool string")
+    small = basket_pairs(df, max_items=10)
+    assert small.where(F.col("a").startswith("i")).count() == 0
+    full = basket_pairs(df, max_items=1000)
+    # all C(12,2) pairs of the hub basket have both elements in i0..i11
+    assert full.where(F.col("a").startswith("i")).count() == 12 * 11 // 2
+
+
+def test_map_side_pairs_plan(spark):
+    plan = (
+        basket_pairs(_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # one Exchange for the basket groupBy + one for the pair groupBy
+    assert plan.count("Exchange") <= 3

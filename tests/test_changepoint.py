@@ -1,0 +1,96 @@
+"""CUSUM changepoint detection (operators/changepoint.py) vs the
+textbook Page recursion, run in pure Python on the same scaled
+integers — proving the prefix-sum closed form used by the window-
+function plan equals max(0, S_{t-1} + d_t) exactly."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.changepoint import (
+    changepoints,
+    cusum_flags,
+)
+
+
+def _series(key, values, start="2026-01-01T00:00:00"):
+    t0 = dt.datetime.fromisoformat(start)
+    return [
+        (key, t0 + dt.timedelta(hours=i), int(v)) for i, v in enumerate(values)
+    ]
+
+
+def _ref_cusum(values):
+    """Textbook recursion on the T-scaled integers."""
+    t = len(values)
+    m = sum(values)
+    s_pos, s_neg, out = 0, 0, []
+    for v in values:
+        d = v * t - m
+        s_pos = max(0, s_pos + d)
+        s_neg = max(0, s_neg - d)
+        out.append((s_pos, s_neg))
+    return out, m
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "key string, ws timestamp, n long")
+    return cusum_flags(df, ["key"], **kw)
+
+
+def test_closed_form_equals_recursion(spark):
+    series = {
+        "shift_up": [10, 10, 10, 10, 30, 30, 30, 30],
+        "shift_down": [50, 50, 50, 5, 5, 5, 5, 5],
+        "noisy_flat": [20, 22, 18, 21, 19, 20, 20, 20],
+        "ramp": [1, 2, 4, 8, 16, 32, 64, 128],
+    }
+    rows = [r for k, v in series.items() for r in _series(k, v)]
+    got = _run(spark, rows, threshold=1).orderBy("key", "ws").collect()
+    for key, values in series.items():
+        ref, m = _ref_cusum(values)
+        mine = [r for r in got if r.key == key]
+        assert [(r.cusum_pos, r.cusum_neg) for r in mine] == ref, key
+        for r, (sp, sn) in zip(mine, ref):
+            assert r.shift_up == int(sp > m)
+            assert r.shift_down == int(sn > m)
+
+
+def test_flat_series_never_flags(spark):
+    got = _run(spark, _series("flat", [7] * 10), threshold=1).collect()
+    assert all(r.cusum_pos == 0 and r.cusum_neg == 0 for r in got)
+    assert all(r.shift_up == 0 and r.shift_down == 0 for r in got)
+
+
+def test_min_windows_guard(spark):
+    rows = _series("cold", [1, 100])
+    got = _run(spark, rows, threshold=1, min_windows=4).collect()
+    assert all(r.shift_up == 0 and r.shift_down == 0 for r in got)
+
+
+def test_changepoint_onset_collapse(spark):
+    # Retrospective scan vs the overall mean (25): the low plateau
+    # flags DOWN from window 2, the high plateau flags UP from window
+    # 6; the flag run is contiguous, so exactly ONE onset survives —
+    # the earliest flagged window, a down-shift.
+    rows = _series("k", [10, 10, 10, 10, 40, 40, 40, 40])
+    flagged = _run(spark, rows, threshold=1)
+    assert flagged.where(F.col("shift_up") == 1).count() >= 2
+    assert flagged.where(F.col("shift_down") == 1).count() >= 2
+    onsets = changepoints(flagged, ["key"]).collect()
+    assert len(onsets) == 1 and onsets[0].shift_down == 1
+    assert onsets[0].ws == dt.datetime.fromisoformat("2026-01-01T01:00:00")
+
+
+def test_one_exchange_no_python(spark):
+    rows = _series("a", [1, 2, 3, 4, 5]) + _series("b", [5, 4, 3, 2, 1])
+    plan = (
+        _run(spark, rows)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2  # createDataFrame parallelize + key hash
+    assert "BatchEvalPython" not in plan

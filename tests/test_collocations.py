@@ -1,0 +1,82 @@
+"""PMI collocation mining (operators/collocations.py) vs pure Python."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.collocations import (
+    bigram_counts,
+    pmi_collocations,
+)
+
+_DOCS = [
+    (1, "new york is a big city"),
+    (2, "new york new york so nice they named it twice"),
+    (3, "a city that is big"),
+    (4, "  new   york \t weather "),
+    (5, ""),
+    (6, "one"),
+]
+
+
+def _ref(rows):
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for _, text in rows:
+        toks = text.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    return uni, bi, sum(uni.values())
+
+
+def _df(spark):
+    return spark.createDataFrame(_DOCS, "doc_id int, text string")
+
+
+def test_bigram_counts_match_reference(spark):
+    uni, bi, _ = _ref(_DOCS)
+    got = {(r.w1, r.w2): r.n_ab for r in bigram_counts(_df(spark)).collect()}
+    assert got == dict(bi)
+    # Whitespace runs collapse; blank and 1-token docs contribute nothing.
+    assert got[("new", "york")] == 4
+
+
+def test_pmi_exact_rational_and_float(spark):
+    uni, bi, n_total = _ref(_DOCS)
+    rows = {(r.w1, r.w2): r for r in pmi_collocations(_df(spark), min_count=2).collect()}
+    assert set(rows) == {p for p, c in bi.items() if c >= 2}
+    for (a, b), r in rows.items():
+        assert r.n_ab == bi[(a, b)]
+        assert r.n_a == uni[a] and r.n_b == uni[b]
+        assert r.pmi_num == bi[(a, b)] * n_total
+        assert r.pmi_den == uni[a] * uni[b]
+        want = math.log(bi[(a, b)] * n_total / (uni[a] * uni[b]))
+        assert abs(r.pmi - want) < 1e-12
+    # 'new york' is the collocation: strongest association in the fixture.
+    best = max(rows.values(), key=lambda r: r.pmi_num / r.pmi_den)
+    assert (best.w1, best.w2) == ("new", "york")
+
+
+def test_min_count_floor_and_validation(spark):
+    all_pairs = pmi_collocations(_df(spark), min_count=1)
+    _, bi, _ = _ref(_DOCS)
+    assert all_pairs.count() == len(bi)
+    try:
+        pmi_collocations(_df(spark), min_count=0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_map_side_bigrams_no_window(spark):
+    plan = (
+        bigram_counts(_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,95 @@
+"""k-core decomposition (operators/kcore.py) vs pure-Python peeling.
+
+The reference implements the DEFINITION (Batagelj-Zaversnik repeated
+peeling of minimum-degree nodes); the operator runs the distributed
+h-index fixpoint — exact integer equality on seeded random graphs is
+the gate that the published equivalence actually holds in this
+implementation.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.kcore import core_numbers, k_core
+
+
+def _random_pairs(seed: int, n: int, p: float):
+    rng = random.Random(seed)
+    return [
+        (f"n{a}", f"n{b}")
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < p
+    ]
+
+
+def _brute_core_numbers(pairs):
+    """Peeling reference: repeatedly delete a minimum-degree node; its
+    core number is the running maximum of min-degrees seen."""
+    adj: dict[str, set[str]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core: dict[str, int] = {}
+    level = 0
+    live = {n: set(v) for n, v in adj.items()}
+    while live:
+        u = min(live, key=lambda n: (len(live[n]), n))
+        level = max(level, len(live[u]))
+        core[u] = level
+        for v in live[u]:
+            live[v].discard(u)
+        del live[u]
+    return core
+
+
+def test_random_graphs_match_peeling(spark):
+    for seed, n, p in [(3, 30, 0.12), (9, 40, 0.25), (21, 25, 0.5)]:
+        pairs = _random_pairs(seed, n, p)
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        got = {r.node: r.core for r in core_numbers(df).collect()}
+        want = _brute_core_numbers(pairs)
+        assert got == want, f"seed={seed}"
+        assert max(want.values()) >= 2  # non-degenerate fixtures
+
+
+def test_known_structures(spark):
+    # K5 glued to a path: clique nodes are 4-core, path tail degrades.
+    k5 = [(f"k{a}", f"k{b}") for a in range(5) for b in range(a + 1, 5)]
+    tail = [("k0", "t1"), ("t1", "t2"), ("t2", "t3")]
+    df = spark.createDataFrame(k5 + tail, "src string, dst string")
+    core = {r.node: r.core for r in core_numbers(df).collect()}
+    assert all(core[f"k{i}"] == 4 for i in range(5))
+    assert core["t1"] == core["t2"] == core["t3"] == 1
+
+    # A cycle is exactly its own 2-core.
+    cyc = [(f"c{i}", f"c{(i + 1) % 6}") for i in range(6)]
+    cdf = spark.createDataFrame(cyc, "src string, dst string")
+    assert {r.core for r in core_numbers(cdf).collect()} == {2}
+
+
+def test_k_core_subgraph(spark):
+    k5 = [(f"k{a}", f"k{b}") for a in range(5) for b in range(a + 1, 5)]
+    tail = [("k0", "t1"), ("t1", "t2")]
+    df = spark.createDataFrame(k5 + tail, "src string, dst string")
+    e2 = k_core(df, 2)
+    nodes = {
+        r[0]
+        for r in e2.select(F.explode(F.array("u", "v"))).distinct().collect()
+    }
+    assert nodes == {f"k{i}" for i in range(5)}
+    assert e2.count() == 10  # exactly the K5 edges survive
+    # k above the degeneracy: empty subgraph, not an error.
+    assert k_core(df, 5).count() == 0
+
+
+def test_duplicate_and_reversed_edges_ignored(spark):
+    messy = [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "a"),
+             ("a", "a")]
+    df = spark.createDataFrame(messy, "src string, dst string")
+    assert {r.core for r in core_numbers(df).collect()} == {2}
