@@ -732,6 +732,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tri_rows = _tri_rows(tool_edges, "tools").unionByName(
             _tri_rows(g101, "g101")
         )
+        # + association-rule audit (r4 s12: operators/assocrules.py —
+        # pairwise Apriori over per-conversation tool baskets; pairs
+        # built MAP-SIDE from sorted distinct item arrays). The DuckDB
+        # twin counts pairs via the NAIVE basket self-join, so a hash
+        # match proves the map-side pair generation equals the semantic
+        # definition (the interval-join gate policy). lift carried as
+        # the exact integer rational num/den.
+        from node_log_forwarder_spark.operators.assocrules import (
+            association_rules,
+        )
+
+        rules = association_rules(
+            transcripts_from_events(ev), min_pair_count=2
+        )
+        rk = F.concat_ws(">", "antecedent", "consequent")
+        rule_rows = rules.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("_rule:nab").alias("event_type"),
+                        rk.alias("day"),
+                        F.col("n_ab").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("_rule:liftnum").alias("event_type"),
+                        rk.alias("day"),
+                        F.col("lift_num").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("_rule:liftden").alias("event_type"),
+                        rk.alias("day"),
+                        F.col("lift_den").alias("n"),
+                    ),
+                )
+            ).alias("kv")
+        ).select("kv.event_type", "kv.day", "kv.n")
         casc = rollup_cascade(ev, ["event_type"], "ts")
         casc_rows = casc["day"].select(
             F.concat(F.lit("_cascade:day:"), F.col("event_type")).alias(
@@ -755,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(drift)
             .unionByName(casc_rows)
             .unionByName(tri_rows)
+            .unionByName(rule_rows)
         )
     q["rollup_counts"] = q_rollup_counts
 
@@ -1620,10 +1657,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- grouped-map UDF (applyInPandas): whole-conversation stats ----------------------
     def q_conversation_stats(spark, sf):
+        # + role-protocol lint audit (r4 s12: operators/protocol.py —
+        # bad_first/n_same_role/n_bad_tool/n_viol folded into the SAME
+        # window + groupBy stage, zero added Exchanges; integer-exact).
         from node_log_forwarder_spark.operators.convstats import conversation_stats
 
         tr = transcripts_from_events(_t(spark, sf, "events"))
-        return conversation_stats(tr)
+        return conversation_stats(tr, include_protocol=True)
     q["conversation_stats"] = q_conversation_stats
 
     # --- byte-equality invariant: per-sink Merkle sha256 over text in stable
@@ -1922,6 +1962,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pmi_collocations,
         )
 
+        # + hybrid-retrieval audit (r4 s12: operators/hybrid.py — RRF
+        # fusion of the tf-idf lexical pool and the cosine vector pool,
+        # id-aligned corpus). Gated on the integer fused RANK; the
+        # two-term IEEE sum is commutative, ties break by id — see
+        # hybrid.py's determinism note.
+        from node_log_forwarder_spark.operators.hybrid import hybrid_topk
+
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding")
+        rrf = hybrid_topk(
+            docs, emb, list(_SEARCH_QUERY), qv, k=10, pool=20
+        ).select(
+            F.lit("rrf").alias("section"),
+            F.col("doc_id").cast("string").alias("token"),
+            F.col("fused_rank").cast("bigint").alias("n"),
+        )
         pmi = pmi_collocations(docs, min_count=_PMI_MIN_COUNT)
         pair = F.concat_ws(">", "w1", "w2")
         pmi_rows = pmi.select(
@@ -1946,7 +2002,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("kv")
         ).select("kv.section", "kv.token", "kv.n")
         return (
-            vocab.unionByName(search).unionByName(hh).unionByName(pmi_rows)
+            vocab.unionByName(search)
+            .unionByName(hh)
+            .unionByName(pmi_rows)
+            .unionByName(rrf)
         )
     q["vocab_topk"] = q_vocab_topk
 
@@ -2380,10 +2439,25 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
         g AS (
           -- integer microsecond gaps: exact, matches the pandas kernel
+          -- + role-protocol lint twin (operators/protocol.py): same
+          -- lag-based flags over the same window
           SELECT conv_id, turn_idx, role, ts,
                  epoch_us(ts) - lag(epoch_us(ts))
-                   OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us,
+                 lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS prev_role
           FROM t
+        ),
+        f AS (
+          SELECT *,
+                 CASE WHEN prev_role IS NULL
+                           AND role NOT IN ('system', 'user')
+                      THEN 1 ELSE 0 END AS bad_first_f,
+                 CASE WHEN prev_role = role THEN 1 ELSE 0 END AS same_role_f,
+                 CASE WHEN role = 'tool' AND (prev_role IS NULL
+                           OR prev_role <> 'assistant')
+                      THEN 1 ELSE 0 END AS bad_tool_f
+          FROM g
         )
         SELECT conv_id,
                count(*) AS n_turns,
@@ -2391,8 +2465,13 @@ def oracle_sql() -> dict[str, str]:
                arg_min(role, turn_idx) AS first_role,
                arg_max(role, turn_idx) AS last_role,
                coalesce(round(avg(gap_us) / 1000000, 4), 0.0) AS mean_gap_s,
-               coalesce(round(CAST(max(gap_us) AS DOUBLE) / 1000000, 4), 0.0) AS max_gap_s
-        FROM g GROUP BY conv_id
+               coalesce(round(CAST(max(gap_us) AS DOUBLE) / 1000000, 4), 0.0) AS max_gap_s,
+               CAST(max(bad_first_f) AS BIGINT) AS bad_first,
+               CAST(sum(same_role_f) AS BIGINT) AS n_same_role,
+               CAST(sum(bad_tool_f) AS BIGINT) AS n_bad_tool,
+               CAST(max(bad_first_f) + sum(same_role_f) + sum(bad_tool_f)
+                    AS BIGINT) AS n_viol
+        FROM f GROUP BY conv_id
     """
 
     # + rate_flags twin (operators/anomaly.py): same integer
@@ -2716,6 +2795,34 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT '_tri:g101:total', '<all>',
                  CAST((SELECT count(*) FROM gtri) AS BIGINT)
+        )
+        -- association-rule twin (operators/assocrules.py): NAIVE
+        -- basket self-join defines the pair semantics the map-side
+        -- array plan must match; lift as exact integer num/den
+        UNION ALL
+        SELECT event_type, day, n FROM (
+          WITH t4 AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+          b4 AS (SELECT DISTINCT conv_id, tool FROM t4
+                 WHERE tool IS NOT NULL),
+          nb4 AS (SELECT count(DISTINCT conv_id) AS nb FROM b4),
+          ic4 AS (SELECT tool, count(*) AS n FROM b4 GROUP BY tool),
+          pc4 AS (SELECT x.tool AS a, y.tool AS b, count(*) AS n_ab
+                  FROM b4 x JOIN b4 y
+                    ON x.conv_id = y.conv_id AND x.tool < y.tool
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+          dr4 AS (SELECT a AS ante, b AS cons, n_ab FROM pc4
+                  UNION ALL SELECT b, a, n_ab FROM pc4),
+          rj4 AS (SELECT ante, cons, n_ab, ia.n AS n_ante, ib.n AS n_cons
+                  FROM dr4 JOIN ic4 ia ON ia.tool = dr4.ante
+                  JOIN ic4 ib ON ib.tool = dr4.cons)
+          SELECT '_rule:nab' AS event_type, ante || '>' || cons AS day,
+                 CAST(n_ab AS BIGINT) AS n FROM rj4
+          UNION ALL
+          SELECT '_rule:liftnum', ante || '>' || cons,
+                 CAST(n_ab * (SELECT nb FROM nb4) AS BIGINT) FROM rj4
+          UNION ALL
+          SELECT '_rule:liftden', ante || '>' || cons,
+                 CAST(n_ante * n_cons AS BIGINT) FROM rj4
         )
     """
 
@@ -3663,10 +3770,47 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'pmi:den', w1 || '>' || w2,
                    CAST(n_a * n_b AS BIGINT) FROM pj
+        ),
+        -- RRF hybrid-retrieval twin (operators/hybrid.py): same rank
+        -- pools (lexical tf-idf reuses sc; vector = 4-dp-rounded
+        -- cosine vs embeddings row 0), same 1/(60+r) fusion
+        lexr AS (
+            SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS r
+            FROM sc
+        ),
+        vqv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id = 0),
+        vsc AS (
+            SELECT vec_id AS doc_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), (SELECT v FROM vqv)), 4)
+                   AS sim
+            FROM embeddings
+        ),
+        vr AS (
+            SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id)
+                   AS r
+            FROM vsc
+        ),
+        rrfc AS (
+            SELECT doc_id, 1.0 / (60 + r) AS c FROM lexr WHERE r <= 20
+            UNION ALL
+            SELECT doc_id, 1.0 / (60 + r) FROM vr WHERE r <= 20
+        ),
+        rrff AS (
+            SELECT doc_id, sum(c) AS s FROM rrfc GROUP BY doc_id
+        ),
+        rrfr AS (
+            SELECT 'rrf' AS section, CAST(doc_id AS VARCHAR) AS token,
+                   CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                        AS BIGINT) AS n
+            FROM rrff
         )
         SELECT * FROM vocab UNION ALL SELECT * FROM srch
         UNION ALL SELECT * FROM hh
         UNION ALL SELECT * FROM pmirows
+        UNION ALL SELECT * FROM rrfr WHERE n <= 10
     """
 
     # near-dup pairs + connected-components audit: recursive min-label

@@ -27,13 +27,21 @@ CONV_STATS_SCHEMA = (
 )
 
 
-def conversation_stats(transcripts: DataFrame) -> DataFrame:
+def conversation_stats(
+    transcripts: DataFrame, include_protocol: bool = False
+) -> DataFrame:
     """Whole-conversation stats; one output row per conv_id.
 
     Native plan: lag() for exact integer-microsecond gaps, min_by/max_by
     for first/last role, one shuffle on conv_id total (the window's hash
     partitioning is reused by the groupBy). Rounds JVM-side (HALF_UP)
     to match the DuckDB oracle exactly.
+
+    ``include_protocol=True`` folds operators/protocol.py's role-lint
+    flags into the SAME window projection and the violation counts into
+    the SAME groupBy — the composed plan has zero additional Exchanges
+    (both stages already hash on conv_id). Appends integer columns
+    bad_first / n_same_role / n_bad_tool / n_viol.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -42,13 +50,13 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
     # parquet sources may carry TIMESTAMP_NTZ; session TZ is pinned UTC so
     # the cast is a pure reinterpretation (same microsecond value)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    g = transcripts.select(
-        "conv_id",
-        "turn_idx",
-        "role",
+    cols = [
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("role"),
         (us - F.lag(us).over(w)).alias("gap_us"),
-    )
-    return g.groupBy("conv_id").agg(
+    ]
+    aggs = [
         F.count(F.lit(1)).alias("n_turns"),
         F.countDistinct("role").alias("n_roles"),
         F.min_by("role", "turn_idx").alias("first_role"),
@@ -57,7 +65,43 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
         F.coalesce(
             F.round(F.max("gap_us").cast("double") / 1_000_000, 4), F.lit(0.0)
         ).alias("max_gap_s"),
-    )
+    ]
+    if include_protocol:
+        from node_log_forwarder_spark.operators.protocol import (
+            DEFAULT_OPENERS,
+        )
+
+        prev = F.lag(F.col("role")).over(w)
+        first = prev.isNull()
+        cols += [
+            (first & ~F.col("role").isin(*DEFAULT_OPENERS))
+            .cast("int")
+            .alias("_bad_first"),
+            F.coalesce((prev == F.col("role")).cast("int"), F.lit(0)).alias(
+                "_same_role"
+            ),
+            ((F.col("role") == "tool") & (first | (prev != F.lit("assistant"))))
+            .cast("int")
+            .alias("_bad_tool"),
+        ]
+        aggs += [
+            F.max("_bad_first").cast("bigint").alias("bad_first"),
+            F.coalesce(F.sum("_same_role"), F.lit(0))
+            .cast("bigint")
+            .alias("n_same_role"),
+            F.coalesce(F.sum("_bad_tool"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bad_tool"),
+            (
+                F.max("_bad_first")
+                + F.coalesce(F.sum("_same_role"), F.lit(0))
+                + F.coalesce(F.sum("_bad_tool"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_viol"),
+        ]
+    g = transcripts.select(*cols)
+    return g.groupBy("conv_id").agg(*aggs)
 
 
 def conversation_stats_grouped_map(transcripts: DataFrame) -> DataFrame:

@@ -1,0 +1,116 @@
+"""Hybrid retrieval: reciprocal-rank fusion of lexical + vector top-k.
+
+The standard RAG retrieval stack is two rankers — BM25/TF-IDF over
+text and cosine over embeddings — fused with Reciprocal Rank Fusion
+(Cormack, Clarke & Buettcher, SIGIR 2009):
+
+    RRF(d) = sum over rankings R of 1 / (k0 + rank_R(d))
+
+RRF needs only RANKS, never the incomparable raw scores, which is why
+it is the default fusion everywhere (Elasticsearch, Vespa, Weaviate
+all ship it). This operator composes the repo's existing scale paths:
+`search.tfidf_int_topk`/`bm25_topk` (isin-pushdown + broadcast-only
+probe) and `similarity.cosine_topk` (broadcast 1-row query, corpus
+never shuffles) — fusion itself joins two k-row frames, driver-free.
+
+Determinism note (why the driver gate is hash-safe): ranks are
+integers; each fused score is a sum of at most len(rankings) IEEE
+doubles 1/(k0+r). With the default two rankers the sum is a single
+commutative IEEE add, bit-identical in any engine; ties (same fused
+score) break by id on both sides. Rank positions — the gated output —
+are therefore exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def add_rank(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """Append a dense 1-based ``rank`` by (score, id) — the global sort
+    here is over a k-row candidate pool, not the corpus."""
+    order = (
+        F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    )
+    w = Window.orderBy(order, F.col(id_col).asc())
+    return scored.select("*", F.row_number().over(w).alias("rank"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, rrf_score, n_lists, fused_rank) for the fused top-k.
+
+    Each input frame carries (``id_col``, ``rank``) with 1-based
+    integer ranks (absent ids simply contribute nothing, the standard
+    RRF convention)."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if rrf_k < 1:
+        raise ValueError("rrf_k must be >= 1")
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            F.col(id_col).alias("id"),
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias("contrib"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy("id").agg(
+        F.sum("contrib").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+    return (
+        fused.select("*", F.row_number().over(w).alias("fused_rank"))
+        .where(F.col("fused_rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "rrf_score", "n_lists", "fused_rank"
+        )
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_tokens: list[str],
+    query_vec: DataFrame,
+    k: int = 10,
+    pool: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused lexical+vector top-k over an id-aligned corpus
+    (``doc_id`` == ``vec_id``). Each ranker contributes its top
+    ``pool``; vector ranking uses the 4-dp-rounded cosine so an
+    oracle that rounds identically ranks identically."""
+    from node_log_forwarder_spark.operators.search import tfidf_int_topk
+    from node_log_forwarder_spark.operators.similarity import cosine
+
+    lex = add_rank(
+        tfidf_int_topk(docs, query_tokens, k=pool, id_col=id_col),
+        "score",
+        id_col,
+    ).select(id_col, "rank")
+    q = F.broadcast(query_vec.select(F.col(vec_col).alias("_qvec")))
+    vec_scored = (
+        embeddings.crossJoin(q)
+        .select(
+            F.col(vec_id_col).alias(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(pool)
+    )
+    vec = add_rank(vec_scored, "sim", id_col).select(id_col, "rank")
+    return rrf_fuse([lex, vec], k=k, rrf_k=rrf_k, id_col=id_col)

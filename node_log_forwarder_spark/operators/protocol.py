@@ -1,0 +1,89 @@
+"""Transcript role-protocol linting — structural validation of
+conversation turn sequences.
+
+Training-data QA for chat/agent corpora starts with protocol checks
+("is this even a well-formed conversation?") long before content
+scoring: a conversation whose first turn is an assistant reply, whose
+user double-texts mid-exchange, or whose tool result follows nothing
+that called a tool is a serialization bug or a scrape artifact, and
+every chat-template tokenizer downstream will mangle it. The same
+checks are the forwarder-side schema lint for multi-turn agent logs.
+
+Checks (each an integer count per conversation, so the driver gate is
+hash-exact):
+
+- ``bad_first``   — 1 if the opening role is not in ``openers``
+                    (default system/user).
+- ``n_same_role`` — consecutive turns with the same role (the
+                    double-text / duplicated-delivery signal).
+- ``n_bad_tool``  — tool turns not directly preceded by an assistant
+                    turn (a tool RESULT must answer a tool CALL).
+- ``n_viol``      — total of the above.
+
+Scale design: one lag() window over (conv_id, turn_idx) + the groupBy
+that conversation_stats already performs — both hash on conv_id, so
+composing this with convstats adds ZERO Exchanges to the plan. Pure
+native expressions (no UDFs); at 10^12 turns the cost is a few more
+codegen'd columns inside the existing window stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_OPENERS = ("system", "user")
+
+
+def role_violation_flags(
+    transcripts: DataFrame,
+    openers: tuple[str, ...] = DEFAULT_OPENERS,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-TURN violation flags (0/1 int columns ``bad_first``,
+    ``same_role``, ``bad_tool`` appended) — the row-level view for
+    routing offending turns to a quarantine sink."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    prev = F.lag(F.col(role_col)).over(w)
+    first = prev.isNull()
+    return transcripts.select(
+        "*",
+        (first & ~F.col(role_col).isin(*openers)).cast("int").alias("bad_first"),
+        F.coalesce((prev == F.col(role_col)).cast("int"), F.lit(0)).alias(
+            "same_role"
+        ),
+        (
+            (F.col(role_col) == "tool")
+            & (first | (prev != F.lit("assistant")))
+        )
+        .cast("int")
+        .alias("bad_tool"),
+    )
+
+
+def role_protocol_stats(
+    transcripts: DataFrame,
+    openers: tuple[str, ...] = DEFAULT_OPENERS,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-CONVERSATION violation counts: (conv_id, bad_first,
+    n_same_role, n_bad_tool, n_viol)."""
+    flags = role_violation_flags(
+        transcripts, openers, conv_col, order_col, role_col
+    )
+    return flags.groupBy(conv_col).agg(
+        F.max("bad_first").alias("bad_first"),
+        F.coalesce(F.sum("same_role"), F.lit(0)).cast("bigint").alias("n_same_role"),
+        F.coalesce(F.sum("bad_tool"), F.lit(0)).cast("bigint").alias("n_bad_tool"),
+        (
+            F.max("bad_first")
+            + F.coalesce(F.sum("same_role"), F.lit(0))
+            + F.coalesce(F.sum("bad_tool"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_viol"),
+    )

@@ -1,0 +1,107 @@
+"""RRF hybrid retrieval (operators/hybrid.py) vs pure-Python RRF."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.hybrid import (
+    add_rank,
+    hybrid_topk,
+    rrf_fuse,
+)
+
+
+def _ranking(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rank int")
+
+
+def _ref_rrf(rankings, rrf_k=60):
+    score: dict[int, float] = {}
+    lists: dict[int, int] = {}
+    for r in rankings:
+        for d, rk in r:
+            score[d] = score.get(d, 0.0) + 1.0 / (rrf_k + rk)
+            lists[d] = lists.get(d, 0) + 1
+    order = sorted(score, key=lambda d: (-score[d], d))
+    return score, lists, order
+
+
+def test_rrf_matches_reference(spark):
+    lex = [(1, 1), (2, 2), (3, 3), (4, 4)]
+    vec = [(3, 1), (1, 2), (5, 3)]
+    score, lists, order = _ref_rrf([lex, vec])
+    got = rrf_fuse(
+        [_ranking(spark, lex), _ranking(spark, vec)], k=10
+    ).collect()
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.fused_rank)] == order
+    for r in got:
+        assert abs(r.rrf_score - score[r.doc_id]) < 1e-15
+        assert r.n_lists == lists[r.doc_id]
+    # doc 1 and 3 both appear in both lists at ranks {1,2}: identical
+    # fused score, tie must break by id — doc 1 first.
+    by_rank = {r.fused_rank: r.doc_id for r in got}
+    assert by_rank[1] == 1 and by_rank[2] == 3
+
+
+def test_single_list_and_k_cut(spark):
+    lex = [(i, i) for i in range(1, 8)]
+    got = rrf_fuse([_ranking(spark, lex)], k=3).collect()
+    assert sorted(r.doc_id for r in got) == [1, 2, 3]
+    assert all(r.n_lists == 1 for r in got)
+
+
+def test_hybrid_topk_on_synthetic_corpus(spark):
+    # 6 docs: lexical hits on 'spark', vectors cluster doc 5 with the
+    # query vector; doc 3 is good at both and must fuse to the top.
+    docs = spark.createDataFrame(
+        [
+            (0, "nothing relevant here"),
+            (1, "spark mention once word word"),
+            (2, "other text entirely"),
+            (3, "spark spark spark strong lexical"),
+            (4, "spark two mentions spark"),
+            (5, "irrelevant text"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.95, 0.05]),
+            (4, [-1.0, 0.0]),
+            (5, [0.99, 0.01]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qv = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
+    got = hybrid_topk(docs, emb, ["spark"], qv, k=3, pool=4).collect()
+    ranks = {r.doc_id: r.fused_rank for r in got}
+    assert ranks[3] == 1  # top in both lists
+    assert 0 in ranks or 5 in ranks  # pure-vector docs still surface
+    two_list = [r for r in got if r.n_lists == 2]
+    assert all(r.doc_id in (1, 3, 4) for r in two_list)
+
+
+def test_validation(spark):
+    try:
+        rrf_fuse([], k=3)
+        assert False
+    except ValueError:
+        pass
+    try:
+        rrf_fuse([_ranking(spark, [(1, 1)])], rrf_k=0)
+        assert False
+    except ValueError:
+        pass
+
+
+def test_add_rank_orders_and_breaks_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 10)], "doc_id long, score long"
+    )
+    got = {r.doc_id: r.rank for r in add_rank(df, "score", "doc_id").collect()}
+    assert got == {2: 1, 1: 2, 3: 3}

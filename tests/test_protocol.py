@@ -1,0 +1,71 @@
+"""Role-protocol linting (operators/protocol.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.protocol import (
+    role_protocol_stats,
+    role_violation_flags,
+)
+
+_ROWS = [
+    # well-formed: system, user, assistant, tool, assistant
+    ("ok", 0, "system"), ("ok", 1, "user"), ("ok", 2, "assistant"),
+    ("ok", 3, "tool"), ("ok", 4, "assistant"),
+    # assistant-first + user double-text
+    ("bad1", 0, "assistant"), ("bad1", 1, "user"), ("bad1", 2, "user"),
+    # orphan tool turns: first turn AND after a user turn
+    ("bad2", 0, "tool"), ("bad2", 1, "user"), ("bad2", 2, "tool"),
+    # triple same-role run counts two adjacencies
+    ("bad3", 0, "user"), ("bad3", 1, "assistant"), ("bad3", 2, "assistant"),
+    ("bad3", 3, "assistant"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(_ROWS, "conv_id string, turn_idx int, role string")
+
+
+def test_per_conversation_counts(spark):
+    got = {r.conv_id: r for r in role_protocol_stats(_df(spark)).collect()}
+    assert (got["ok"].bad_first, got["ok"].n_same_role, got["ok"].n_bad_tool,
+            got["ok"].n_viol) == (0, 0, 0, 0)
+    assert (got["bad1"].bad_first, got["bad1"].n_same_role,
+            got["bad1"].n_bad_tool, got["bad1"].n_viol) == (1, 1, 0, 2)
+    # bad2: tool-first is both bad_first(no: 'tool' not an opener → 1)
+    # and bad_tool; the user→tool adjacency is a second bad_tool.
+    assert (got["bad2"].bad_first, got["bad2"].n_same_role,
+            got["bad2"].n_bad_tool, got["bad2"].n_viol) == (1, 0, 2, 3)
+    assert (got["bad3"].bad_first, got["bad3"].n_same_role,
+            got["bad3"].n_bad_tool, got["bad3"].n_viol) == (0, 2, 0, 2)
+
+
+def test_turn_level_flags(spark):
+    flags = {
+        (r.conv_id, r.turn_idx): (r.bad_first, r.same_role, r.bad_tool)
+        for r in role_violation_flags(_df(spark)).collect()
+    }
+    assert flags[("bad2", 0)] == (1, 0, 1)   # tool-first
+    assert flags[("bad2", 2)] == (0, 0, 1)   # tool after user
+    assert flags[("bad1", 2)] == (0, 1, 0)   # double-text
+    assert flags[("ok", 3)] == (0, 0, 0)     # tool after assistant is fine
+
+
+def test_custom_openers(spark):
+    got = {
+        r.conv_id: r.bad_first
+        for r in role_protocol_stats(_df(spark), openers=("assistant",)).collect()
+    }
+    assert got["bad1"] == 0 and got["ok"] == 1
+
+
+def test_single_exchange_plan(spark):
+    plan = (
+        role_protocol_stats(_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2  # parallelize + conv hash
+    assert "BatchEvalPython" not in plan
