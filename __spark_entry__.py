@@ -768,6 +768,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("kv")
         ).select("kv.event_type", "kv.day", "kv.n")
+        # + tool-latency attribution audit (r4 s12: operators/
+        # latency.py — lead-window gap to the next turn attributed to
+        # the earlier turn's tool; exact integer microseconds).
+        from node_log_forwarder_spark.operators.latency import (
+            tool_latency_stats,
+        )
+
+        lat = tool_latency_stats(transcripts_from_events(ev)).select(
+            F.concat(F.lit("_lat:"), F.col("tool")).alias("event_type"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("n").alias("day"), F.col("n").alias("n")),
+                    F.struct(
+                        F.lit("sum_us").alias("day"), F.col("sum_us").alias("n")
+                    ),
+                    F.struct(
+                        F.lit("max_us").alias("day"), F.col("max_us").alias("n")
+                    ),
+                )
+            ).alias("kv"),
+        ).select("event_type", F.col("kv.day").alias("day"), F.col("kv.n").alias("n"))
+        # + weekly growth-accounting audit (r4 s12: operators/growth.py
+        # — new/returning/resurrected/churned from each user's own
+        # activity timeline; pure integer/date comparisons).
+        from node_log_forwarder_spark.operators.growth import growth_accounting
+
+        gr = growth_accounting(ev).select(
+            F.concat(F.lit("_growth:"), F.col("state")).alias("event_type"),
+            F.date_format("week", "yyyy-MM-dd").alias("day"),
+            F.col("n_users").alias("n"),
+        )
         casc = rollup_cascade(ev, ["event_type"], "ts")
         casc_rows = casc["day"].select(
             F.concat(F.lit("_cascade:day:"), F.col("event_type")).alias(
@@ -792,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(casc_rows)
             .unionByName(tri_rows)
             .unionByName(rule_rows)
+            .unionByName(lat)
+            .unionByName(gr)
         )
     q["rollup_counts"] = q_rollup_counts
 
@@ -2824,6 +2857,60 @@ def oracle_sql() -> dict[str, str]:
           SELECT '_rule:liftden', ante || '>' || cons,
                  CAST(n_ante * n_cons AS BIGINT) FROM rj4
         )
+        -- tool-latency twin (operators/latency.py): lead-window gap in
+        -- integer microseconds attributed to the earlier turn's tool
+        UNION ALL
+        SELECT event_type, day, n FROM (
+          WITH t5 AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+          l5 AS (
+            SELECT tool,
+                   lead(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx)
+                     - epoch_us(ts) AS gap_us
+            FROM t5
+          ),
+          a5 AS (
+            SELECT tool, count(*) AS n, sum(gap_us) AS sum_us,
+                   max(gap_us) AS max_us
+            FROM l5 WHERE gap_us IS NOT NULL GROUP BY tool
+          )
+          SELECT '_lat:' || tool AS event_type, 'n' AS day,
+                 CAST(n AS BIGINT) AS n FROM a5
+          UNION ALL
+          SELECT '_lat:' || tool, 'sum_us', CAST(sum_us AS BIGINT) FROM a5
+          UNION ALL
+          SELECT '_lat:' || tool, 'max_us', CAST(max_us AS BIGINT) FROM a5
+        )
+        -- growth-accounting twin (operators/growth.py): same lag/lead
+        -- classification over distinct (user, week)
+        UNION ALL
+        SELECT '_growth:' || state AS event_type,
+               strftime(week, '%Y-%m-%d') AS day, count(*) AS n
+        FROM (
+          WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events
+          ),
+          st AS (
+            SELECT user_id, week,
+                   lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                     AS pw,
+                   lead(week) OVER (PARTITION BY user_id ORDER BY week)
+                     AS nw
+            FROM uw
+          )
+          SELECT user_id, week,
+                 CASE WHEN pw IS NULL THEN 'new'
+                      WHEN pw + 7 = week THEN 'returning'
+                      ELSE 'resurrected' END AS state
+          FROM st
+          UNION ALL
+          SELECT user_id, week + 7 AS week, 'churned'
+          FROM st
+          WHERE nw IS NULL OR nw > week + 7
+        )
+        GROUP BY 1, 2
     """
 
     # JL projection twin: the SAME ±1 literal matrix as the Spark query

@@ -1,0 +1,83 @@
+"""Weekly growth accounting — new / returning / resurrected / churned.
+
+The standard product-analytics decomposition of weekly active users
+(the "growth accounting" view popularized by the Social Capital
+framework): every (user, active week) is classified from the user's
+OWN activity timeline —
+
+- ``new``         — the user's first active week ever;
+- ``returning``   — also active the immediately preceding week;
+- ``resurrected`` — active before, but not the preceding week;
+
+and ``churned`` is attributed to the week AFTER an active week with no
+activity in it (emitted at last_active_week + 1 when the user goes
+quiet, including past the end of the observed range — the standard
+convention, which keeps new+returning+resurrected−churned a telescoping
+decomposition of WAU deltas).
+
+Scale design: ONE shuffle on user_id (distinct active weeks), one lag
+window over the same partitioning, then a tiny per-week groupBy. Every
+classification is a pure integer/date comparison — no floats — so the
+DuckDB twin matches hash-exactly. The per-user state is one row per
+ACTIVE week (never a dense user × week grid), which at 10^12 events is
+the cardinality of the aggregated activity table, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def user_week_states(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, week, state) per ACTIVE week, plus (user_id, week,
+    'churned') rows at gap starts. Weeks are date_trunc('week') Mondays."""
+    weeks = events.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("week", F.col(ts_col).cast("timestamp"))
+        .cast("date")
+        .alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    prev = F.lag("week").over(w)
+    nxt = F.lead("week").over(w)
+    staged = weeks.select(
+        "user_id",
+        "week",
+        prev.alias("_prev"),
+        nxt.alias("_next"),
+    )
+    active = staged.select(
+        "user_id",
+        "week",
+        F.when(F.col("_prev").isNull(), "new")
+        .when(F.date_add(F.col("_prev"), 7) == F.col("week"), "returning")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    churned = staged.where(
+        F.col("_next").isNull()
+        | (F.col("_next") > F.date_add(F.col("week"), 7))
+    ).select(
+        "user_id",
+        F.date_add(F.col("week"), 7).alias("week"),
+        F.lit("churned").alias("state"),
+    )
+    return active.unionByName(churned)
+
+
+def growth_accounting(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(week, state, n_users) — the weekly growth-accounting report."""
+    return (
+        user_week_states(events, user_col, ts_col)
+        .groupBy("week", "state")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -1,0 +1,62 @@
+"""Per-tool latency attribution over transcript turn gaps.
+
+"Which tool stalls agents?" — attribute the wall-clock gap between a
+turn and the NEXT turn of the same conversation to the earlier turn's
+tool: the time spent after invoking tool X before the conversation
+advances. Summed per tool this is the forwarder-dashboard "time spent
+inside each destination" view; per conversation it feeds the convstats
+gap metrics with a responsible party.
+
+Scale design: one lead() window over (conv_id, turn_idx) — the SAME
+partitioning conversation_stats and protocol.py use — then a tiny
+groupBy on the tool vocabulary. Gaps are exact integer microseconds
+(unix_micros), so sums/maxes are integers and the driver gate is
+hash-exact; no floats until a caller divides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def turn_latencies(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-turn latency rows: (conv_id, turn_idx, tool, gap_us) where
+    gap_us = next turn's ts - this turn's ts (exact integer
+    microseconds). Final turns (no successor) are dropped — their
+    latency is unobserved, not zero."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        transcripts.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(order_col).alias("turn_idx"),
+            F.col(tool_col).alias("tool"),
+            (F.lead(us).over(w) - us).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+
+
+def tool_latency_stats(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(tool, n, sum_us, max_us) — integer latency attribution per
+    tool. mean = sum_us / n is left to the caller so the frame stays
+    exact."""
+    lat = turn_latencies(transcripts, conv_col, order_col, tool_col, ts_col)
+    return lat.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_us").cast("bigint").alias("sum_us"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
+    )
