@@ -1685,7 +1685,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("n"),
             )
         )
-        return base.unionByName(psect)
+        # + A/B contingency audit (r4 s12: operators/abtest.py —
+        # per-variant 2x2 vs rest; variants = user_id % 4, success =
+        # purchase). Integer cells a/b/c/d + delta = ad-bc are gated;
+        # the float chi2 is pytest-gated (N*delta^2 can pass int64).
+        from node_log_forwarder_spark.operators.abtest import (
+            conversion_contingency,
+        )
+
+        ct = conversion_contingency(
+            ev.select(
+                (F.col("user_id") % 4).cast("string").alias("variant"),
+                (F.col("event_type") == "purchase").alias("success"),
+            )
+        )
+        chi_rows = ct.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.concat(
+                                F.lit("_chi:"),
+                                F.col("variant"),
+                                F.lit(":" + stat),
+                            ).alias("event_type"),
+                            F.lit(0).cast("long").alias("sum_k"),
+                            F.col(stat).alias("n"),
+                        )
+                        for stat in ("a", "b", "c", "d", "delta")
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.event_type", "kv.sum_k", "kv.n")
+        return base.unionByName(psect).unionByName(chi_rows)
     q["json_extract"] = q_json_extract
 
     # --- grouped-map UDF (applyInPandas): whole-conversation stats ----------------------
@@ -2466,6 +2498,31 @@ def oracle_sql() -> dict[str, str]:
         -- equality proves Spark's wide reshape lost/invented nothing
         SELECT concat('_pivot:', event_type), CAST(0 AS BIGINT), count(*)
         FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+        -- A/B contingency twin (operators/abtest.py): same 2x2 cells
+        -- per variant vs the complement, delta = ad - bc
+        UNION ALL
+        SELECT '_chi:' || variant || ':' || k AS event_type,
+               CAST(0 AS BIGINT) AS sum_k, CAST(v AS BIGINT) AS n
+        FROM (
+          WITH p6 AS (
+            SELECT CAST(user_id % 4 AS VARCHAR) AS variant,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS a,
+                   sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+                     AS b
+            FROM events GROUP BY 1
+          ),
+          t6 AS (SELECT sum(a) AS ta, sum(b) AS tb FROM p6),
+          c6 AS (SELECT variant, a, b,
+                        (SELECT ta FROM t6) - a AS c,
+                        (SELECT tb FROM t6) - b AS d
+                 FROM p6)
+          SELECT variant, 'a' AS k, a AS v FROM c6
+          UNION ALL SELECT variant, 'b', b FROM c6
+          UNION ALL SELECT variant, 'c', c FROM c6
+          UNION ALL SELECT variant, 'd', d FROM c6
+          UNION ALL SELECT variant, 'delta', a * d - b * c FROM c6
+        )
     """
 
     sql["conversation_stats"] = f"""

@@ -1,0 +1,68 @@
+"""A/B conversion contingency analysis (chi-square components).
+
+"Did variant 3's purchase rate actually move?" — the 2x2 contingency
+test of each variant against the rest of the population is the
+workhorse of experiment readouts and of pipeline QA alike (per rule
+family: is THIS family's miss rate anomalous vs all others?). The
+chi-square statistic for a 2x2 table (a, b; c, d) with N = a+b+c+d is
+
+    chi2 = N * (ad - bc)^2 / ((a+b) * (c+d) * (a+c) * (b+d))
+
+Scale design: ONE groupBy of the flagged frame down to #variants rows
+(map-side combined like any count), then the complement cells (c, d)
+come from the grand totals — a bounded DRIVER scalar folded back as
+literals (the drift.py no-crossJoin policy), never a join. At 10^12
+events the whole operator is one word-count-shaped aggregation.
+
+Exactness: a, b, c, d and delta = ad - bc are exact BIGINTs (|delta|
+<= N^2/4 — fine to ~10^9 events per analysis slice; the driver gate
+hashes these). N*(delta)^2 can exceed int64, so the chi2 value itself
+is computed in DOUBLE as a convenience column and pytest-gated against
+a pure-Python reference instead of hash-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def conversion_contingency(
+    df: DataFrame,
+    variant_col: str = "variant",
+    success_col: str = "success",
+) -> DataFrame:
+    """Per-variant 2x2 table vs the rest: (variant, a, b, c, d, delta,
+    chi2) where a/b = successes/failures in the variant and c/d the
+    complement in all other variants."""
+    per = df.groupBy(variant_col).agg(
+        F.sum(F.col(success_col).cast("long")).alias("a"),
+        F.sum((~F.col(success_col)).cast("long")).alias("b"),
+    )
+    tot = per.agg(F.sum("a"), F.sum("b")).first()  # bounded: 1 row
+    ta, tb = int(tot[0] or 0), int(tot[1] or 0)
+    staged = per.select(
+        variant_col,
+        "a",
+        "b",
+        (F.lit(ta) - F.col("a")).cast("bigint").alias("c"),
+        (F.lit(tb) - F.col("b")).cast("bigint").alias("d"),
+    )
+    delta = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    n_all = F.lit(float(ta + tb))
+    denom = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    ).cast("double")
+    return staged.select(
+        "*",
+        delta.cast("bigint").alias("delta"),
+        F.when(
+            denom > 0,
+            n_all * delta.cast("double") * delta.cast("double") / denom,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chi2"),
+    )

@@ -1,0 +1,82 @@
+"""Community detection via deterministic label propagation (LPA).
+
+Complements the graph suite: cluster.py finds CONNECTED components
+(reachability), graphstats/kcore measure density — LPA (Raghavan et
+al. 2007) partitions a connected graph into communities: "which tools
+/ sources / documents form habitual groups". On the near-dup candidate
+graph it splits giant template components into usable sub-families.
+
+Classic LPA breaks ties randomly and updates asynchronously — neither
+survives a distributed rerun. This is the DETERMINISTIC variant
+(standard in Pregel-style implementations): synchronous rounds, each
+node adopts the most frequent label among its neighbors PLUS ITSELF
+(the self-vote is the textbook damping that prevents two-coloring
+oscillation on bipartite structure), ties broken by MIN label. No RNG,
+no order dependence: a rerun at any parallelism yields byte-identical
+labels.
+
+Per round: one join of the (node,label) frame onto the adjacency list
+(ints only), one (node,label) count groupBy, one max_by argmax per
+node — all hash-partitioned on node id, localCheckpoint truncates
+lineage (the pagerank/cluster/kcore lesson). Convergence is detected
+by ONE driver scalar (changed-label count); labels live in a
+2-column frame, never driver memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.graphstats import undirected_edges
+
+
+def label_propagation(
+    df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """(node, label) — community label per node (label = some member's
+    id, min-tie-break). Deterministic: rerun-stable at any parallelism."""
+    edges = undirected_edges(df, src, dst)
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    adj = adj.localCheckpoint(eager=True)
+    labels = (
+        adj.select("node")
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_votes = adj.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("label").alias("vote")
+            ),
+            "nbr",
+        ).select("node", "vote")
+        self_votes = labels.select("node", F.col("label").alias("vote"))
+        tallies = (
+            nbr_votes.unionByName(self_votes)
+            .groupBy("node", "vote")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # argmax by (count desc, label asc): min_by over a sortable
+        # struct — negative count first, then the label itself.
+        new_labels = tallies.groupBy("node").agg(
+            F.min_by("vote", F.struct((-F.col("n")).alias("k"), F.col("vote")))
+            .alias("label")
+        )
+        changed = (
+            labels.join(
+                new_labels.withColumnRenamed("label", "_new"), "node"
+            )
+            .where(F.col("label") != F.col("_new"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,64 @@
+"""A/B contingency analysis (operators/abtest.py) vs pure Python."""
+
+from __future__ import annotations
+
+from node_log_forwarder_spark.operators.abtest import conversion_contingency
+
+
+def _ref(rows):
+    per: dict[str, list[int]] = {}
+    for v, s in rows:
+        cell = per.setdefault(v, [0, 0])
+        cell[0 if s else 1] += 1
+    ta = sum(c[0] for c in per.values())
+    tb = sum(c[1] for c in per.values())
+    out = {}
+    for v, (a, b) in per.items():
+        c, d = ta - a, tb - b
+        delta = a * d - b * c
+        denom = (a + b) * (c + d) * (a + c) * (b + d)
+        chi2 = (ta + tb) * delta * delta / denom if denom else 0.0
+        out[v] = (a, b, c, d, delta, chi2)
+    return out
+
+
+def test_contingency_matches_reference(spark):
+    import random
+
+    rng = random.Random(5)
+    # variant '2' has a genuinely higher conversion rate
+    rows = [
+        (str(v), rng.random() < (0.5 if v == 2 else 0.2))
+        for v in range(4)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "variant string, success boolean")
+    want = _ref(rows)
+    got = {r.variant: r for r in conversion_contingency(df).collect()}
+    assert set(got) == set(want)
+    for v, (a, b, c, d, delta, chi2) in want.items():
+        r = got[v]
+        assert (r.a, r.b, r.c, r.d, r.delta) == (a, b, c, d, delta)
+        assert abs(r.chi2 - chi2) < 1e-9 * max(1.0, chi2)
+    # the lifted variant dominates the statistic
+    assert got["2"].chi2 == max(r.chi2 for r in got.values())
+    assert got["2"].chi2 > 30  # far past any significance threshold
+
+
+def test_degenerate_single_variant(spark):
+    df = spark.createDataFrame(
+        [("only", True), ("only", False)], "variant string, success boolean"
+    )
+    r = conversion_contingency(df).collect()[0]
+    # complement is empty: c = d = 0, denom = 0 → chi2 defined as 0
+    assert (r.c, r.d, r.chi2) == (0, 0, 0.0)
+
+
+def test_all_success_and_row_identities(spark):
+    df = spark.createDataFrame(
+        [("x", True), ("y", True), ("y", True)], "variant string, success boolean"
+    )
+    got = {r.variant: r for r in conversion_contingency(df).collect()}
+    for r in got.values():
+        assert r.a + r.c == 3 and r.b + r.d == 0
+        assert r.delta == 0  # no failures anywhere → no signal

@@ -1,0 +1,59 @@
+"""Deterministic label propagation (operators/labelprop.py)."""
+
+from __future__ import annotations
+
+from node_log_forwarder_spark.operators.labelprop import label_propagation
+
+
+def _clique(prefix, n):
+    return [
+        (f"{prefix}{a}", f"{prefix}{b}")
+        for a in range(n)
+        for b in range(a + 1, n)
+    ]
+
+
+def test_planted_two_communities(spark):
+    # Two K5s joined by one bridge edge: LPA must keep them separate.
+    edges = _clique("a", 5) + _clique("b", 5) + [("a0", "b0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.label for r in label_propagation(df).collect()}
+    a_labels = {got[f"a{i}"] for i in range(5)}
+    b_labels = {got[f"b{i}"] for i in range(5)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+    # min tie-break: each community's label is one of its own members
+    assert a_labels.pop().startswith("a")
+    assert b_labels.pop().startswith("b")
+
+
+def test_three_communities_in_a_chain(spark):
+    edges = (
+        _clique("x", 4)
+        + _clique("y", 4)
+        + _clique("z", 4)
+        + [("x0", "y0"), ("y1", "z0")]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.label for r in label_propagation(df).collect()}
+    labels = {p: {got[f"{p}{i}"] for i in range(4)} for p in "xyz"}
+    for p in "xyz":
+        assert len(labels[p]) == 1, p
+    assert len({labels[p].pop() for p in "xyz"}) == 3
+
+
+def test_deterministic_rerun_any_parallelism(spark):
+    edges = _clique("a", 4) + _clique("b", 3) + [("a0", "b0"), ("b1", "c0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    one = {r.node: r.label for r in label_propagation(df).collect()}
+    two = {
+        r.node: r.label
+        for r in label_propagation(df.repartition(7)).collect()
+    }
+    assert one == two
+
+
+def test_single_clique_converges_to_min(spark):
+    df = spark.createDataFrame(_clique("k", 6), "src string, dst string")
+    got = {r.label for r in label_propagation(df).collect()}
+    assert got == {"k0"}

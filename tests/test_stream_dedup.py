@@ -1,0 +1,68 @@
+"""Streaming deduplication pinned: `dropDuplicatesWithinWatermark`.
+
+At-least-once transports (the forwarder's replay mode, Kafka
+re-delivery, DLQ re-drives) hand the stream duplicate turns — possibly
+in DIFFERENT micro-batches, which plain dropDuplicates only survives
+by keeping ALL keys in state forever. Spark 3.5+'s
+`dropDuplicatesWithinWatermark` keeps a key only until the watermark
+passes its event time, i.e. bounded state at 10^12 turns — provided
+duplicates arrive within the watermark delay.
+
+Pinned semantics (this is a built-in pin test, the AQE-skew/bloom/
+session-window policy):
+
+1. duplicates of a (conv_id, turn_idx) key are collapsed to ONE row
+   even when the copies land in different micro-batches;
+2. the streamed result converges exactly to batch
+   `dropDuplicates([keys])` on the same input;
+3. state is keyed by the dedup columns — distinct keys all survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.streaming.stream import (
+    TRANSCRIPT_SCHEMA,
+    read_transcript_stream,
+)
+
+
+def test_drop_duplicates_within_watermark(spark, transcripts, tmp_path):
+    inp = str(tmp_path / "in")
+    # three copies of every turn scattered across 9 files → duplicates
+    # guaranteed to straddle micro-batch boundaries at 3 files/trigger
+    dup = transcripts.unionByName(transcripts).unionByName(transcripts)
+    dup.repartition(9).write.mode("overwrite").parquet(inp)
+
+    stream = read_transcript_stream(spark, inp, max_files_per_trigger=3)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(out)
+    want = transcripts.dropDuplicates(["conv_id", "turn_idx"])
+    assert got.count() == want.count()
+    # exact multiset equality on the key columns
+    assert (
+        got.groupBy("conv_id", "turn_idx")
+        .count()
+        .where(F.col("count") != 1)
+        .count()
+        == 0
+    )
+    assert (
+        got.select("conv_id", "turn_idx")
+        .exceptAll(want.select("conv_id", "turn_idx"))
+        .count()
+        == 0
+    )
