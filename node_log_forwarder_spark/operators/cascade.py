@@ -21,7 +21,7 @@ each level.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # each level truncates the previous level's window column
@@ -162,3 +162,46 @@ def hll_estimates(level_df: DataFrame) -> DataFrame:
     return level_df.withColumn(
         "n_distinct", F.hll_sketch_estimate(F.col("hll")).cast("long")
     ).drop("hll")
+
+
+def hll_sliding(
+    finest: DataFrame,
+    key_cols: list[str],
+    window_periods: int,
+    period_seconds: int = 3600,
+    ws_col: str = "ws",
+) -> DataFrame:
+    """Sliding-window distinct counts from the stored finest-level
+    sketches: for every (key, period) row, union the trailing
+    ``window_periods`` sketches — "uniques in the last 24 hours,
+    reported hourly" — without re-scanning raw data.
+
+    This is the same register monoid as the cascade, applied over a
+    RANGE window frame keyed on the integer period index (gap periods
+    shrink the window rather than pulling older rows in, the
+    anomaly.py convention): ``hll_union_agg`` is an ordinary aggregate,
+    so Spark evaluates it per frame — one hash Exchange on the key,
+    state per output row = one 2^lg_k-byte sketch. At 10^12 raw rows
+    the input here is the already-aggregated hour table (#keys x
+    #hours), never the corpus.
+
+    Returns the input columns plus ``hll_win`` (the merged sketch —
+    still mergeable downstream) and ``n_distinct_win`` (finalized
+    integer estimate). Losslessness is the same invariant as the
+    cascade: the merged sketch has byte-identical registers to one
+    built directly from the window's raw rows (pinned in
+    test_hll_rollup's sliding test)."""
+    if window_periods < 1:
+        raise ValueError("window_periods must be >= 1")
+    px = (F.unix_timestamp(F.col(ws_col)) / period_seconds).cast("long")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(px)
+        .rangeBetween(-(window_periods - 1), 0)
+    )
+    merged = F.hll_union_agg(F.col("hll")).over(w)
+    return finest.select(
+        "*",
+        merged.alias("hll_win"),
+        F.hll_sketch_estimate(merged).cast("long").alias("n_distinct_win"),
+    )

@@ -107,3 +107,55 @@ def test_week_level_single_row_per_key(events):
     for r in wk:
         e = exact[r["sink"]]
         assert abs(r["n_distinct"] - e) <= max(2, 0.05 * e)
+
+
+def test_sliding_window_equals_direct_slice(spark, events):
+    from node_log_forwarder_spark.operators.cascade import hll_sliding
+
+    levels = hll_cascade(events, ["sink"], "user_id", levels=("hour",))
+    slid = {
+        (r["ws"], r["sink"]): r["n_distinct_win"]
+        for r in hll_sliding(levels["hour"], ["sink"], window_periods=6).collect()
+    }
+    # direct sketch over each trailing 6-hour slice must estimate
+    # identically — register-level losslessness over the RANGE frame
+    from datetime import timedelta
+
+    hours = sorted({ws for ws, _ in slid})
+    import random
+
+    rng = random.Random(7)
+    for ws, sink in rng.sample(sorted(slid), 12):
+        direct = (
+            events.where(
+                (F.col("sink") == sink)
+                & (F.col("ts") >= ws - timedelta(hours=5))
+                & (F.col("ts") < ws + timedelta(hours=1))
+            )
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(12))).cast("long"))
+            .first()[0]
+        )
+        assert slid[(ws, sink)] == direct, (ws, sink)
+
+
+def test_sliding_gap_hours_shrink_window(spark):
+    from datetime import datetime
+    from node_log_forwarder_spark.operators.cascade import hll_sliding
+
+    # hours 0,1 then a gap to hour 5: the hour-5 window (3 periods)
+    # must NOT include hours 0-1 (RANGE semantics, not ROWS)
+    rows = [
+        (datetime(2024, 1, 1, 0), "s", 1),
+        (datetime(2024, 1, 1, 0), "s", 2),
+        (datetime(2024, 1, 1, 1), "s", 3),
+        (datetime(2024, 1, 1, 5), "s", 9),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, sink string, user_id long")
+    levels = hll_cascade(df, ["sink"], "user_id", levels=("hour",))
+    slid = {
+        r["ws"].hour: r["n_distinct_win"]
+        for r in hll_sliding(levels["hour"], ["sink"], window_periods=3).collect()
+    }
+    assert slid[0] == 2 and slid[1] == 3  # 1-2 then 1-3 accumulate
+    assert slid[5] == 1  # the gap evicted everything older
