@@ -1685,6 +1685,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("n"),
             )
         )
+        # + PMI collocation audit (r4 s12: operators/collocations.py —
+        # map-side bigrams + integer-rational PMI over documents; moved
+        # here from the bench-headline vocab_topk). Pair key is encoded
+        # into event_type; min_count keeps the section bounded.
+        from node_log_forwarder_spark.operators.collocations import (
+            pmi_collocations,
+        )
+
+        docs = _t(spark, sf, "documents")
+        pmi = pmi_collocations(docs, min_count=_PMI_MIN_COUNT)
+        pair = F.concat_ws(">", "w1", "w2")
+        pmi_rows = pmi.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("_pmi:nab:"), pair).alias("event_type"),
+                        F.lit(0).cast("long").alias("sum_k"),
+                        F.col("n_ab").alias("n"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("_pmi:num:"), pair).alias("event_type"),
+                        F.lit(0).cast("long").alias("sum_k"),
+                        F.col("pmi_num").alias("n"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("_pmi:den:"), pair).alias("event_type"),
+                        F.lit(0).cast("long").alias("sum_k"),
+                        F.col("pmi_den").alias("n"),
+                    ),
+                )
+            ).alias("kv")
+        ).select("kv.event_type", "kv.sum_k", "kv.n")
+        # + RRF hybrid-retrieval audit (r4 s12: operators/hybrid.py —
+        # integer fused ranks; determinism per hybrid.py's note; moved
+        # here from the bench-headline vocab_topk).
+        from node_log_forwarder_spark.operators.hybrid import hybrid_topk
+
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding")
+        rrf_rows = hybrid_topk(
+            docs, emb, list(_SEARCH_QUERY), qv, k=10, pool=20
+        ).select(
+            F.concat(F.lit("_rrf:"), F.col("doc_id").cast("string")).alias(
+                "event_type"
+            ),
+            F.lit(0).cast("long").alias("sum_k"),
+            F.col("fused_rank").cast("bigint").alias("n"),
+        )
         # + A/B contingency audit (r4 s12: operators/abtest.py —
         # per-variant 2x2 vs rest; variants = user_id % 4, success =
         # purchase). Integer cells a/b/c/d + delta = ad-bc are gated;
@@ -1717,7 +1765,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("kv")
         ).select("kv.event_type", "kv.sum_k", "kv.n")
-        return base.unionByName(psect).unionByName(chi_rows)
+        return (
+            base.unionByName(psect)
+            .unionByName(chi_rows)
+            .unionByName(pmi_rows)
+            .unionByName(rrf_rows)
+        )
     q["json_extract"] = q_json_extract
 
     # --- grouped-map UDF (applyInPandas): whole-conversation stats ----------------------
@@ -2027,51 +2080,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pmi_collocations,
         )
 
-        # + hybrid-retrieval audit (r4 s12: operators/hybrid.py — RRF
-        # fusion of the tf-idf lexical pool and the cosine vector pool,
-        # id-aligned corpus). Gated on the integer fused RANK; the
-        # two-term IEEE sum is commutative, ties break by id — see
-        # hybrid.py's determinism note.
-        from node_log_forwarder_spark.operators.hybrid import hybrid_topk
-
-        emb = _t(spark, sf, "embeddings")
-        qv = emb.where(F.col("vec_id") == 0).select("embedding")
-        rrf = hybrid_topk(
-            docs, emb, list(_SEARCH_QUERY), qv, k=10, pool=20
-        ).select(
-            F.lit("rrf").alias("section"),
-            F.col("doc_id").cast("string").alias("token"),
-            F.col("fused_rank").cast("bigint").alias("n"),
-        )
-        pmi = pmi_collocations(docs, min_count=_PMI_MIN_COUNT)
-        pair = F.concat_ws(">", "w1", "w2")
-        pmi_rows = pmi.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("pmi:nab").alias("section"),
-                        pair.alias("token"),
-                        F.col("n_ab").alias("n"),
-                    ),
-                    F.struct(
-                        F.lit("pmi:num").alias("section"),
-                        pair.alias("token"),
-                        F.col("pmi_num").alias("n"),
-                    ),
-                    F.struct(
-                        F.lit("pmi:den").alias("section"),
-                        pair.alias("token"),
-                        F.col("pmi_den").alias("n"),
-                    ),
-                )
-            ).alias("kv")
-        ).select("kv.section", "kv.token", "kv.n")
-        return (
-            vocab.unionByName(search)
-            .unionByName(hh)
-            .unionByName(pmi_rows)
-            .unionByName(rrf)
-        )
+        # NOTE (r4 s12): the PMI-collocation and RRF hybrid-retrieval
+        # audits originally rode here, but vocab_topk is a BENCH
+        # headline query and they cost ~3.4s at sf0.1 (measured) —
+        # they now ride the non-headline json_extract key instead.
+        return vocab.unionByName(search).unionByName(hh)
     q["vocab_topk"] = q_vocab_topk
 
     # --- sketch: HLL approx-distinct. Invariant oracle: n and exact_users are
@@ -2488,7 +2501,8 @@ def oracle_sql() -> dict[str, str]:
         """
     )
 
-    sql["json_extract"] = """
+    _sq = ", ".join(f"'{t}'" for t in _SEARCH_QUERY)
+    sql["json_extract"] = f"""
         SELECT event_type,
                CAST(sum(CAST(regexp_extract(props, '(\\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
                count(*) AS n
@@ -2522,6 +2536,89 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT variant, 'c', c FROM c6
           UNION ALL SELECT variant, 'd', d FROM c6
           UNION ALL SELECT variant, 'delta', a * d - b * c FROM c6
+        )
+        -- PMI collocation twin (operators/collocations.py): adjacent
+        -- pairs via two PARALLEL positional unnests of shifted token-
+        -- list slices (DuckDB zips same-SELECT unnests), exact integer
+        -- rational num/den; moved here with the Spark section (the
+        -- vocab_topk bench-headline cost note)
+        UNION ALL
+        SELECT event_type, CAST(0 AS BIGINT) AS sum_k, n FROM (
+          WITH toks7 AS (SELECT unnest({_TOKENS}) AS token FROM documents),
+          bg AS (
+            SELECT unnest(ls[1:len(ls)-1]) AS w1, unnest(ls[2:len(ls)]) AS w2
+            FROM (SELECT {_TOKENS} AS ls FROM documents)
+            WHERE len(ls) >= 2
+          ),
+          bcnt AS (
+            SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2
+            HAVING count(*) >= {_PMI_MIN_COUNT}
+          ),
+          ucnt AS (SELECT token, count(*) AS n FROM toks7 GROUP BY token),
+          ntot AS (SELECT count(*) AS nt FROM toks7),
+          pj AS (
+            SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b
+            FROM bcnt JOIN ucnt ua ON ua.token = bcnt.w1
+            JOIN ucnt ub ON ub.token = bcnt.w2
+          )
+          SELECT '_pmi:nab:' || w1 || '>' || w2 AS event_type,
+                 CAST(n_ab AS BIGINT) AS n FROM pj
+          UNION ALL
+          SELECT '_pmi:num:' || w1 || '>' || w2,
+                 CAST(n_ab * (SELECT nt FROM ntot) AS BIGINT) FROM pj
+          UNION ALL
+          SELECT '_pmi:den:' || w1 || '>' || w2,
+                 CAST(n_a * n_b AS BIGINT) FROM pj
+        )
+        -- RRF hybrid-retrieval twin (operators/hybrid.py): lexical
+        -- tf-idf pool + 4-dp-rounded cosine pool vs embeddings row 0,
+        -- same 1/(60+r) fusion, id tie-breaks
+        UNION ALL
+        SELECT event_type, CAST(0 AS BIGINT) AS sum_k, n FROM (
+          WITH tf7 AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents)
+            WHERE token IN ({_sq})
+            GROUP BY doc_id, token
+          ),
+          dfq7 AS (SELECT token, count(*) AS df FROM tf7 GROUP BY token),
+          nn7 AS (SELECT count(*) AS n_docs FROM documents),
+          w7 AS (SELECT token, (nn7.n_docs * 1000) // df AS w
+                 FROM dfq7 CROSS JOIN nn7),
+          sc7 AS (
+            SELECT tf7.doc_id, CAST(sum(tf7.tf * w7.w) AS BIGINT) AS score
+            FROM tf7 JOIN w7 USING (token) GROUP BY tf7.doc_id
+          ),
+          lexr AS (
+            SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS r
+            FROM sc7
+          ),
+          vqv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id = 0),
+          vsc AS (
+            SELECT vec_id AS doc_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), (SELECT v FROM vqv)), 4)
+                   AS sim
+            FROM embeddings
+          ),
+          vr AS (
+            SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id)
+                   AS r
+            FROM vsc
+          ),
+          rrfc AS (
+            SELECT doc_id, 1.0 / (60 + r) AS c FROM lexr WHERE r <= 20
+            UNION ALL
+            SELECT doc_id, 1.0 / (60 + r) FROM vr WHERE r <= 20
+          ),
+          rrff AS (SELECT doc_id, sum(c) AS s FROM rrfc GROUP BY doc_id)
+          SELECT '_rrf:' || CAST(doc_id AS VARCHAR) AS event_type,
+                 CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                      AS BIGINT) AS n
+          FROM rrff
+          QUALIFY n <= 10
         )
     """
 
@@ -3856,7 +3953,6 @@ def oracle_sql() -> dict[str, str]:
     # integer TF-IDF, weight = (N*1000) // df — DuckDB's // is floor
     # division on BIGINTs, identical to Spark's `div` for non-negative
     # inputs; every intermediate stays integral so the hash is exact)
-    _sq = ", ".join(f"'{t}'" for t in _SEARCH_QUERY)
     sql["vocab_topk"] = f"""
         WITH toks AS (SELECT unnest({_TOKENS}) AS token FROM documents),
         vocab AS (
@@ -3884,77 +3980,9 @@ def oracle_sql() -> dict[str, str]:
         hh AS (
             SELECT 'hh' AS section, lang AS token, count(*) AS n
             FROM documents GROUP BY lang
-        ),
-        -- PMI collocation twin (operators/collocations.py): adjacent
-        -- pairs via two PARALLEL positional unnests of the shifted
-        -- token-list slices (DuckDB zips same-SELECT unnests; no WITH
-        -- ORDINALITY needed), exact integer rational num/den
-        bg AS (
-            SELECT unnest(ls[1:len(ls)-1]) AS w1, unnest(ls[2:len(ls)]) AS w2
-            FROM (SELECT {_TOKENS} AS ls FROM documents)
-            WHERE len(ls) >= 2
-        ),
-        bcnt AS (
-            SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2
-            HAVING count(*) >= {_PMI_MIN_COUNT}
-        ),
-        ucnt AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
-        ntot AS (SELECT count(*) AS nt FROM toks),
-        pj AS (
-            SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b
-            FROM bcnt JOIN ucnt ua ON ua.token = bcnt.w1
-            JOIN ucnt ub ON ub.token = bcnt.w2
-        ),
-        pmirows AS (
-            SELECT 'pmi:nab' AS section, w1 || '>' || w2 AS token,
-                   CAST(n_ab AS BIGINT) AS n FROM pj
-            UNION ALL
-            SELECT 'pmi:num', w1 || '>' || w2,
-                   CAST(n_ab * (SELECT nt FROM ntot) AS BIGINT) FROM pj
-            UNION ALL
-            SELECT 'pmi:den', w1 || '>' || w2,
-                   CAST(n_a * n_b AS BIGINT) FROM pj
-        ),
-        -- RRF hybrid-retrieval twin (operators/hybrid.py): same rank
-        -- pools (lexical tf-idf reuses sc; vector = 4-dp-rounded
-        -- cosine vs embeddings row 0), same 1/(60+r) fusion
-        lexr AS (
-            SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
-                   AS r
-            FROM sc
-        ),
-        vqv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
-                FROM embeddings WHERE vec_id = 0),
-        vsc AS (
-            SELECT vec_id AS doc_id,
-                   round(list_cosine_similarity(
-                       CAST(embedding AS DOUBLE[]), (SELECT v FROM vqv)), 4)
-                   AS sim
-            FROM embeddings
-        ),
-        vr AS (
-            SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id)
-                   AS r
-            FROM vsc
-        ),
-        rrfc AS (
-            SELECT doc_id, 1.0 / (60 + r) AS c FROM lexr WHERE r <= 20
-            UNION ALL
-            SELECT doc_id, 1.0 / (60 + r) FROM vr WHERE r <= 20
-        ),
-        rrff AS (
-            SELECT doc_id, sum(c) AS s FROM rrfc GROUP BY doc_id
-        ),
-        rrfr AS (
-            SELECT 'rrf' AS section, CAST(doc_id AS VARCHAR) AS token,
-                   CAST(row_number() OVER (ORDER BY s DESC, doc_id)
-                        AS BIGINT) AS n
-            FROM rrff
         )
         SELECT * FROM vocab UNION ALL SELECT * FROM srch
         UNION ALL SELECT * FROM hh
-        UNION ALL SELECT * FROM pmirows
-        UNION ALL SELECT * FROM rrfr WHERE n <= 10
     """
 
     # near-dup pairs + connected-components audit: recursive min-label
