@@ -14,12 +14,19 @@ from __future__ import annotations
 # vocab_topk (reviewed r4 late): tfidf_int_topk crosses the 1-row
 # corpus-size aggregate onto the <=|query_terms|-row weights frame —
 # bounded on both sides, never data-scale.
+# json_extract (reviewed r4 s12, 4 BNLJ): the PMI/RRF audit sections
+# moved here from the bench-headline vocab_topk. All four are 1-row
+# broadcast scalar attaches — tfidf's corpus-size aggregate onto the
+# weights frame, and the single query VECTOR crossed onto the
+# embeddings scan for the cosine pool (the cosine_topk pattern) —
+# bounded on one side by exactly one row, never data-scale.
 BNLJ_WHITELIST = {
     "cosine_near_dup_blocked",
     "ann_lsh",
     "lang_id",
     "cosine_topk",
     "vocab_topk",
+    "json_extract",
 }
 
 
