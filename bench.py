@@ -119,6 +119,7 @@ def main() -> None:
         # reported unclamped as context, never as a pass basis.
         from tools.run_scaling import (
             append_campaign,
+            code_version,
             current_commit,
             load_campaign,
             measure_rep,
@@ -132,7 +133,9 @@ def main() -> None:
         pairs = [measure_rep(rep, 8, 32, sc_turns) for rep in range(sc_reps)]
         s = summarize(pairs, 8, 32, sc_turns)
         append_campaign(s)
-        pooled = pooled_stats(load_campaign(), commit=current_commit())
+        pooled = pooled_stats(
+            load_campaign(), commit=current_commit(), code_ver=code_version()
+        )
         scaling = {
             "n_turns": sc_turns,
             "reps": sc_reps,

@@ -98,6 +98,61 @@ def test_pooled_override_requires_current_commit_reps():
     assert p4["n_current_commit_reps"] == 0 and not p4["pass_override_eligible"]
 
 
+def test_pooled_override_matches_by_code_version():
+    """r4 session 13: the override gate matches reps by MEASURED-CODE
+    version, so campaign-data / notes commits (which move HEAD but not
+    the measured code) don't orphan current reps. Dirty-tree reps carry
+    code_version=None and never count."""
+    from tools.run_scaling import pooled_stats
+
+    base = {"protocol": "v3-abba-min2", "n_turns": 19_200_000,
+            "native_per_rep": [0.8, 0.8, 0.8],
+            "envelope_per_rep": [0.8, 0.8, 0.8],
+            "steal_per_rep": [0.1, 0.2, 0.1]}
+    # reps recorded at HEAD=aaa1111 whose code version is cv42; HEAD has
+    # since moved to bbb2222 via a docs-only commit (same code version)
+    rep = dict(base, commit="aaa1111", code_version="cv42",
+               arrow_per_rep=[0.82, 0.86, 0.88])
+    p = pooled_stats([rep], commit="bbb2222", code_ver="cv42")
+    assert p["n_current_commit_reps"] == 3 and p["pass_override_eligible"]
+    assert p["code_version"] == "cv42"
+    # a code-touching commit changes the code version -> reps go stale
+    p2 = pooled_stats([rep], commit="ccc3333", code_ver="cv43")
+    assert p2["n_current_commit_reps"] == 0 and not p2["pass_override_eligible"]
+    # dirty-tree reps (code_version=None) never count, even if the
+    # raw HEAD hash happens to match
+    dirty = dict(rep, code_version=None)
+    p3 = pooled_stats([dirty], commit="aaa1111", code_ver="cv42")
+    assert p3["n_current_commit_reps"] == 0
+    # exact-commit fallback for legacy lines still works (no
+    # code_version field at all, commit equality)
+    legacy = dict(base, commit="bbb2222", arrow_per_rep=[0.82, 0.86, 0.88])
+    p4 = pooled_stats([legacy], commit="bbb2222", code_ver=None)
+    assert p4["n_current_commit_reps"] == 3
+
+
+def test_code_version_resolves_and_gates_dirty_tree(tmp_path, monkeypatch):
+    """Live git sanity: code_version() resolves to a real short hash on
+    a clean tree, and historical resolution for a known commit returns
+    the last code-touching commit at-or-before it."""
+    import subprocess
+    from tools.run_scaling import CODE_PATHS, code_version
+
+    dirty = subprocess.run(
+        ["git", "-C", "/root/repo", "status", "--porcelain", "--"] + CODE_PATHS,
+        capture_output=True, text=True,
+    ).stdout.strip()
+    cv = code_version()
+    if dirty:
+        assert cv is None
+    else:
+        assert cv and len(cv) >= 7
+        # HEAD's code version resolves identically via the historical path
+        assert code_version(at="HEAD") == cv
+    # unresolvable ref -> None, never a crash
+    assert code_version(at="doesnotexist123") is None
+
+
 def test_normalized_never_passes_or_clamps():
     # raw 0.5 everywhere but envelope 0.45 -> normalized >1.0: must be
     # reported unclamped AND must not flip the verdict

@@ -224,6 +224,56 @@ def current_commit() -> str | None:
         return None
 
 
+# Paths whose git history defines the MEASURED code version. The
+# scaling job executes node_log_forwarder_spark/* via this script's
+# pinned child runners; commits that touch only campaign data, notes,
+# docs, tests, or driver-query registry sections do not change what the
+# scaling gate measures, so they must not orphan current-code reps.
+# (ADVICE r3 asked for a "code version" gate — an exact-HEAD tag
+# over-rotates: committing the campaign.jsonl produced by a batch would
+# itself invalidate that batch's reps.)
+CODE_PATHS = [
+    "node_log_forwarder_spark",
+    "tools/run_scaling.py",
+    "tools/cpu_envelope.py",
+]
+
+_CODE_VERSION_CACHE: dict[str, str | None] = {}
+
+
+def code_version(at: str | None = None) -> str | None:
+    """Short hash of the last commit touching CODE_PATHS as of ``at``
+    (default: the working tree's HEAD). Returns None — which never
+    matches any pool — when ``at`` is unresolvable, or when reading the
+    working tree and it is DIRTY in those paths: an unidentifiable code
+    state must not claim a version."""
+    try:
+        if at is None:
+            dirty = subprocess.run(
+                ["git", "-C", "/root/repo", "status", "--porcelain", "--"]
+                + CODE_PATHS,
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            if dirty:
+                return None
+            at = "HEAD"
+        if at in _CODE_VERSION_CACHE:
+            return _CODE_VERSION_CACHE[at]
+        out = subprocess.run(
+            ["git", "-C", "/root/repo", "log", "-1", "--format=%h", at, "--"]
+            + CODE_PATHS,
+            capture_output=True, text=True, timeout=10,
+        )
+        cv = out.stdout.strip() or None
+        if out.returncode != 0:
+            cv = None
+        if at != "HEAD":
+            _CODE_VERSION_CACHE[at] = cv
+        return cv
+    except Exception:
+        return None
+
+
 def append_campaign(summary: dict) -> dict:
     """Append this run to the campaign log (one JSON line per run).
     Every run is recorded — passing and failing windows alike — so the
@@ -231,6 +281,7 @@ def append_campaign(summary: dict) -> dict:
     line = {
         "protocol": PROTOCOL,
         "commit": current_commit(),
+        "code_version": code_version(),
         "n_turns": summary["n_turns"],
         "reps": summary["reps"],
         "arrow_per_rep": summary["arrow"]["per_rep_efficiency"],
@@ -269,11 +320,32 @@ STEAL_CLEAN_PCT = 0.5
 MIN_CURRENT_COMMIT_REPS = 3
 
 
-def pooled_stats(runs: list[dict], commit: str | None = None) -> dict | None:
+def pooled_stats(
+    runs: list[dict],
+    commit: str | None = None,
+    code_ver: str | None = None,
+) -> dict | None:
     """Pooled per-rep medians over every same-protocol rep ever run —
     the no-selection statistic (a single run samples one hypervisor
     window; the pool samples all of them) — plus the steal-gated pool
-    restricted to reps whose window was objectively clean."""
+    restricted to reps whose window was objectively clean.
+
+    "Current" reps (the anti-laundering override gate) match by CODE
+    VERSION, not raw HEAD: a rep counts if its recorded code_version
+    equals ``code_ver``; legacy lines without the field fall back to
+    exact-commit equality, then to resolving their recorded commit's
+    own code version through git history. A rep recorded from a dirty
+    tree carries code_version=None and never counts."""
+    def is_current(r: dict) -> bool:
+        if "code_version" in r:
+            return r["code_version"] is not None and r["code_version"] == code_ver
+        c = r.get("commit")
+        if not c:
+            return False
+        if commit is not None and c == commit:
+            return True
+        return code_ver is not None and code_version(at=c) == code_ver
+
     def reps(field, current_only=False):
         out = []
         for r in runs:
@@ -282,7 +354,7 @@ def pooled_stats(runs: list[dict], commit: str | None = None) -> dict | None:
             # pool if someone benches with NLF_SCALING_TURNS lowered
             if not r["protocol"].startswith("v3") or r["n_turns"] < 19_200_000:
                 continue
-            if current_only and (commit is None or r.get("commit") != commit):
+            if current_only and not is_current(r):
                 continue
             steals = r.get("steal_per_rep") or [None] * len(r[field])
             out.extend(zip(r[field], steals))
@@ -296,6 +368,7 @@ def pooled_stats(runs: list[dict], commit: str | None = None) -> dict | None:
     clean = [e for e, s in arrow if s is not None and s <= STEAL_CLEAN_PCT]
     current = reps("arrow_per_rep", current_only=True)
     stats = {
+        "code_version": code_ver,
         "n_reps": len(arrow),
         "arrow_pooled_median": round(statistics.median(e for e, _ in arrow), 4),
         "native_pooled_median": round(statistics.median(e for e, _ in native), 4),
@@ -345,7 +418,9 @@ def write_baseline_md(summary: dict, lo: int, hi: int, n_turns: int) -> None:
         )
     arrow = summary["arrow"]
     campaign = load_campaign()
-    pooled = pooled_stats(campaign, commit=current_commit())
+    pooled = pooled_stats(
+        campaign, commit=current_commit(), code_ver=code_version()
+    )
     campaign_lines: list[str] = []
     if pooled:
         campaign_lines = [
@@ -393,13 +468,17 @@ def write_baseline_md(summary: dict, lo: int, hi: int, n_turns: int) -> None:
             "the number that transfers.",
             "",
             "**Anti-laundering gate (r4, ADVICE r3):** every campaign line",
-            "records its producing git commit, and the pooled pool may only",
+            "records its producing git commit AND its measured-code version",
+            "(last commit touching node_log_forwarder_spark/ or the scaling",
+            "harness; campaign-data/doc commits don't orphan reps, dirty",
+            "trees tag None and never count), and the pooled pool may only",
             "override a failing in-window gate when ≥3 reps come from the",
-            "CURRENT commit AND their own median clears 0.8",
+            "CURRENT code version AND their own median clears 0.8",
             "(`tools/run_scaling.py::pooled_stats`, MIN_CURRENT_COMMIT_REPS)",
             "— accumulated history cannot mask a fresh scaling regression."
             + (
-                f" Current commit: {pooled['n_current_commit_reps']} reps, "
+                f" Current code version {pooled.get('code_version')}: "
+                f"{pooled['n_current_commit_reps']} reps, "
                 f"median {pooled['arrow_current_commit_median']}."
                 if pooled.get("n_current_commit_reps")
                 else ""
