@@ -976,7 +976,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("val")
         )
-        return base.unionByName(sect).unionByName(lsect)
+        # + KMV bottom-k sketch audit (r4 s13, operators/kmv.py): the
+        # set-INTERSECTION sketch HLL can't provide. Audience overlap
+        # between two event segments (value>40 vs value<=80) over
+        # pentad ids (event_id div 5) — an event can belong to both, so
+        # the segments genuinely intersect. All gated numbers are
+        # integers: sketch sizes, 60-bit theta, exact-floor distinct
+        # estimate (decimal DIV == the twin's HUGEINT //), and the
+        # coordinated-sample pool/intersection counts. The DuckDB twin
+        # replays the same md5 bottom-k via window row_number.
+        from node_log_forwarder_spark.operators.kmv import (
+            kmv_distinct_floor,
+            kmv_overlap,
+            kmv_sketch,
+            kmv_theta,
+        )
+
+        KK = 64
+        segd = _t(spark, sf, "events").select(
+            F.explode(
+                F.array(
+                    F.when(F.col("value") > 40, F.lit("a")),
+                    F.when(F.col("value") <= 80, F.lit("b")),
+                )
+            ).alias("seg"),
+            F.call_function("div", F.col("event_id"), F.lit(5)).alias("pent"),
+        ).where(F.col("seg").isNotNull())
+        ksk = kmv_sketch(segd, ["seg"], "pent", k=KK)
+        kone = ksk.agg(
+            F.max(F.when(F.col("seg") == "a", F.col("sketch"))).alias("a"),
+            F.max(F.when(F.col("seg") == "b", F.col("sketch"))).alias("b"),
+        )
+        kst = kone.select(
+            F.size("a").alias("a_n"),
+            F.size("b").alias("b_n"),
+            F.coalesce(kmv_theta(F.col("a"), KK), F.lit(-1)).alias("a_theta"),
+            kmv_distinct_floor(F.col("a"), KK).alias("a_est"),
+            kmv_overlap(F.col("a"), F.col("b"), KK).alias("o"),
+        )
+        ksect = kst.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"_kmv:{m}:"), F.col(c).cast("string")
+                        )
+                        for m, c in [
+                            ("a_n", "a_n"), ("b_n", "b_n"),
+                            ("a_theta", "a_theta"), ("a_est", "a_est"),
+                            ("pool", "o.n_pool"), ("both", "o.n_both"),
+                            ("n_a", "o.n_a"), ("n_b", "o.n_b"),
+                        ]
+                    ]
+                )
+            ).alias("val")
+        )
+        return base.unionByName(sect).unionByName(lsect).unionByName(ksect)
     q["set_union"] = q_set_union
 
     # --- relational aggregates (TPC-H Q1 shape) ------------------------------
@@ -3182,6 +3237,55 @@ def oracle_sql() -> dict[str, str]:
                          coalesce(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END), 0),
                          coalesce(sum(id_a + id_b), 0)]) AS v
           FROM lpair
+        )
+    """
+
+    # KMV bottom-k twin (operators/kmv.py): same md5 bottom-k replayed
+    # with window row_number; theta/est via hex-prefix BIGINT + HUGEINT
+    # floor division (== Spark's DECIMAL div).
+    sql["set_union"] += """
+        UNION ALL
+        SELECT '_kmv:' || metric || ':' || CAST(v AS VARCHAR)
+        FROM (
+          WITH kseg AS (
+            SELECT DISTINCT seg, md5(CAST(event_id // 5 AS VARCHAR)) AS h
+            FROM (SELECT event_id,
+                         unnest(['a', 'b']) AS seg,
+                         unnest([value > 40, value <= 80]) AS keep
+                  FROM events)
+            WHERE keep
+          ),
+          kr AS (SELECT seg, h,
+                        row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+                 FROM kseg),
+          ka AS (SELECT h FROM kr WHERE seg = 'a' AND rn <= 64),
+          kb AS (SELECT h FROM kr WHERE seg = 'b' AND rn <= 64),
+          kp AS (SELECT h
+                 FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                       FROM (SELECT h FROM ka UNION SELECT h FROM kb))
+                 WHERE rn <= 64),
+          kth AS (SELECT CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) AS theta
+                  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                        FROM ka)
+                  WHERE rn = 64)
+          SELECT unnest(['a_n', 'b_n', 'a_theta', 'a_est',
+                         'pool', 'both', 'n_a', 'n_b']) AS metric,
+                 unnest([
+                   (SELECT count(*) FROM ka),
+                   (SELECT count(*) FROM kb),
+                   coalesce((SELECT theta FROM kth), -1),
+                   CASE WHEN (SELECT count(*) FROM ka) < 64
+                        THEN (SELECT count(*) FROM ka)
+                        ELSE CAST((63::HUGEINT * 1152921504606846976::HUGEINT)
+                                  // (SELECT theta FROM kth)::HUGEINT AS BIGINT)
+                   END,
+                   (SELECT count(*) FROM kp),
+                   (SELECT count(*) FROM kp
+                    WHERE h IN (SELECT h FROM ka)
+                      AND h IN (SELECT h FROM kb)),
+                   (SELECT count(*) FROM kp WHERE h IN (SELECT h FROM ka)),
+                   (SELECT count(*) FROM kp WHERE h IN (SELECT h FROM kb))
+                 ]) AS v
         )
     """
 

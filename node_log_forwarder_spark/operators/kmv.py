@@ -1,0 +1,189 @@
+"""KMV (k-minimum-values / bottom-k) distinct sketch with lossless
+union and SET-INTERSECTION estimation — the set-operation sketch the
+HLL cascade (operators/cascade.py) cannot provide.
+
+Why another distinct sketch when approx_count_distinct/HLL exists:
+HLL registers form a max-monoid, so HLL unions exactly — but HLL
+carries no element identity, so it cannot estimate |A ∩ B| or Jaccard
+between two sketched sets (inclusion-exclusion on three ±2% HLL
+estimates has unbounded RELATIVE error when the intersection is small).
+A KMV sketch is the k smallest hash values of the set: a uniform
+coordinated sample of the set's hash space. That buys, for free:
+
+* **distinct estimate**: if the sketch is full, E[|S|] ≈ (k-1)/θ where
+  θ = k-th smallest hash as a fraction of hash space (Bar-Yossef et al.
+  RANDOM'02; Beyer et al. SIGMOD'07 unbiased estimator). If the sketch
+  holds fewer than k values it IS the distinct set — exact.
+* **lossless union**: bottom-k(A ∪ B) = bottom-k(sketch_A ∪ sketch_B),
+  a pure array merge — same monoid shape as the HLL rollup, so hourly
+  sketches roll to days/weeks with no re-scan.
+* **intersection / Jaccard / containment** (the new capability): let
+  L = bottom-k(A ∪ B). For x ∈ L, x ∈ A implies x ∈ sketch_A (fewer
+  than k union hashes sit below x, so fewer than k A-hashes do). Hence
+  K = |{x ∈ L : x ∈ sketch_A ∧ x ∈ sketch_B}| is a hypergeometric
+  sample of the union with P(hit) = J(A,B), and K/|L| estimates
+  Jaccard (Cohen & Kaplan PODC'07 coordinated bottom-k samples).
+  K/|L ∩ sketch_A| likewise estimates containment |A∩B|/|A|.
+  K is an INTEGER — the driver gate pins it bit-exactly against a
+  DuckDB twin that replays the same md5 bottom-k.
+
+Scale story (10^12 rows, 10^9 distinct per key):
+* hash + per-key distinct is ONE shuffle with map-side partial
+  aggregation (the same shape as exact dedup); the bottom-k window
+  then sorts only DISTINCT hashes per key and retains k.
+* output is k×32 bytes per key — a day of per-sink sketches is KBs.
+* the GLOBAL (keyless) sketch avoids a single-task sort of 10^9
+  distinct hashes by a salt pre-pass: bottom-k per salt bucket in
+  parallel, then bottom-k of the ≤ salts×k survivors — two windows,
+  the second over a constant-size frame.
+* estimator arithmetic runs on the leading 60 bits of the md5 hex
+  (15 hex chars → BIGINT), so the DuckDB oracle twin reproduces θ and
+  the floor-divided estimate exactly (HUGEINT // on the twin side,
+  DECIMAL(38,0) DIV here).
+
+No reference-file citation possible: /root/reference is empty this
+round (SURVEY.md §0); semantics follow the published papers above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_theta",
+    "kmv_distinct_estimate",
+    "kmv_distinct_floor",
+    "kmv_overlap",
+]
+
+# 16^15 = 2^60: the hash-space size of the 15-hex-char (60-bit) prefix
+# used for estimator arithmetic. Stays comfortably inside BIGINT while
+# keeping collision probability negligible (k^2/2^60).
+HASH_SPACE = 1 << 60
+_PREFIX_HEX = 15
+
+
+def _h60(h: Column) -> Column:
+    """Leading 60 bits of an md5 hex digest as BIGINT (order-preserving
+    for the lexicographic order of the full digest, which is what the
+    bottom-k is taken under)."""
+    return F.conv(F.substring(h, 1, _PREFIX_HEX), 16, 10).cast("bigint")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value: str | Column,
+    k: int = 64,
+    salts: int = 64,
+) -> DataFrame:
+    """Per-``keys`` KMV sketch of the distinct values of ``value``:
+    ``sketch`` = sorted array of the k smallest md5 hex digests.
+
+    With empty ``keys`` builds one global sketch via the salt pre-pass
+    described in the module docstring (never a single-task full sort).
+    """
+    col = F.col(value) if isinstance(value, str) else value
+    h = F.md5(col.cast("string")).alias("_h")
+    d = df.select(*keys, h).where(F.col("_h").isNotNull()).distinct()
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("_h")
+        topk = d.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= k
+        )
+        return topk.groupBy(*keys).agg(
+            F.sort_array(F.collect_list("_h")).alias("sketch")
+        )
+    # global sketch: parallel bottom-k per salt bucket, then bottom-k
+    # of the <= salts*k survivors (constant-size second window)
+    salted = d.withColumn("_s", F.pmod(F.crc32("_h"), F.lit(salts)))
+    w1 = Window.partitionBy("_s").orderBy("_h")
+    pre = salted.withColumn("_rn", F.row_number().over(w1)).where(
+        F.col("_rn") <= k
+    )
+    w2 = Window.partitionBy().orderBy("_h")
+    topk = pre.select("_h").withColumn("_rn", F.row_number().over(w2)).where(
+        F.col("_rn") <= k
+    )
+    return topk.groupBy().agg(F.sort_array(F.collect_list("_h")).alias("sketch"))
+
+
+def kmv_merge(df: DataFrame, keys: list[str], sketch: str = "sketch",
+              k: int = 64) -> DataFrame:
+    """Lossless sketch union: bottom-k of the concatenated sketches.
+    Grouping by ``keys`` rolls fine-grained sketches up (hour→day);
+    the frames involved are sketch-sized, never data-scale."""
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch)))),
+        1,
+        k,
+    ).alias(sketch)
+    if keys:
+        return df.groupBy(*keys).agg(merged)
+    return df.groupBy().agg(merged)
+
+
+def kmv_theta(sketch: Column, k: int) -> Column:
+    """60-bit integer θ (the k-th smallest hash prefix), NULL when the
+    sketch holds fewer than k values (i.e. the set is exact)."""
+    return F.when(F.size(sketch) >= k, _h60(F.element_at(sketch, k)))
+
+
+def kmv_distinct_estimate(sketch: Column, k: int) -> Column:
+    """Unbiased distinct estimate as DOUBLE: exact size when the sketch
+    is not full, else (k-1) · 2^60 / θ (Beyer et al. SIGMOD'07)."""
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / kmv_theta(sketch, k)
+    )
+
+
+def kmv_distinct_floor(sketch: Column, k: int) -> Column:
+    """floor((k-1)·2^60 / θ) in exact DECIMAL(38,0) integral division —
+    the bit-reproducible BIGINT the driver gate pins (DuckDB twin:
+    HUGEINT ``//``). Exact size when the sketch is not full."""
+    num = (F.lit(k - 1).cast("decimal(38,0)")
+           * F.lit(HASH_SPACE).cast("decimal(38,0)"))
+    # div = exact integral (floor) division on DECIMAL(38,0) — bit-equal
+    # to the twin's HUGEINT `//`; a decimal `/` + cast would HALF_UP
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("bigint")
+    ).otherwise(
+        F.call_function("div", num, kmv_theta(sketch, k).cast("decimal(38,0)"))
+    )
+
+
+def kmv_overlap(a: Column, b: Column, k: int) -> Column:
+    """Struct of coordinated-sample overlap statistics between two
+    same-k sketches:
+
+    - ``n_pool``: |L|, L = bottom-k of the sketch union;
+    - ``n_both``: |{x ∈ L : x ∈ a ∧ x ∈ b}| — the integer
+      hypergeometric hit count;
+    - ``n_a``/``n_b``: |L ∩ a| / |L ∩ b| (containment denominators);
+    - ``jaccard_est``: n_both / n_pool;
+    - ``containment_a_est``: n_both / n_a (≈ |A∩B|/|A|).
+
+    When |A ∪ B| ≤ k the pool is the whole union and every statistic
+    is EXACT, not an estimate (pinned by tests/test_kmv.py).
+    """
+    pool = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    in_a = F.filter(pool, lambda x: F.array_contains(a, x))
+    both = F.filter(
+        pool, lambda x: F.array_contains(a, x) & F.array_contains(b, x)
+    )
+    n_pool = F.size(pool)
+    n_both = F.size(both)
+    n_a = F.size(in_a)
+    return F.struct(
+        n_pool.alias("n_pool"),
+        n_both.alias("n_both"),
+        n_a.alias("n_a"),
+        F.size(F.filter(pool, lambda x: F.array_contains(b, x))).alias("n_b"),
+        (n_both / n_pool).alias("jaccard_est"),
+        F.when(n_a > 0, n_both / n_a).alias("containment_a_est"),
+    )

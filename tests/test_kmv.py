@@ -1,0 +1,142 @@
+"""KMV bottom-k sketch (operators/kmv.py): estimator accuracy vs exact
+distinct counts, LOSSLESS union (bottom-k merge == direct sketch of the
+union), exact overlap statistics when the pool covers the union, and
+Jaccard estimation accuracy on big synthetic sets."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.kmv import (
+    HASH_SPACE,
+    kmv_distinct_estimate,
+    kmv_distinct_floor,
+    kmv_merge,
+    kmv_overlap,
+    kmv_sketch,
+)
+
+
+def _vals(spark, values, key="g"):
+    return spark.createDataFrame(
+        [(key, str(v)) for v in values], ["grp", "v"]
+    )
+
+
+def _ref_sketch(values, k):
+    hs = sorted({hashlib.md5(str(v).encode()).hexdigest() for v in values})
+    return hs[:k]
+
+
+def test_sketch_matches_pure_python_reference(spark):
+    values = [f"item-{i*7}" for i in range(500)]
+    got = (
+        kmv_sketch(_vals(spark, values), ["grp"], "v", k=32)
+        .collect()[0]["sketch"]
+    )
+    assert got == _ref_sketch(values, 32)
+
+
+def test_exact_below_k_and_estimate_above_k(spark):
+    # 20 distinct < k=64 -> sketch IS the set, estimate exact
+    small = kmv_sketch(_vals(spark, range(20)), ["grp"], "v", k=64)
+    row = small.select(
+        kmv_distinct_estimate("sketch", 64).alias("est"),
+        kmv_distinct_floor("sketch", 64).alias("estf"),
+    ).collect()[0]
+    assert row["est"] == 20.0 and row["estf"] == 20
+    # 20_000 distinct >> k: relative error well inside 4/sqrt(k)
+    big = kmv_sketch(_vals(spark, range(20_000)), ["grp"], "v", k=256)
+    est = big.select(kmv_distinct_estimate("sketch", 256).alias("e")).collect()[
+        0
+    ]["e"]
+    assert abs(est - 20_000) / 20_000 < 4 / (256**0.5)
+    # floor variant agrees with the double estimator to the unit
+    estf = big.select(kmv_distinct_floor("sketch", 256).alias("e")).collect()[
+        0
+    ]["e"]
+    assert abs(estf - est) <= 1.0
+
+
+def test_union_merge_is_lossless(spark):
+    a_vals = [f"a{i}" for i in range(3000)]
+    b_vals = [f"a{i}" for i in range(1500, 4500)]  # overlaps a
+    k = 64
+    sa = kmv_sketch(_vals(spark, a_vals), ["grp"], "v", k=k)
+    sb = kmv_sketch(_vals(spark, b_vals), ["grp"], "v", k=k)
+    merged = kmv_merge(sa.unionByName(sb), ["grp"], k=k).collect()[0]["sketch"]
+    direct = _ref_sketch(set(a_vals) | set(b_vals), k)
+    assert merged == direct
+
+
+def test_overlap_exact_when_union_fits_in_pool(spark):
+    # |A ∪ B| = 40 <= k=64: n_both / n_pool IS the exact Jaccard
+    a_vals = list(range(30))
+    b_vals = list(range(20, 40))  # |A∩B| = 10, |A∪B| = 40
+    k = 64
+    sa = kmv_sketch(_vals(spark, a_vals), ["grp"], "v", k=k).withColumnRenamed(
+        "sketch", "a"
+    )
+    sb = kmv_sketch(_vals(spark, b_vals), ["grp"], "v", k=k).withColumnRenamed(
+        "sketch", "b"
+    )
+    row = (
+        sa.join(sb, "grp")
+        .select(kmv_overlap(F.col("a"), F.col("b"), k).alias("o"))
+        .collect()[0]["o"]
+    )
+    assert row["n_pool"] == 40 and row["n_both"] == 10
+    assert row["n_a"] == 30 and row["n_b"] == 20
+    assert row["jaccard_est"] == pytest.approx(10 / 40)
+    assert row["containment_a_est"] == pytest.approx(10 / 30)
+
+
+def test_jaccard_estimate_on_large_sets(spark):
+    # |A| = |B| = 6000, |A∩B| = 4000 -> J = 4000/8000 = 0.5
+    a_vals = [f"x{i}" for i in range(6000)]
+    b_vals = [f"x{i}" for i in range(2000, 8000)]
+    k = 256
+    sa = kmv_sketch(_vals(spark, a_vals), ["grp"], "v", k=k).withColumnRenamed(
+        "sketch", "a"
+    )
+    sb = kmv_sketch(_vals(spark, b_vals), ["grp"], "v", k=k).withColumnRenamed(
+        "sketch", "b"
+    )
+    row = (
+        sa.join(sb, "grp")
+        .select(kmv_overlap(F.col("a"), F.col("b"), k).alias("o"))
+        .collect()[0]["o"]
+    )
+    # hypergeometric K/k: sd ~ sqrt(J(1-J)/k) ~ 0.031; allow 4 sd
+    assert row["n_pool"] == k
+    assert abs(row["jaccard_est"] - 0.5) < 4 * (0.25 / k) ** 0.5
+
+
+def test_global_sketch_salt_path_matches_reference(spark):
+    values = [f"g{i}" for i in range(5000)]
+    df = spark.createDataFrame([(str(v),) for v in values], ["v"])
+    got = kmv_sketch(df, [], "v", k=48, salts=16).collect()[0]["sketch"]
+    assert got == _ref_sketch(values, 48)
+
+
+def test_theta_is_60_bit_prefix(spark):
+    values = list(range(1000))
+    k = 16
+    sk = kmv_sketch(_vals(spark, values), ["grp"], "v", k=k)
+    from node_log_forwarder_spark.operators.kmv import kmv_theta
+
+    theta = sk.select(kmv_theta(F.col("sketch"), k).alias("t")).collect()[0][
+        "t"
+    ]
+    ref = int(_ref_sketch(values, k)[k - 1][:15], 16)
+    assert theta == ref and 0 < theta < HASH_SPACE
+
+
+def test_no_row_python_in_plan(spark):
+    df = _vals(spark, range(100))
+    sk = kmv_sketch(df, ["grp"], "v", k=8)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Cartesian" not in plan
