@@ -267,7 +267,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("passed").cast("double").alias("avg_k"),
             F.col("n_rows").cast("int").alias("max_k"),
         )
-        return base.unionByName(sect)
+        # + single-scan column-profiling section (operators/profile.py —
+        # Deequ-family describe, ONE agg pass for every stat). Nulls and
+        # blanks are INJECTED (event_id%97 → NULL user_id, %89 → blank
+        # props) so both counters fire on the synthetic corpus. Rows:
+        # n = exact distinct count, avg_k = mean (numeric) / mean length
+        # (string), max_k = n_null*1000 + n_blank. Means stay exact in
+        # double (integer sums < 2^53), so the 4-dp round is stable.
+        from node_log_forwarder_spark.operators.profile import profile
+
+        pe = ev.select(
+            "event_id",
+            F.when(ev.event_id % 97 == 0, F.lit(None).cast("bigint"))
+            .otherwise(ev.user_id)
+            .alias("user_id"),
+            "event_type",
+            F.when(ev.event_id % 89 == 0, F.lit(" "))
+            .otherwise(ev.props)
+            .alias("props"),
+        )
+        prof = profile(
+            pe,
+            ["event_id", "user_id", "event_type", "props"],
+            exact_distinct=True,
+        )
+        psect = prof.select(
+            F.concat(F.lit("_profile:"), F.col("column")).alias("event_type"),
+            F.col("n_distinct").alias("n"),
+            F.round(F.coalesce(F.col("mean"), F.col("avg_len")), 4).alias(
+                "avg_k"
+            ),
+            (
+                F.col("n_null") * 1000 + F.coalesce(F.col("n_blank"), F.lit(0))
+            )
+            .cast("int")
+            .alias("max_k"),
+        )
+        return base.unionByName(sect).unionByName(psect)
     q["coerce"] = q_coerce
 
     # --- O7 broadcast lookup enrich -----------------------------------------
@@ -2383,8 +2419,44 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'unique(event_id)', v_uq, nr FROM va
             UNION ALL SELECT 'ref(user_id)', v, nr FROM vr
           )
+        ),
+        prof_e AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS user_id,
+                 event_type,
+                 CASE WHEN event_id % 89 = 0 THEN ' ' ELSE props END AS props
+          FROM events
+        ),
+        prof AS (
+          SELECT '_profile:event_id' AS event_type,
+                 count(DISTINCT event_id) AS n,
+                 round(avg(event_id), 4) AS avg_k,
+                 CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                      * 1000 AS INT) AS max_k
+          FROM prof_e
+          UNION ALL
+          SELECT '_profile:user_id', count(DISTINCT user_id),
+                 round(avg(user_id), 4),
+                 CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                      * 1000 AS INT)
+          FROM prof_e
+          UNION ALL
+          SELECT '_profile:event_type', count(DISTINCT event_type),
+                 round(avg(length(event_type)), 4),
+                 CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) * 1000
+                      + sum(CASE WHEN trim(event_type) = '' THEN 1 ELSE 0 END)
+                      AS INT)
+          FROM prof_e
+          UNION ALL
+          SELECT '_profile:props', count(DISTINCT props),
+                 round(avg(length(props)), 4),
+                 CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * 1000
+                      + sum(CASE WHEN trim(props) = '' THEN 1 ELSE 0 END)
+                      AS INT)
+          FROM prof_e
         )
         SELECT * FROM base UNION ALL SELECT * FROM sect
+        UNION ALL SELECT * FROM prof
     """
 
     # The CIDR audit twin is the NAIVE definition: theta join every

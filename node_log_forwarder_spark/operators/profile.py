@@ -1,0 +1,124 @@
+"""Single-scan column profiling — the Deequ/whylogs-family "describe
+this table" operator a 100-TB lake runs before anything else touches
+the data (schema drift triage, null-rate regressions, cardinality
+estimates for join planning, length stats for tokenizer budgeting).
+
+Design for scale:
+* ONE job, ONE scan: every per-column statistic (count, nulls, blanks,
+  min/max, mean/length mean, distinct) compiles into a single
+  ``agg(...)`` — all of them partial-aggregable, so map-side combine
+  reduces each task to one row of state and the only shuffle is the
+  1-row final merge. A "query per column per stat" profiler is
+  #cols × #stats full scans.
+* Distinct counts default to ``approx_count_distinct`` (HLL++): still
+  one scan, mergeable sketch state, ±rsd. ``exact_distinct=True``
+  switches to exact ``count_distinct`` — correct but each distinct
+  aggregate adds an EXPAND multiplier (rows × #distinct-aggs flow
+  through the shuffle), which is the documented cost of exactness; the
+  driver gate uses the exact mode on dim-scale data precisely because
+  it is bit-reproducible in the DuckDB twin.
+* Output is #cols rows (a struct explode of the 1-row agg) — never
+  data-scale; safe to collect, diff across snapshots (see
+  operators/drift.py), or persist as a metrics table beside the sinks.
+
+Numeric min/max/mean are also exposed in integer cents
+(``*_cents = round(x*100)`` as BIGINT) so downstream gates can compare
+them bit-exactly across engines without depending on float-to-string
+formatting (Spark renders 0.0001 as '1.0E-4', DuckDB as '0.0001').
+
+No reference-file citation possible: /root/reference is empty this
+round (SURVEY.md §0); the check-vocabulary follows the published
+Deequ paper (Schelter et al. VLDB'18 "Automating Large-Scale Data
+Quality Verification").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+__all__ = ["profile"]
+
+
+def profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Profile ``cols`` (default: all string/numeric columns) in one
+    aggregation pass. Returns one row per column:
+
+    ``column, dtype, n_rows, n_null, n_blank, n_distinct, min_str,
+    max_str, mean, mean_cents, min_cents, max_cents, avg_len``
+
+    - ``n_blank``: empty-after-trim strings (NULL for numerics);
+    - ``n_distinct``: HLL++ estimate by default, exact when
+      ``exact_distinct`` (see module docstring for the cost);
+    - ``min_str``/``max_str``: min/max rendered as strings (native-type
+      ordering, cast after);
+    - ``mean``/``avg_len``: numeric mean / mean string length;
+    - ``*_cents``: numeric min/max/mean in exact integer cents, NULL
+      for string columns.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if cols is None:
+        cols = [
+            n
+            for n, t in fields.items()
+            if isinstance(t, (StringType, NumericType))
+        ]
+    aggs = []
+    for c in cols:
+        is_str = isinstance(fields[c], StringType)
+        col = F.col(c)
+        nd = (
+            F.count_distinct(col)
+            if exact_distinct
+            else F.approx_count_distinct(c, rsd)
+        )
+        cents = lambda x: F.round(x * 100).cast("bigint")  # noqa: E731
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(fields[c].simpleString()).alias("dtype"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(col.isNull(), 1)).alias("n_null"),
+                (
+                    F.count(F.when(F.trim(col) == "", 1))
+                    if is_str
+                    else F.lit(None).cast("bigint")
+                ).alias("n_blank"),
+                nd.alias("n_distinct"),
+                F.min(col).cast("string").alias("min_str"),
+                F.max(col).cast("string").alias("max_str"),
+                (
+                    F.lit(None).cast("double") if is_str else F.avg(col)
+                ).alias("mean"),
+                (
+                    F.lit(None).cast("bigint")
+                    if is_str
+                    else cents(F.avg(col))
+                ).alias("mean_cents"),
+                (
+                    F.lit(None).cast("bigint")
+                    if is_str
+                    else cents(F.min(col))
+                ).alias("min_cents"),
+                (
+                    F.lit(None).cast("bigint")
+                    if is_str
+                    else cents(F.max(col))
+                ).alias("max_cents"),
+                (
+                    F.avg(F.length(col))
+                    if is_str
+                    else F.lit(None).cast("double")
+                ).alias("avg_len"),
+            ).alias(f"_p_{c}")
+        )
+    one = df.agg(*aggs)
+    return one.select(
+        F.explode(F.array(*[F.col(f"_p_{c}") for c in cols])).alias("p")
+    ).select("p.*")

@@ -1,0 +1,99 @@
+"""Single-scan column profiler (operators/profile.py): exact stats vs
+hand-computed values on a fixture with nulls and blanks, approx-mode
+agreement at tiny cardinality, and the one-scan plan contract (approx
+mode compiles to a single aggregation over a single scan — no Expand,
+exactly one shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.profile import profile
+
+ROWS = [
+    # (sid, amount, label)
+    (1, 100, "alpha"),
+    (2, 250, "beta"),
+    (3, None, "  "),       # blank-after-trim label, null amount
+    (4, 250, None),         # null label
+    (5, 33, "alpha"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        ROWS, "sid long, amount long, label string"
+    )
+
+
+def _by_col(rows):
+    return {r["column"]: r for r in rows}
+
+
+def test_exact_stats(spark):
+    got = _by_col(profile(_df(spark), exact_distinct=True).collect())
+    assert set(got) == {"sid", "amount", "label"}
+
+    sid = got["sid"]
+    assert (sid.n_rows, sid.n_null, sid.n_distinct) == (5, 0, 5)
+    assert sid.n_blank is None and sid.avg_len is None
+    assert sid.mean == 3.0
+    assert (sid.min_cents, sid.max_cents, sid.mean_cents) == (100, 500, 300)
+    assert (sid.min_str, sid.max_str) == ("1", "5")
+
+    amt = got["amount"]
+    assert (amt.n_rows, amt.n_null, amt.n_distinct) == (5, 1, 3)
+    assert amt.mean == (100 + 250 + 250 + 33) / 4
+    assert amt.mean_cents == round(amt.mean * 100)
+
+    lab = got["label"]
+    assert (lab.n_rows, lab.n_null, lab.n_blank, lab.n_distinct) == (
+        5, 1, 1, 3,
+    )
+    assert lab.mean is None and lab.mean_cents is None
+    # lengths over non-null labels: alpha(5) beta(4) '  '(2) alpha(5)
+    assert lab.avg_len == (5 + 4 + 2 + 5) / 4
+    assert (lab.min_str, lab.max_str) == ("  ", "beta")
+
+
+def test_column_subset_and_dtype(spark):
+    got = profile(_df(spark), cols=["label"], exact_distinct=True).collect()
+    assert len(got) == 1 and got[0]["column"] == "label"
+    assert got[0]["dtype"] == "string"
+
+
+def test_approx_mode_matches_exact_at_tiny_cardinality(spark):
+    # HLL++ is exact at cardinalities far below 1/rsd^2 — the estimate
+    # must equal the true distinct count on this 5-row fixture.
+    exact = _by_col(profile(_df(spark), exact_distinct=True).collect())
+    approx = _by_col(profile(_df(spark)).collect())
+    for c in exact:
+        assert approx[c].n_distinct == exact[c].n_distinct, c
+
+
+def test_one_scan_one_shuffle_in_approx_mode(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        profile(df, ["user_id", "event_type", "props"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    # partial agg -> single-partition exchange -> final agg
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_exact_mode_flags_expand_cost(spark):
+    # exact_distinct uses count_distinct; >1 distinct aggregate plans
+    # via Expand — the documented cost of exactness. Pin it so a future
+    # Spark upgrade changing the strategy is noticed.
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        profile(df, ["user_id", "event_type"], exact_distinct=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
