@@ -835,6 +835,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.date_format("week", "yyyy-MM-dd").alias("day"),
             F.col("n_users").alias("n"),
         )
+        # + multi-source BFS audit (r4 s13: operators/bfs.py — hop
+        # distance from a seed set via Pregel-style frontier expansion;
+        # integer distances so the gate is hash-exact, unlike the float
+        # fixpoints). Graph: a sparse ~1009-node pseudo-random digraph
+        # derived from events (event_id%5==0 edges, src=event_id%1009,
+        # dst=(event_id div 13)%1009 — ~2k edges at sf0.01, branching
+        # ~2, so distances span 11 real hops and ~half the node space
+        # stays unreachable). DuckDB twin: recursive-CTE expansion
+        # reduced by min(dist) — the semantic definition of hop
+        # distance.
+        from node_log_forwarder_spark.operators.bfs import bfs_distances
+
+        bfs_edges = ev.where(F.col("event_id") % 5 == 0).select(
+            (F.col("event_id") % 1009).cast("string").alias("src"),
+            (F.expr("event_id DIV 13") % 1009).cast("string").alias("dst"),
+        )
+        bfs_rows = bfs_distances(bfs_edges, ["1", "2", "3"], max_iter=20).select(
+            F.lit("_bfs:g1009").alias("event_type"),
+            F.col("node").alias("day"),
+            F.col("dist").cast("bigint").alias("n"),
+        )
         casc = rollup_cascade(ev, ["event_type"], "ts")
         casc_rows = casc["day"].select(
             F.concat(F.lit("_cascade:day:"), F.col("event_type")).alias(
@@ -861,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(rule_rows)
             .unionByName(lat)
             .unionByName(gr)
+            .unionByName(bfs_rows)
         )
     q["rollup_counts"] = q_rollup_counts
 
@@ -3192,6 +3214,28 @@ def oracle_sql() -> dict[str, str]:
           WHERE nw IS NULL OR nw > week + 7
         )
         GROUP BY 1, 2
+        -- BFS twin (operators/bfs.py): recursive-CTE hop expansion
+        -- reduced by min(dist) — the semantic definition of hop
+        -- distance; hash equality proves the Pregel frontier plan
+        -- computes the textbook metric on the same derived digraph
+        UNION ALL
+        SELECT '_bfs:g1009' AS event_type, node AS day,
+               CAST(dist AS BIGINT) AS n
+        FROM (
+          WITH RECURSIVE bw AS (
+            SELECT node, 0 AS dist
+            FROM (VALUES ('1'), ('2'), ('3')) s(node)
+            UNION
+            SELECT e.dst AS node, w.dist + 1 AS dist
+            FROM bw w JOIN (
+              SELECT CAST(event_id % 1009 AS VARCHAR) AS src,
+                     CAST((event_id // 13) % 1009 AS VARCHAR) AS dst
+              FROM events WHERE event_id % 5 = 0
+            ) e ON e.src = w.node
+            WHERE w.dist < 20
+          )
+          SELECT node, min(dist) AS dist FROM bw GROUP BY node
+        )
     """
 
     # JL projection twin: the SAME ±1 literal matrix as the Spark query

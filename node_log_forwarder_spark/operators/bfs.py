@@ -1,0 +1,114 @@
+"""Multi-source BFS distances — hop count from a seed set over a
+directed edge list.
+
+The corpus-curation use: WebText/OpenWebText-style "distance from
+curated seeds" filtering ranks crawl documents by link-graph hops from
+a trusted seed list (quality decays with distance); on the log side
+the same operator answers blast-radius questions ("which downstream
+tools/services are reachable from this failing rule, and in how many
+steps"). Complements the existing graph suite: cluster.py proves
+reachability (CC), kcore/pagerank/labelprop score density/flow/
+community — none of them expose the HOP METRIC itself.
+
+Shape for a 10^12-edge graph:
+
+- Frontier-expansion Pregel form: round k joins the CURRENT FRONTIER
+  (rows at distance k, a shrinking set) against edges on ``src`` —
+  the only data-scale shuffle is edge-keyed; visited state is
+  (node, dist) — 2 columns, appended once per node, never mutated.
+- New nodes = expansion ``left_anti`` visited — the monotone-state
+  trick that makes BFS terminate in ≤ diameter rounds regardless of
+  cycles (a node is claimed by its FIRST round, which is minimal —
+  that is the BFS invariant).
+- ``localCheckpoint`` per round truncates iterative lineage (the
+  bpe_train/cluster/pagerank Catalyst lesson).
+- Convergence = the new-frontier count, ONE driver scalar per round;
+  distances are pure integers so the driver gate can be hash-exact
+  (unlike the float fixpoints, which are the rows-only class).
+
+Oracle: the DuckDB twin is a recursive CTE (seeds UNION step-by-one,
+capped at ``max_iter``) reduced by ``min(dist)`` — the semantic
+definition of hop distance, so a hash match proves the distributed
+frontier plan computes exactly the textbook metric.
+
+No reference-file citation possible: /root/reference is empty this
+round (SURVEY.md §0).
+"""
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame | Iterable[str],
+    max_iter: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Minimum hop distance from ANY seed → (node, dist).
+
+    ``edges``: one row per directed edge (parallel edges are collapsed
+    map-side by the per-round distinct on the frontier). For an
+    undirected metric, union the reversed edge list first.
+    ``seeds``: a 1-column DataFrame or an iterable of node ids; seeds
+    get dist 0. Nodes unreachable within ``max_iter`` hops are absent
+    from the result (not NULL-distance rows) — callers compose the
+    "unreached" policy with a left join against their node universe.
+    """
+    if max_iter < 0:
+        raise ValueError("max_iter must be >= 0")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if isinstance(seeds, DataFrame):
+        scol = seeds.columns[0]
+        seed_df = seeds.select(F.col(scol).cast("string").alias("node"))
+    else:
+        seed_df = spark.createDataFrame(
+            [(str(s),) for s in seeds], "node string"
+        )
+    visited = (
+        seed_df.distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for k in range(1, max_iter + 1):
+        expansion = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            expansion.join(visited, "node", "left_anti")
+            .select("node", F.lit(k).alias("dist"))
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        if new.count() == 0:  # driver scalar: frontier exhausted
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return visited
+
+
+def bfs_oracle_sql(max_iter: int = 20) -> str:
+    """DuckDB twin: recursive-CTE hop expansion reduced by min(dist).
+
+    Expects CTEs/views ``bfs_edges(src, dst)`` and ``bfs_seeds(node)``
+    in scope; returns a SELECT yielding (node, dist).
+    """
+    return f"""
+        WITH RECURSIVE bfs_walk AS (
+          SELECT node, 0 AS dist FROM bfs_seeds
+          UNION
+          SELECT e.dst AS node, w.dist + 1 AS dist
+          FROM bfs_walk w JOIN bfs_edges e ON e.src = w.node
+          WHERE w.dist < {int(max_iter)}
+        )
+        SELECT node, min(dist) AS dist FROM bfs_walk GROUP BY node
+    """

@@ -1,0 +1,117 @@
+"""Multi-source BFS (operators/bfs.py): exact hop distances vs a
+pure-Python reference on hand and seeded-random graphs, cycle
+termination, multi-seed minimum, unreachable-absent policy, max_iter
+cap, DuckDB recursive-CTE twin parity, and parallelism stability."""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+import pytest
+
+from node_log_forwarder_spark.operators.bfs import (
+    bfs_distances,
+    bfs_oracle_sql,
+)
+
+
+def _py_bfs(edges, seeds, max_iter=20):
+    adj = collections.defaultdict(list)
+    for s, d in edges:
+        adj[str(s)].append(str(d))
+    dist = {str(s): 0 for s in seeds}
+    frontier = list(dist)
+    for k in range(1, max_iter + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = k
+                    nxt.append(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def _got(spark, edges, seeds, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r.node: r.dist for r in bfs_distances(df, seeds, **kw).collect()
+    }
+
+
+CHAIN = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+
+
+def test_chain_and_unreachable(spark):
+    got = _got(spark, CHAIN, ["a"])
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    assert "x" not in got and "y" not in got  # unreached -> absent
+
+
+def test_multi_seed_min_and_cycle_termination(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("e", "d")]
+    got = _got(spark, edges, ["a", "e"])
+    assert got == _py_bfs(edges, ["a", "e"]) == {
+        "a": 0, "e": 0, "b": 1, "d": 1, "c": 2,
+    }
+
+
+def test_max_iter_cap(spark):
+    got = _got(spark, CHAIN, ["a"], max_iter=2)
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_seed_dataframe_and_seed_only_graph(spark):
+    seeds = spark.createDataFrame([("a",), ("a",)], "node string")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(
+            spark.createDataFrame(CHAIN, "src string, dst string"), seeds
+        ).collect()
+    }
+    assert got["a"] == 0 and got["d"] == 3
+    # zero-round degenerate: no edges from the seed
+    assert _got(spark, [("p", "q")], ["z"]) == {"z": 0}
+
+
+def test_random_graph_vs_python_and_duckdb(spark):
+    # deterministic pseudo-random functional-ish digraph
+    edges = [
+        (str(i % 53), str((i * 7 + 3) % 53)) for i in range(0, 160, 3)
+    ]
+    seeds = ["1", "2"]
+    got = _got(spark, edges, seeds)
+    assert got == _py_bfs(edges, seeds)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW bfs_edges AS SELECT * FROM (VALUES "
+        + ",".join(f"('{s}','{d}')" for s, d in edges)
+        + ") t(src, dst)"
+    )
+    con.execute(
+        "CREATE VIEW bfs_seeds AS SELECT * FROM (VALUES ('1'),('2')) t(node)"
+    )
+    oracle = dict(con.execute(bfs_oracle_sql()).fetchall())
+    assert got == oracle
+
+
+def test_parallelism_stability(spark):
+    edges = [(str(i % 31), str((i * 5 + 1) % 31)) for i in range(90)]
+    base = None
+    for parts in (1, 8):
+        df = spark.createDataFrame(
+            edges, "src string, dst string"
+        ).repartition(parts)
+        got = {r.node: r.dist for r in bfs_distances(df, ["0"]).collect()}
+        base = got if base is None else base
+        assert got == base
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(CHAIN, "src string, dst string")
+    with pytest.raises(ValueError):
+        bfs_distances(df, ["a"], max_iter=-1)
