@@ -1878,11 +1878,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("kv")
         ).select("kv.event_type", "kv.sum_k", "kv.n")
+        # + inter-annotator agreement audit (r4 s13: operators/
+        # agreement.py — Cohen's kappa as an exact integer rational:
+        # num = n·agree − Σ nA·nB, den = n² − Σ nA·nB; ONE data-scale
+        # shuffle to the confusion matrix, everything else derives from
+        # it). Rater A = event_type; rater B agrees on event_id%3==0
+        # rows and otherwise cycles the vocabulary by event_id%4, so
+        # every off-diagonal cell fires and kappa lands strictly
+        # between 0 and 1.
+        from node_log_forwarder_spark.operators.agreement import (
+            cohen_kappa,
+            confusion_matrix,
+        )
+
+        alt = (
+            F.when(ev.event_id % 4 == 0, F.lit("click"))
+            .when(ev.event_id % 4 == 1, F.lit("signup"))
+            .when(ev.event_id % 4 == 2, F.lit("error"))
+            .otherwise(F.lit("purchase"))
+        )
+        rat = ev.select(
+            ev.event_type.alias("a"),
+            F.when(ev.event_id % 3 == 0, ev.event_type)
+            .otherwise(alt)
+            .alias("b"),
+        )
+        kcells = confusion_matrix(rat, "a", "b").select(
+            F.concat(
+                F.lit("_kappa:cell:"),
+                F.col("label_a"),
+                F.lit(">"),
+                F.col("label_b"),
+            ).alias("event_type"),
+            F.lit(0).cast("long").alias("sum_k"),
+            F.col("n"),
+        )
+        krow = cohen_kappa(rat, "a", "b")
+        ksect = krow.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit("_kappa:" + stat).alias("event_type"),
+                            F.lit(0).cast("long").alias("sum_k"),
+                            F.col(col).cast("long").alias("n"),
+                        )
+                        for stat, col in (
+                            ("n", "n"),
+                            ("agree", "n_agree"),
+                            ("peprod", "pe_prod"),
+                            ("num", "kappa_num"),
+                            ("den", "kappa_den"),
+                        )
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.event_type", "kv.sum_k", "kv.n")
         return (
             base.unionByName(psect)
             .unionByName(chi_rows)
             .unionByName(pmi_rows)
             .unionByName(rrf_rows)
+            .unionByName(kcells)
+            .unionByName(ksect)
         )
     q["json_extract"] = q_json_extract
 
@@ -2768,6 +2826,41 @@ def oracle_sql() -> dict[str, str]:
                       AS BIGINT) AS n
           FROM rrff
           QUALIFY n <= 10
+        )
+        -- Cohen's-kappa twin (operators/agreement.py): the same
+        -- derived rater pair, confusion cells + the exact integer
+        -- rational num = n*agree - sum(nA*nB), den = n^2 - sum(nA*nB)
+        UNION ALL
+        SELECT event_type, CAST(0 AS BIGINT) AS sum_k, n FROM (
+          WITH kr AS (
+            SELECT event_type AS a,
+                   CASE WHEN event_id % 3 = 0 THEN event_type
+                        ELSE CASE WHEN event_id % 4 = 0 THEN 'click'
+                                  WHEN event_id % 4 = 1 THEN 'signup'
+                                  WHEN event_id % 4 = 2 THEN 'error'
+                                  ELSE 'purchase' END END AS b
+            FROM events
+            WHERE event_type IS NOT NULL
+          ),
+          kc AS (SELECT a, b, count(*) AS n FROM kr GROUP BY 1, 2),
+          km AS (
+            SELECT (SELECT sum(n) FROM kc) AS nn,
+                   (SELECT coalesce(sum(n), 0) FROM kc WHERE a = b)
+                     AS agree,
+                   (SELECT sum(na.n * nb.n)
+                    FROM (SELECT a, sum(n) AS n FROM kc GROUP BY a) na
+                    JOIN (SELECT b, sum(n) AS n FROM kc GROUP BY b) nb
+                      ON na.a = nb.b) AS peprod
+          )
+          SELECT '_kappa:cell:' || a || '>' || b AS event_type,
+                 CAST(n AS BIGINT) AS n FROM kc
+          UNION ALL SELECT '_kappa:n', CAST(nn AS BIGINT) FROM km
+          UNION ALL SELECT '_kappa:agree', CAST(agree AS BIGINT) FROM km
+          UNION ALL SELECT '_kappa:peprod', CAST(peprod AS BIGINT) FROM km
+          UNION ALL SELECT '_kappa:num',
+                 CAST(nn * agree - peprod AS BIGINT) FROM km
+          UNION ALL SELECT '_kappa:den',
+                 CAST(nn * nn - peprod AS BIGINT) FROM km
         )
     """
 

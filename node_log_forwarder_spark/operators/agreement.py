@@ -1,0 +1,166 @@
+"""Inter-annotator agreement — Cohen's kappa (2 raters) and Fleiss'
+kappa (m raters) over label assignments.
+
+The training-data QA use: every labeling pass that feeds a filter
+model (quality labels, toxicity flags, topic tags — human or
+LLM-as-judge) needs chance-corrected agreement before the labels are
+trusted; raw percent-agreement overstates reliability whenever the
+label marginals are skewed (Cohen 1960; Fleiss 1971). The same
+statistic audits rule families on the log side ("do the new and old
+parse rules agree beyond chance on routed sink").
+
+Shape for a 10^9-item annotation table:
+
+- Cohen: ONE data-scale shuffle — ``groupBy(label_a, label_b)`` to
+  the confusion matrix (|vocab|² rows, config-scale). Marginals,
+  observed and expected agreement all derive from the matrix with
+  tiny aggregates; the items table is scanned once.
+- Fleiss: ONE data-scale shuffle — ``groupBy(item, label)`` to
+  per-item label counts; the per-item sum of squares folds through a
+  second (item-keyed, pre-shuffled) agg, category totals are
+  |vocab|-sized.
+- Both kappas are carried as EXACT INTEGER rationals beside the
+  float convenience column:
+    Cohen:  num = n·agree − Σ_l nA(l)·nB(l),  den = n² − Σ_l nA(l)·nB(l)
+  so the driver gate hashes integers, never float formatting. The
+  rational components overflow int64 only past ~3·10^9 items
+  (n² terms) — annotation sets are orders of magnitude smaller; the
+  bound is documented rather than silently truncated.
+
+NULL policy: rows where either rater's label is NULL are unlabeled
+and excluded from n (documented; the caller owns imputation).
+
+No reference-file citation possible: /root/reference is empty this
+round (SURVEY.md §0); formulas follow Cohen (1960) and Fleiss (1971).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["confusion_matrix", "cohen_kappa", "fleiss_kappa"]
+
+
+def confusion_matrix(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """(label_a, label_b, n) over rows where both labels are non-null.
+    One hash shuffle at |vocab|² keys; the substrate for cohen_kappa.
+    """
+    return (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).cast("string").alias("label_a"),
+            F.col(col_b).cast("string").alias("label_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """1-row frame: n, n_agree, pe_prod (= Σ nA·nB), kappa_num,
+    kappa_den, kappa (double). kappa = (n·agree − Σ) / (n² − Σ).
+    """
+    # materialize the vocab²-sized matrix ONCE — every downstream
+    # marginal/total derives from it, so the items table is scanned
+    # exactly once regardless of how many statistics read the matrix
+    cm = confusion_matrix(df, col_a, col_b).localCheckpoint(eager=True)
+    na = cm.groupBy(F.col("label_a").alias("label")).agg(
+        F.sum("n").alias("na")
+    )
+    nb = cm.groupBy(F.col("label_b").alias("label")).agg(
+        F.sum("n").alias("nb")
+    )
+    # Σ nA·nB folded as ONE driver scalar (labels absent on one side
+    # contribute 0) — the drift.py policy: never a crossJoin/BNLJ of
+    # 1-row aggregates
+    pe_prod = int(
+        na.join(nb, "label")
+        .agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("p")
+        )
+        .collect()[0]
+        .p
+    )
+    tot = cm.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("label_a") == F.col("label_b"), F.col("n"))),
+            F.lit(0),
+        ).alias("n_agree"),
+    )
+    return tot.select(
+        "n",
+        "n_agree",
+        F.lit(pe_prod).cast("bigint").alias("pe_prod"),
+        (F.col("n") * F.col("n_agree") - F.lit(pe_prod)).alias("kappa_num"),
+        (F.col("n") * F.col("n") - F.lit(pe_prod)).alias("kappa_den"),
+        F.when(
+            F.col("n") * F.col("n") - F.lit(pe_prod) == 0,
+            F.lit(None).cast("double"),  # degenerate: pe == 1
+        )
+        .otherwise(
+            (F.col("n") * F.col("n_agree") - F.lit(pe_prod))
+            / (F.col("n") * F.col("n") - F.lit(pe_prod))
+        )
+        .alias("kappa"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame, item_col: str, label_col: str
+) -> DataFrame:
+    """Fleiss' kappa from LONG format (one row per (item, rating)).
+
+    Every item must carry the same number of ratings m (the Fleiss
+    precondition); items violating it raise via the m-consistency
+    check folded into the same pass. Returns 1 row:
+    n_items, m, p_bar_num/p_bar_den, p_e_num/p_e_den, kappa (double).
+    """
+    counts = (
+        df.where(F.col(item_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(
+            F.col(item_col).alias("item"),
+            F.col(label_col).cast("string").alias("label"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_item = counts.groupBy("item").agg(
+        F.sum("c").alias("m_i"), F.sum(F.col("c") * F.col("c")).alias("sq_i")
+    )
+    head = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("m_i").alias("m_min"),
+        F.max("m_i").alias("m_max"),
+        F.sum("sq_i").alias("sq"),
+    ).collect()[0]  # bounded: 1 row of driver scalars
+    if head.n_items == 0:
+        raise ValueError("fleiss_kappa: no labeled items")
+    if head.m_min != head.m_max:
+        raise ValueError(
+            f"fleiss_kappa: ratings per item vary ({head.m_min}"
+            f"..{head.m_max}); Fleiss requires constant m"
+        )
+    n, m, sq = head.n_items, head.m_min, head.sq
+    if m < 2:
+        raise ValueError("fleiss_kappa: need m >= 2 ratings per item")
+    cat = counts.groupBy("label").agg(F.sum("c").alias("cl"))
+    # P̄ = (sq − n·m) / (n·m·(m−1));  Pe = Σ cl² / (n·m)²
+    return cat.agg(F.sum(F.col("cl") * F.col("cl")).alias("sum_cl2")).select(
+        F.lit(n).alias("n_items"),
+        F.lit(m).alias("m"),
+        F.lit(int(sq - n * m)).alias("p_bar_num"),
+        F.lit(int(n * m * (m - 1))).alias("p_bar_den"),
+        F.col("sum_cl2").alias("p_e_num"),
+        F.lit(int((n * m) ** 2)).alias("p_e_den"),
+        F.when(
+            F.lit((n * m) ** 2) == F.col("sum_cl2"), F.lit(None).cast("double")
+        )
+        .otherwise(
+            (
+                F.lit(float(sq - n * m)) / F.lit(float(n * m * (m - 1)))
+                - F.col("sum_cl2") / F.lit(float((n * m) ** 2))
+            )
+            / (F.lit(1.0) - F.col("sum_cl2") / F.lit(float((n * m) ** 2)))
+        )
+        .alias("kappa"),
+    )

@@ -1,0 +1,163 @@
+"""Inter-annotator agreement (operators/agreement.py): Cohen's kappa
+vs hand-computed and pure-Python references (exact integer rational +
+float), Fleiss' kappa vs the textbook formula on a seeded panel,
+degenerate/NULL policies, and the one-data-scale-Exchange plan."""
+
+from __future__ import annotations
+
+import collections
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.agreement import (
+    cohen_kappa,
+    confusion_matrix,
+    fleiss_kappa,
+)
+
+
+def _py_cohen(pairs):
+    pairs = [(a, b) for a, b in pairs if a is not None and b is not None]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    ca = collections.Counter(a for a, _ in pairs)
+    cb = collections.Counter(b for _, b in pairs)
+    prod = sum(ca[l] * cb.get(l, 0) for l in ca)
+    return n, agree, prod, n * agree - prod, n * n - prod
+
+
+def _py_fleiss(rows):
+    # rows: (item, label)
+    per_item = collections.defaultdict(collections.Counter)
+    for it, lab in rows:
+        per_item[it][lab] += 1
+    n = len(per_item)
+    m = sum(next(iter(per_item.values())).values())
+    sq = sum(c * c for cnt in per_item.values() for c in cnt.values())
+    cl = collections.Counter()
+    for cnt in per_item.values():
+        cl.update(cnt)
+    p_bar = (sq - n * m) / (n * m * (m - 1))
+    p_e = sum(v * v for v in cl.values()) / (n * m) ** 2
+    return (p_bar - p_e) / (1 - p_e)
+
+
+# classic Cohen example: 2x2 with marginal skew
+PAIRS = (
+    [("yes", "yes")] * 20
+    + [("no", "no")] * 15
+    + [("yes", "no")] * 5
+    + [("no", "yes")] * 10
+)
+
+
+def _kappa_row(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    return cohen_kappa(df, "a", "b").collect()[0]
+
+
+def test_cohen_hand_example(spark):
+    r = _kappa_row(spark, PAIRS)
+    n, agree, prod, num, den = _py_cohen(PAIRS)
+    assert (r.n, r.n_agree, r.pe_prod) == (n, agree, prod) == (50, 35, 1250)
+    assert (r.kappa_num, r.kappa_den) == (num, den) == (500, 1250)
+    assert r.kappa == 0.4  # chance-corrected, well below the 0.7 raw p_o
+
+
+def test_cohen_perfect_and_degenerate(spark):
+    r = _kappa_row(spark, [("x", "x")] * 7 + [("y", "y")] * 3)
+    assert r.kappa == 1.0 and r.kappa_num == r.kappa_den
+    # single label on both sides: pe == 1 -> undefined, NULL not crash
+    r = _kappa_row(spark, [("x", "x")] * 5)
+    assert r.kappa is None and r.kappa_den == 0
+
+
+def test_cohen_null_rows_excluded(spark):
+    r = _kappa_row(spark, PAIRS + [("yes", None), (None, "no")])
+    assert r.n == 50  # unlabeled rows dropped from n
+
+
+def test_cohen_random_vs_python(spark):
+    rng = random.Random(11)
+    labs = ["a", "b", "c", "d"]
+    pairs = [
+        (rng.choice(labs), rng.choice(labs)) for _ in range(500)
+    ]
+    r = _kappa_row(spark, pairs)
+    n, agree, prod, num, den = _py_cohen(pairs)
+    assert (r.n, r.n_agree, r.pe_prod, r.kappa_num, r.kappa_den) == (
+        n, agree, prod, num, den,
+    )
+    assert abs(r.kappa) < 0.12  # independent raters ~ chance
+
+
+def test_confusion_matrix_cells(spark):
+    df = spark.createDataFrame(PAIRS, "a string, b string")
+    cells = {
+        (r.label_a, r.label_b): r.n
+        for r in confusion_matrix(df, "a", "b").collect()
+    }
+    assert cells == {
+        ("yes", "yes"): 20, ("no", "no"): 15,
+        ("yes", "no"): 5, ("no", "yes"): 10,
+    }
+
+
+def test_fleiss_vs_python_and_validation(spark):
+    rng = random.Random(7)
+    rows = []
+    for item in range(60):
+        bias = "a" if item % 3 else "b"
+        for _ in range(4):  # m = 4 raters
+            rows.append(
+                (item, bias if rng.random() < 0.7 else rng.choice("abc"))
+            )
+    df = spark.createDataFrame(rows, "item int, label string")
+    r = fleiss_kappa(df, "item", "label").collect()[0]
+    assert (r.n_items, r.m) == (60, 4)
+    assert abs(r.kappa - _py_fleiss(rows)) < 1e-12
+    # integer components reproduce the float
+    p_bar = r.p_bar_num / r.p_bar_den
+    p_e = r.p_e_num / r.p_e_den
+    assert abs(r.kappa - (p_bar - p_e) / (1 - p_e)) < 1e-12
+
+    with pytest.raises(ValueError, match="constant m"):
+        fleiss_kappa(
+            df.unionByName(
+                spark.createDataFrame([(0, "a")], "item int, label string")
+            ),
+            "item",
+            "label",
+        )
+    with pytest.raises(ValueError, match="no labeled"):
+        fleiss_kappa(df.where(F.lit(False)), "item", "label")
+
+
+def test_plan_one_data_scale_exchange(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lab_b = F.when(
+        F.col("event_id") % 3 == 0, F.col("event_type")
+    ).otherwise(F.lit("other"))
+    labeled = df.select(F.col("event_type").alias("a"), lab_b.alias("b"))
+    cm_plan = (
+        confusion_matrix(labeled, "a", "b")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the ONLY data-scale stage: one scan, one hash shuffle
+    assert cm_plan.count("Scan parquet") == 1, cm_plan
+    assert cm_plan.count("Exchange") == 1, cm_plan
+    plan = (
+        cohen_kappa(labeled, "a", "b")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # everything downstream reads the materialized vocab²-sized matrix
+    assert "Scan parquet" not in plan, plan
+    for banned in ("CartesianProduct", "BatchEvalPython",
+                   "BroadcastNestedLoopJoin"):
+        assert banned not in plan, banned
