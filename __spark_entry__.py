@@ -1089,7 +1089,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("val")
         )
-        return base.unionByName(sect).unionByName(lsect).unionByName(ksect)
+        # + IR-eval audit (r4 s13: operators/ireval.py — MRR/recall@k/
+        # nDCG over (rankings, qrels)). Three synthetic queries rank
+        # the first 40 documents by the (doc_id*7 + q*13) % 101 hash
+        # order (top-10 kept); qrels mark (doc_id + q) % 6 == 0 docs
+        # relevant at grade 1 + doc_id%2 — so hits, misses, and a
+        # below-cutoff first-relevant all occur. Gated numbers are the
+        # exact integer components (n_rel, hits@k, first_rel_rank);
+        # the float nDCG is the pytest class.
+        from pyspark.sql import Window as _W
+
+        from node_log_forwarder_spark.operators.ireval import ir_metrics
+
+        irdocs = (
+            _t(spark, sf, "documents")
+            .where(F.col("doc_id") < 40)
+            .select("doc_id")
+            .withColumn(
+                "query_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+            )
+        )
+        irrank = (
+            irdocs.withColumn(
+                "rank",
+                F.row_number().over(
+                    _W.partitionBy("query_id").orderBy(
+                        (
+                            (F.col("doc_id") * 7 + F.col("query_id") * 13)
+                            % 101
+                        ).asc(),
+                        F.col("doc_id").asc(),
+                    )
+                ),
+            ).where(F.col("rank") <= 10)
+        )
+        irqrel = irdocs.where(
+            (F.col("doc_id") + F.col("query_id")) % 6 == 0
+        ).select(
+            "query_id", "doc_id", (1 + F.col("doc_id") % 2).alias("grade")
+        )
+        irm = ir_metrics(irrank, irqrel, k=10)
+        irsect = irm.select(
+            F.explode(
+                F.array(
+                    F.concat(
+                        F.lit("_ir:"),
+                        F.col("query_id").cast("string"),
+                        F.lit(":nrel:"),
+                        F.col("n_rel").cast("string"),
+                    ),
+                    F.concat(
+                        F.lit("_ir:"),
+                        F.col("query_id").cast("string"),
+                        F.lit(":hits:"),
+                        F.col("n_hits_k").cast("string"),
+                    ),
+                    F.concat(
+                        F.lit("_ir:"),
+                        F.col("query_id").cast("string"),
+                        F.lit(":first:"),
+                        F.coalesce(F.col("first_rel_rank"), F.lit(0)).cast(
+                            "string"
+                        ),
+                    ),
+                )
+            ).alias("val")
+        )
+        return (
+            base.unionByName(sect)
+            .unionByName(lsect)
+            .unionByName(ksect)
+            .unionByName(irsect)
+        )
     q["set_union"] = q_set_union
 
     # --- relational aggregates (TPC-H Q1 shape) ------------------------------
@@ -3495,6 +3566,48 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM kp WHERE h IN (SELECT h FROM ka)),
                    (SELECT count(*) FROM kp WHERE h IN (SELECT h FROM kb))
                  ]) AS v
+        )
+    """
+
+    # IR-eval twin (operators/ireval.py): same derived rankings/qrels,
+    # integer components only (n_rel, hits@k, first_rel_rank; 0 when
+    # no relevant doc is ranked) — float nDCG stays the pytest class
+    sql["set_union"] += """
+        UNION ALL
+        SELECT val FROM (
+          WITH ird AS (
+            SELECT doc_id, q
+            FROM documents CROSS JOIN (VALUES (0), (1), (2)) t(q)
+            WHERE doc_id < 40
+          ),
+          irr AS (
+            SELECT q AS query_id, doc_id,
+                   row_number() OVER (
+                     PARTITION BY q
+                     ORDER BY (doc_id * 7 + q * 13) % 101, doc_id
+                   ) AS rank
+            FROM ird QUALIFY rank <= 10
+          ),
+          irg AS (
+            SELECT q AS query_id, doc_id, 1 + doc_id % 2 AS grade
+            FROM ird WHERE (doc_id + q) % 6 = 0
+          ),
+          irj AS (
+            SELECT g.query_id, g.grade, r.rank
+            FROM irg g LEFT JOIN irr r
+              ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+          ),
+          irm AS (
+            SELECT query_id, count(*) AS n_rel,
+                   sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS hits,
+                   coalesce(min(rank), 0) AS first
+            FROM irj GROUP BY query_id
+          )
+          SELECT '_ir:' || query_id || ':nrel:' || n_rel AS val FROM irm
+          UNION ALL
+          SELECT '_ir:' || query_id || ':hits:' || hits FROM irm
+          UNION ALL
+          SELECT '_ir:' || query_id || ':first:' || first FROM irm
         )
     """
 

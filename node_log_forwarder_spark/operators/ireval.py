@@ -1,0 +1,132 @@
+"""IR / retrieval evaluation metrics — MRR, recall@k, nDCG@k over a
+(rankings, qrels) pair.
+
+The RAG-pipeline use: the repo ships three rankers (BM25/tf-idf
+`operators/search.py`, cosine/ANN `operators/similarity.py`, RRF
+fusion `operators/hybrid.py`); this operator closes the loop by
+scoring any of them against a relevance set, so ranker changes are
+judged by measured recall/nDCG instead of eyeballs — the offline-eval
+step every retrieval deployment runs before swapping rankers.
+
+Shape for a 10^8-query eval set:
+
+- rankings (query_id, doc_id, rank) is Q×k rows, qrels
+  (query_id, doc_id, grade) is Q×R — both eval-scale, never
+  corpus-scale; the corpus was already reduced to top-k lists by the
+  ranker under test.
+- ONE equi-join on (query_id, doc_id) attaches grades (left join:
+  unjudged → grade 0, the TREC convention), then ONE query-keyed agg;
+  ideal-DCG folds through the same agg via a per-query grade array
+  (bounded by R, the per-query judgment count — collect_list here is
+  judgment-scale, not data-scale).
+- Integer components (n_rel, hits@k, first_rel_rank) are exact, so a
+  driver gate can hash them; MRR is carried as the exact rational
+  1/first_rel_rank beside the float; DCG/nDCG are floats (log2
+  weights) and belong to the pytest class, like every float fixpoint
+  in this repo.
+
+Grades follow graded-relevance nDCG (Järvelin & Kekäläinen 2002):
+gain = 2^grade − 1, discount = log2(rank+1); grade 0 rows in qrels
+mean "judged non-relevant" and count toward neither n_rel nor gain.
+
+No reference-file citation possible: /root/reference is empty this
+round (SURVEY.md §0).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["ir_metrics", "ir_macro"]
+
+
+def ir_metrics(
+    rankings: DataFrame, qrels: DataFrame, k: int = 10
+) -> DataFrame:
+    """Per-query metrics → (query_id, n_rel, n_hits_k,
+    first_rel_rank, rr, recall_k, dcg, idcg, ndcg).
+
+    ``rankings``: (query_id, doc_id, rank) with rank 1-based and
+    unique per query. ``qrels``: (query_id, doc_id, grade ≥ 0).
+    Queries present in qrels but absent from rankings score 0 (the
+    ranker returned nothing); queries with no positive judgment get
+    NULL recall/ndcg (undefined, not crash).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    r = rankings.select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"))
+    g = qrels.select(
+        "query_id", "doc_id", F.col("grade").cast("long").alias("grade")
+    )
+    joined = r.join(g, ["query_id", "doc_id"], "left").select(
+        "query_id", "rank", F.coalesce("grade", F.lit(0)).alias("grade")
+    )
+    got = joined.groupBy("query_id").agg(
+        F.sum(
+            F.when((F.col("rank") <= k) & (F.col("grade") > 0), 1).otherwise(0)
+        ).alias("n_hits_k"),
+        F.min(F.when(F.col("grade") > 0, F.col("rank"))).alias(
+            "first_rel_rank"
+        ),
+        F.sum(
+            F.when(
+                F.col("rank") <= k,
+                (F.pow(F.lit(2.0), F.col("grade")) - 1)
+                / F.log2(F.col("rank") + 1),
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg"),
+    )
+    # ideal DCG: the query's judged grades sorted descending, cut at k
+    # (judgment-scale arrays, never corpus-scale)
+    ideal = g.groupBy("query_id").agg(
+        F.sum(F.when(F.col("grade") > 0, 1).otherwise(0)).alias("n_rel"),
+        F.aggregate(
+            F.zip_with(
+                F.slice(
+                    F.sort_array(F.collect_list("grade"), asc=False), 1, k
+                ),
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.greatest(F.size(F.collect_list("grade")), F.lit(1)),
+                        F.lit(k),
+                    ),
+                ),
+                lambda grade, pos: (F.pow(F.lit(2.0), grade) - 1)
+                / F.log2(pos + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("idcg"),
+    )
+    out = ideal.join(got, "query_id", "left").select(
+        "query_id",
+        "n_rel",
+        F.coalesce("n_hits_k", F.lit(0)).alias("n_hits_k"),
+        F.col("first_rel_rank"),
+        F.coalesce(
+            F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)
+        ).alias("rr"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.coalesce(F.col("n_hits_k"), F.lit(0)) / F.col("n_rel"),
+        ).alias("recall_k"),
+        F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
+        "idcg",
+        F.when(
+            F.col("idcg") > 0, F.coalesce("dcg", F.lit(0.0)) / F.col("idcg")
+        ).alias("ndcg"),
+    )
+    return out
+
+
+def ir_macro(per_query: DataFrame) -> DataFrame:
+    """Macro averages over queries (1 row): n_queries, mrr,
+    mean_recall_k, mean_ndcg — queries with undefined recall/ndcg
+    (no positive judgments) are excluded from those means, the
+    trec_eval convention."""
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg("rr").alias("mrr"),
+        F.avg("recall_k").alias("mean_recall_k"),
+        F.avg("ndcg").alias("mean_ndcg"),
+    )

@@ -1,0 +1,133 @@
+"""IR eval metrics (operators/ireval.py): hand-computed example,
+pure-Python reference on seeded random rankings/qrels (integers exact,
+floats at 1e-12), TREC conventions (unjudged=0, judged-non-relevant,
+no-positive-judgment query), k cut, macro averages, plan shape."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from node_log_forwarder_spark.operators.ireval import ir_macro, ir_metrics
+
+
+def _py_metrics(rankings, qrels, k=10):
+    # rankings: {q: [doc in rank order]}, qrels: {(q,d): grade}
+    out = {}
+    for q in {q for q, _ in qrels}:
+        docs = rankings.get(q, [])
+        grades = [qrels.get((q, d), 0) for d in docs]
+        n_rel = sum(1 for (qq, _), g in qrels.items() if qq == q and g > 0)
+        hits = sum(1 for g in grades[:k] if g > 0)
+        first = next((i + 1 for i, g in enumerate(grades) if g > 0), None)
+        dcg = sum(
+            (2**g - 1) / math.log2(i + 2) for i, g in enumerate(grades[:k])
+        )
+        ideal = sorted(
+            (g for (qq, _), g in qrels.items() if qq == q), reverse=True
+        )[:k]
+        idcg = sum(
+            (2**g - 1) / math.log2(i + 2) for i, g in enumerate(ideal)
+        )
+        out[q] = {
+            "n_rel": n_rel,
+            "n_hits_k": hits,
+            "first_rel_rank": first,
+            "rr": 1 / first if first else 0.0,
+            "recall_k": hits / n_rel if n_rel else None,
+            "ndcg": dcg / idcg if idcg > 0 else None,
+        }
+    return out
+
+
+def _frames(spark, rankings, qrels):
+    rrows = [
+        (q, d, i + 1) for q, docs in rankings.items() for i, d in enumerate(docs)
+    ]
+    qrows = [(q, d, g) for (q, d), g in qrels.items()]
+    return (
+        spark.createDataFrame(rrows, "query_id int, doc_id int, rank int"),
+        spark.createDataFrame(qrows, "query_id int, doc_id int, grade int"),
+    )
+
+
+def _check(spark, rankings, qrels, k):
+    rdf, qdf = _frames(spark, rankings, qrels)
+    got = {r.query_id: r for r in ir_metrics(rdf, qdf, k=k).collect()}
+    ref = _py_metrics(rankings, qrels, k)
+    assert set(got) == set(ref)
+    for q, e in ref.items():
+        g = got[q]
+        assert (g.n_rel, g.n_hits_k, g.first_rel_rank) == (
+            e["n_rel"], e["n_hits_k"], e["first_rel_rank"],
+        ), q
+        assert abs(g.rr - e["rr"]) < 1e-12, q
+        for key in ("recall_k", "ndcg"):
+            if e[key] is None:
+                assert getattr(g, key) is None, (q, key)
+            else:
+                assert abs(getattr(g, key) - e[key]) < 1e-12, (q, key)
+    return got
+
+
+def test_hand_example(spark):
+    rankings = {1: [10, 20, 30, 40]}
+    qrels = {(1, 20): 2, (1, 40): 1, (1, 99): 1}
+    got = _check(spark, rankings, qrels, k=3)
+    r = got[1]
+    # first relevant at rank 2; 1 of 3 relevant inside k=3
+    assert (r.first_rel_rank, r.n_hits_k, r.n_rel) == (2, 1, 3)
+    assert r.rr == 0.5
+    dcg = 3 / math.log2(3)
+    idcg = 3 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert abs(r.ndcg - dcg / idcg) < 1e-12
+
+
+def test_trec_conventions(spark):
+    # judged-non-relevant (grade 0) is neither a hit nor n_rel;
+    # a query with no positive judgments has NULL recall/ndcg;
+    # a judged query missing from rankings scores 0
+    rankings = {1: [10, 20]}
+    qrels = {(1, 10): 0, (1, 20): 1, (2, 50): 0, (3, 60): 1}
+    got = _check(spark, rankings, qrels, k=10)
+    assert got[1].n_rel == 1 and got[1].first_rel_rank == 2
+    assert got[2].recall_k is None and got[2].ndcg is None
+    assert got[3].rr == 0.0 and got[3].n_hits_k == 0
+
+
+def test_random_vs_python_and_k_cut(spark):
+    rng = random.Random(31)
+    rankings = {
+        q: rng.sample(range(100), 15) for q in range(12)
+    }
+    qrels = {
+        (q, d): rng.choice([0, 1, 1, 2])
+        for q in range(12)
+        for d in rng.sample(range(100), 8)
+    }
+    for k in (3, 10, 50):
+        _check(spark, rankings, qrels, k=k)
+
+
+def test_macro(spark):
+    rankings = {1: [10], 2: [20]}
+    qrels = {(1, 10): 1, (2, 99): 1, (3, 5): 0}
+    rdf, qdf = _frames(spark, rankings, qrels)
+    m = ir_macro(ir_metrics(rdf, qdf, k=5)).collect()[0]
+    assert m.n_queries == 3
+    assert abs(m.mrr - (1.0 + 0.0 + 0.0) / 3) < 1e-12
+    # query 3 has no positive judgment -> excluded from recall mean
+    assert abs(m.mean_recall_k - (1.0 + 0.0) / 2) < 1e-12
+
+
+def test_validation_and_plan(spark):
+    rdf, qdf = _frames(spark, {1: [10]}, {(1, 10): 1})
+    with pytest.raises(ValueError):
+        ir_metrics(rdf, qdf, k=0)
+    plan = (
+        ir_metrics(rdf, qdf)._jdf.queryExecution().executedPlan().toString()
+    )
+    for banned in ("CartesianProduct", "BatchEvalPython"):
+        assert banned not in plan, banned
