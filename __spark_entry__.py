@@ -1353,13 +1353,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("n_chunk_tokens").alias("sum_chunk_tokens"),
             F.sum(chunk_fingerprint(F.col("chunk_text"))).alias("sum_chunk_fp"),
         )
+        # + Heaps-law vocab-growth audit (r4 s13: operators/
+        # vocabgrowth.py — cumulative distinct-type curve via ONE
+        # token-first-occurrence groupBy; checkpoints explicit, rows
+        # past the last boundary excluded by design). Section rows:
+        # lang='_vg:<boundary>', n_docs/total_tokens/max_tokens carry
+        # the cumulative doc/token/vocab counts (all exact integers),
+        # remaining slots 0.
+        from node_log_forwarder_spark.functions.text import tokens as _tok
+        from node_log_forwarder_spark.operators.vocabgrowth import (
+            vocab_growth,
+        )
+
+        vg = vocab_growth(
+            docs,
+            "doc_id",
+            _tok(F.col("text")),
+            [25, 50, 100, 200, 400, 800, 1600, 3200],
+        )
+        vgsect = vg.select(
+            F.concat(F.lit("_vg:"), F.col("boundary").cast("string")).alias(
+                "lang"
+            ),
+            F.col("n_docs_cum").alias("n_docs"),
+            F.col("n_tokens_cum").alias("total_tokens"),
+            F.col("n_vocab_cum").alias("max_tokens"),
+            *[
+                F.lit(0).cast("long").alias(c)
+                for c in (
+                    "total_bpe_tokens",
+                    "total_bpe_real",
+                    "sum_chunks",
+                    "sum_chunk_tokens",
+                    "sum_chunk_fp",
+                )
+            ],
+        )
         return base.join(ch, "lang", "left").select(
             "lang", "n_docs", "total_tokens", "max_tokens",
             "total_bpe_tokens", "total_bpe_real",
             F.coalesce("sum_chunks", F.lit(0)).alias("sum_chunks"),
             F.coalesce("sum_chunk_tokens", F.lit(0)).alias("sum_chunk_tokens"),
             F.coalesce("sum_chunk_fp", F.lit(0)).alias("sum_chunk_fp"),
-        )
+        ).unionByName(vgsect)
     q["token_count"] = q_token_count
 
     # --- text: quality components (integer-exact) ------------------------------
@@ -3715,6 +3751,50 @@ def oracle_sql() -> dict[str, str]:
         FROM d LEFT JOIN b ON d.lang = b.lang
                 LEFT JOIN cagg c ON d.lang = c.lang
         GROUP BY d.lang
+    """
+
+    # Heaps vocab-growth twin (operators/vocabgrowth.py): token first
+    # occurrence by min(doc_id), checkpoint = smallest boundary >= pos,
+    # cumulative sums over the explicit boundary spine
+    sql["token_count"] += f"""
+        UNION ALL
+        SELECT '_vg:' || b AS lang,
+               CAST(ndc AS BIGINT) AS n_docs,
+               CAST(ntc AS BIGINT) AS total_tokens,
+               CAST(nvc AS BIGINT) AS max_tokens,
+               CAST(0 AS BIGINT) AS total_bpe_tokens,
+               CAST(0 AS BIGINT) AS total_bpe_real,
+               CAST(0 AS BIGINT) AS sum_chunks,
+               CAST(0 AS BIGINT) AS sum_chunk_tokens,
+               CAST(0 AS BIGINT) AS sum_chunk_fp
+        FROM (
+          WITH vgb AS (
+            SELECT unnest([25, 50, 100, 200, 400, 800, 1600, 3200]) AS b
+          ),
+          vgf AS (
+            SELECT token, min(doc_id) AS fp
+            FROM (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents)
+            GROUP BY token
+          ),
+          vv AS (
+            SELECT b, count(*) AS nv
+            FROM (SELECT (SELECT min(b) FROM vgb WHERE b >= fp) AS b
+                  FROM vgf)
+            WHERE b IS NOT NULL GROUP BY b
+          ),
+          vt AS (
+            SELECT b, sum(nt) AS nt, count(*) AS nd
+            FROM (SELECT (SELECT min(b) FROM vgb WHERE b >= doc_id) AS b,
+                         len({_TOKENS}) AS nt
+                  FROM documents)
+            WHERE b IS NOT NULL GROUP BY b
+          )
+          SELECT vgb.b,
+                 sum(coalesce(vt.nd, 0)) OVER (ORDER BY vgb.b) AS ndc,
+                 sum(coalesce(vt.nt, 0)) OVER (ORDER BY vgb.b) AS ntc,
+                 sum(coalesce(vv.nv, 0)) OVER (ORDER BY vgb.b) AS nvc
+          FROM vgb LEFT JOIN vv USING (b) LEFT JOIN vt USING (b)
+        )
     """
 
     _LINES = ("list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), "

@@ -1,0 +1,118 @@
+"""Heaps-law vocabulary growth — cumulative distinct-vocabulary curve
+V(N) over a corpus prefix ordering.
+
+The corpus-diversity diagnostic a tokenizer/dataset team runs before
+committing vocab size: V(N) ≈ K·N^β (Heaps 1978); a β collapsing
+toward 0 as N grows means new data stopped contributing new types
+(template/boilerplate saturation — complements boilerplate.py which
+REMOVES it, this MEASURES the saturation), while β near 1 flags
+OCR-noise/junk vocabularies that will blow up a learned tokenizer.
+
+Shape for a 10^12-token corpus:
+
+- The curve needs each type's FIRST occurrence position, not per-
+  prefix distinct counts: ONE explode + word-count-shaped
+  ``groupBy(token).min(pos)`` — the same shuffle class as vocab_topk —
+  then everything else is |boundaries|-sized.
+- Checkpoint assignment is ``array_min(filter(boundaries, b >= pos))``
+  over a literal array — native HOF, no join against a boundary
+  table; rows past the last boundary fall out (they're beyond the
+  curve's domain).
+- Cumulative sums run on the |boundaries|-row spine (a driver-scale
+  window, not a data-scale sort).
+- Everything is exact integers → driver-gateable; the float Heaps
+  exponent fit is the pytest class.
+
+Position column: any monotone corpus order (ingest order, the dense
+index from operators/index.py — natural composition). Boundaries are
+EXPLICIT (config), never inferred via a hidden max/quantile job.
+
+No reference-file citation possible: /root/reference is empty this
+round (SURVEY.md §0).
+"""
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["vocab_growth", "heaps_exponent"]
+
+
+def vocab_growth(
+    df: DataFrame,
+    pos_col: str,
+    tokens_col: Column | str,
+    boundaries: Sequence[int],
+) -> DataFrame:
+    """Cumulative curve → (boundary, n_docs_cum, n_tokens_cum,
+    n_vocab_cum), one row per boundary (empty prefixes included as
+    zeros). A row means: over all docs with pos ≤ boundary, the corpus
+    holds n_tokens_cum running tokens of n_vocab_cum distinct types.
+    """
+    bl = [int(b) for b in boundaries]
+    if not bl or bl != sorted(bl) or len(set(bl)) != len(bl):
+        raise ValueError("boundaries must be non-empty, strictly increasing")
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    barr = F.array(*[F.lit(b) for b in bl])
+
+    def bucket(pos: Column) -> Column:
+        # smallest boundary >= pos; NULL (dropped) past the last one
+        return F.array_min(F.filter(barr, lambda b: b >= pos))
+
+    pos = F.col(pos_col).cast("long")
+    tok_first = (
+        df.select(pos.alias("pos"), F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    voc = (
+        tok_first.select(bucket(F.col("first_pos")).alias("b"))
+        .where(F.col("b").isNotNull())
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    tot = (
+        df.select(
+            bucket(pos).alias("b"),
+            F.coalesce(F.size(toks), F.lit(0)).alias("nt"),
+        )
+        .where(F.col("b").isNotNull())
+        .groupBy("b")
+        .agg(F.sum("nt").alias("nt"), F.count(F.lit(1)).alias("nd"))
+    )
+    spine = df.sparkSession.createDataFrame([(b,) for b in bl], "b long")
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(voc, "b", "left")
+        .join(tot, "b", "left")
+        .select(
+            F.col("b").alias("boundary"),
+            F.sum(F.coalesce("nd", F.lit(0))).over(w).alias("n_docs_cum"),
+            F.sum(F.coalesce("nt", F.lit(0))).over(w).alias("n_tokens_cum"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(w).alias("n_vocab_cum"),
+        )
+    )
+
+
+def heaps_exponent(curve: DataFrame) -> tuple[float, float]:
+    """Least-squares fit of log V = log K + β·log N over the curve's
+    non-empty rows → (K, β). |boundaries| points — a bounded driver
+    computation, pytest-gated (floats)."""
+    rows = [
+        (r.n_tokens_cum, r.n_vocab_cum)
+        for r in curve.collect()
+        if r.n_tokens_cum > 0 and r.n_vocab_cum > 0
+    ]
+    if len(rows) < 2:
+        raise ValueError("heaps_exponent: need >= 2 non-empty curve points")
+    xs = [math.log(n) for n, _ in rows]
+    ys = [math.log(v) for _, v in rows]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    logk = (sy - beta * sx) / n
+    return math.exp(logk), beta

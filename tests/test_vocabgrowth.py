@@ -1,0 +1,117 @@
+"""Heaps-law vocab growth (operators/vocabgrowth.py): exact curve vs a
+pure-Python reference, empty-prefix zeros, past-last-boundary
+truncation, monotonicity, the Heaps fit on a synthetic power law, and
+the one-data-scale-shuffle plan."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.vocabgrowth import (
+    heaps_exponent,
+    vocab_growth,
+)
+
+DOCS = [
+    (1, ["a", "b", "a"]),
+    (2, ["b", "c"]),
+    (4, ["c", "d", "e", "a"]),
+    (7, []),
+    (9, ["f"]),
+    (20, ["g", "a"]),  # past the last boundary -> excluded
+]
+BOUNDS = [2, 3, 5, 10]
+
+
+def _py_curve(docs, bounds):
+    out = []
+    for b in bounds:
+        pref = [toks for pos, toks in docs if pos <= b]
+        flat = [t for toks in pref for t in toks]
+        out.append((b, len(pref), len(flat), len(set(flat))))
+    return out
+
+
+def _got(spark, docs, bounds):
+    df = spark.createDataFrame(docs, "pos long, toks array<string>")
+    return [
+        (r.boundary, r.n_docs_cum, r.n_tokens_cum, r.n_vocab_cum)
+        for r in vocab_growth(df, "pos", "toks", bounds)
+        .orderBy("boundary")
+        .collect()
+    ]
+
+
+def test_curve_vs_python(spark):
+    assert _got(spark, DOCS, BOUNDS) == _py_curve(DOCS, BOUNDS) == [
+        (2, 2, 5, 3),
+        (3, 2, 5, 3),   # empty prefix step: carried forward
+        (5, 3, 9, 5),
+        (10, 5, 10, 6),  # empty-token doc counted in docs, not tokens
+    ]
+
+
+def test_leading_empty_and_truncation(spark):
+    got = _got(spark, DOCS, [0, 1, 2])
+    assert got[0] == (0, 0, 0, 0)  # empty leading prefix is a zero row
+    assert got[2] == (2, 2, 5, 3)
+    # doc at pos 20 is beyond every boundary: no row counts it
+    assert all(r[1] <= 2 for r in got)
+
+
+def test_monotone_on_random_corpus(spark):
+    rng = __import__("random").Random(5)
+    docs = [
+        (i, [f"w{rng.randrange(40)}" for _ in range(rng.randrange(1, 9))])
+        for i in range(1, 120)
+    ]
+    bounds = [5, 10, 20, 40, 80, 119]
+    got = _got(spark, docs, bounds)
+    assert got == _py_curve(docs, bounds)
+    for a, b in zip(got, got[1:]):
+        assert all(x <= y for x, y in zip(a[1:], b[1:]))
+
+
+def test_heaps_fit_recovers_exponent(spark):
+    # synthetic corpus engineered so V(N) == N^0.5 exactly at each
+    # checkpoint: doc k contributes 100 tokens of which
+    # (10*sqrt(k) - 10*sqrt(k-1))-ish new types; instead build directly
+    curve_rows = [(k, k, 10000 * k, int((10000 * k) ** 0.5)) for k in range(1, 9)]
+    df = spark.createDataFrame(
+        curve_rows,
+        "boundary long, n_docs_cum long, n_tokens_cum long, n_vocab_cum long",
+    )
+    k, beta = heaps_exponent(df)
+    assert abs(beta - 0.5) < 0.01
+    assert abs(k - 1.0) < 0.05
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(DOCS, "pos long, toks array<string>")
+    for bad in ([], [3, 2], [2, 2]):
+        with pytest.raises(ValueError):
+            vocab_growth(df, "pos", "toks", bad)
+    with pytest.raises(ValueError):
+        heaps_exponent(
+            vocab_growth(df, "pos", "toks", [1]).where(F.lit(False))
+        )
+
+
+def test_plan_shape(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from node_log_forwarder_spark.functions.text import tokens
+
+    plan = (
+        vocab_growth(df, "doc_id", tokens(F.col("text")), [100, 500, 2000])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for banned in ("CartesianProduct", "BatchEvalPython"):
+        assert banned not in plan, banned
+    # the token first-occurrence groupBy is the only data-scale
+    # shuffle; the spine window/joins run on |boundaries| rows
+    assert plan.count("Scan parquet") == 2  # tok_first + tot branches
