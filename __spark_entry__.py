@@ -1451,6 +1451,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         model = bigram_model(docs.filter(F.col("doc_id") % 7 == 0))
         lm = lm_audit(docs, model, group_col="source")
+        # + rank/quantile normalization audit (r4 s13: operators/
+        # quantnorm.py — the FineWeb/CCNet per-dump calibration: quality
+        # thresholds applied to the WITHIN-group rank transform instead
+        # of raw scores; one shared window sort, exact integer bucket
+        # (rank−1)·B div n). Section rows: source='_qn:<source>:<b>',
+        # n_docs=bucket membership count, sum_tokens=Σ doc_id (pins the
+        # exact membership, not just sizes), rest 0. Score = token
+        # count, ties broken by doc_id — byte-stable in both engines.
+        from node_log_forwarder_spark.operators.quantnorm import (
+            rank_normalize,
+        )
+
+        qn = rank_normalize(
+            docs.select("source", "doc_id", token_count(F.col("text")).alias("_sc")),
+            "source",
+            "_sc",
+            n_buckets=4,
+            tie_cols=("doc_id",),
+        )
+        qnsect = (
+            qn.groupBy("source", "qn_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("sum_tokens"),
+            )
+            .select(
+                F.concat(
+                    F.lit("_qn:"),
+                    F.col("source"),
+                    F.lit(":"),
+                    F.col("qn_bucket").cast("string"),
+                ).alias("source"),
+                "n_docs",
+                "sum_tokens",
+                *[
+                    F.lit(0).cast("long").alias(c)
+                    for c in (
+                        "sum_punct", "sum_stop", "sum_lines",
+                        "sum_distinct_lines", "sum_top_bigram",
+                        "sum_bigrams", "sum_lm_known", "sum_lm_hits",
+                    )
+                ],
+            )
+        )
         return (
             base.join(rep, "source", "left")
             .join(lm, "source", "left")
@@ -1462,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.coalesce(F.col("sum_lm_known"), F.lit(0)).alias("sum_lm_known"),
                 F.coalesce(F.col("sum_lm_hits"), F.lit(0)).alias("sum_lm_hits"),
             )
+            .unionByName(qnsect)
         )
     q["quality_components"] = q_quality_components
 
@@ -3860,6 +3905,33 @@ def oracle_sql() -> dict[str, str]:
                coalesce(lm.sum_lm_hits, 0) AS sum_lm_hits
         FROM base LEFT JOIN rep ON base.source = rep.source
         LEFT JOIN lm ON base.source = lm.source
+    """
+
+    # rank-normalization twin (operators/quantnorm.py): same window
+    # rank (token-count score, doc_id tie-break) and the exact integer
+    # bucket (rank-1)*B // n; sum(doc_id) pins exact membership
+    sql["quality_components"] += f"""
+        UNION ALL
+        SELECT '_qn:' || source || ':' || bucket AS source,
+               count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_tokens,
+               CAST(0 AS BIGINT) AS sum_punct,
+               CAST(0 AS BIGINT) AS sum_stop,
+               CAST(0 AS BIGINT) AS sum_lines,
+               CAST(0 AS BIGINT) AS sum_distinct_lines,
+               CAST(0 AS BIGINT) AS sum_top_bigram,
+               CAST(0 AS BIGINT) AS sum_bigrams,
+               CAST(0 AS BIGINT) AS sum_lm_known,
+               CAST(0 AS BIGINT) AS sum_lm_hits
+        FROM (
+          SELECT source, doc_id,
+                 ((row_number() OVER (PARTITION BY source
+                                      ORDER BY len({_TOKENS}), doc_id) - 1)
+                  * 4)
+                 // (count(*) OVER (PARTITION BY source)) AS bucket
+          FROM documents
+        )
+        GROUP BY 1
     """
 
     # language-ID: argmax of stopword hits, ties → earlier lang code wins

