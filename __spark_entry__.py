@@ -3274,12 +3274,15 @@ def oracle_sql() -> dict[str, str]:
           l2 AS (SELECT tool, count(*) AS n_loops, max(run_len) AS max_run,
                         sum(run_len) AS loop_turns
                  FROM g2 WHERE run_len >= 3 GROUP BY tool)
-          SELECT tool, 'n_loops' AS k, n_loops AS v FROM l2
-          UNION ALL SELECT tool, 'max_run', max_run FROM l2
-          UNION ALL SELECT tool, 'loop_turns', loop_turns FROM l2
+          SELECT tool, 'n_loops' AS k, CAST(n_loops AS BIGINT) AS v
+            FROM l2
+          UNION ALL SELECT tool, 'max_run', CAST(max_run AS BIGINT) FROM l2
+          UNION ALL SELECT tool, 'loop_turns', CAST(loop_turns AS BIGINT)
+            FROM l2
         )
         UNION ALL
-        SELECT '_drift:' || metric AS event_type, key AS day, value AS n
+        SELECT '_drift:' || metric AS event_type, key AS day,
+               CAST(value AS BIGINT) AS n
         FROM (
           WITH cur AS (SELECT unnest({_TOKENS}) AS token
                        FROM documents WHERE doc_id % 2 = 1),

@@ -84,11 +84,30 @@ def main():
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            # HUGEINT guard: the driver renders oracle results via pandas,
+            # where an uncast DuckDB sum() (HUGEINT) in a union promotes
+            # sibling BIGINT branches and prints `10000.0` != `10000`,
+            # hash-diverging every row even when values are identical
+            # (cost round 4: rollup_counts). fetchall() hides this (Python
+            # ints), so check declared column types explicitly.
+            try:
+                dtypes = [
+                    (r[0], r[1]) for r in
+                    con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+                ]
+                huge = [c for c, t in dtypes if "HUGEINT" in t.upper()]
+            except Exception:
+                huge = []  # DESCRIBE unsupported for this shape; skip guard
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
+        if huge:
+            problems.append(
+                f"oracle HUGEINT column(s) {huge} — CAST(... AS BIGINT) "
+                "in the twin; pandas renders HUGEINT as float at the driver"
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
         if len(srows) != len(drows):
