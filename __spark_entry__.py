@@ -2881,7 +2881,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id % 4 AS VARCHAR) AS variant,
                    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                      AS a,
-                   sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+                   -- <> (not ELSE) so NULL event_type rows land in
+                   -- NEITHER cell, matching Spark's sum-of-cast-NULL
+                   -- drop on both a and b (operators/abtest.py)
+                   sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
                      AS b
             FROM events GROUP BY 1
           ),
@@ -3390,9 +3393,15 @@ def oracle_sql() -> dict[str, str]:
                  WHERE tool IS NOT NULL),
           nb4 AS (SELECT count(DISTINCT conv_id) AS nb FROM b4),
           ic4 AS (SELECT tool, count(*) AS n FROM b4 GROUP BY tool),
+          -- replay the operator's max_items=1000 basket guard: pairs
+          -- come only from baskets with <= 1000 distinct items (item
+          -- counts ic4 stay uncapped, matching the operator)
+          bc4 AS (SELECT conv_id FROM b4
+                  GROUP BY conv_id HAVING count(*) <= 1000),
           pc4 AS (SELECT x.tool AS a, y.tool AS b, count(*) AS n_ab
                   FROM b4 x JOIN b4 y
                     ON x.conv_id = y.conv_id AND x.tool < y.tool
+                  WHERE x.conv_id IN (SELECT conv_id FROM bc4)
                   GROUP BY 1, 2 HAVING count(*) >= 2),
           dr4 AS (SELECT a AS ante, b AS cons, n_ab FROM pc4
                   UNION ALL SELECT b, a, n_ab FROM pc4),

@@ -70,7 +70,13 @@ def assign_dense_index(
         [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
         "_pid int, _off long",
     )
-    joined = ranged.join(F.broadcast(off_df), "_pid")
+    # Spark does not contractually preserve row order through a join;
+    # re-sort within partitions so the running counter below is
+    # self-enforcing rather than plan-shape-dependent. No exchange —
+    # SortExec(global=false) over already-ordered partitions is cheap.
+    joined = ranged.join(F.broadcast(off_df), "_pid").sortWithinPartitions(
+        *cols
+    )
 
     def number(batches: Iterator) -> Iterator:
         seen = 0

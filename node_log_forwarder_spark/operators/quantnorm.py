@@ -60,8 +60,14 @@ def rank_normalize(
     )
     return out.withColumn(
         "qn_bucket",
+        # bigint cast before the multiply: row_number is int32, and
+        # (rank-1)*n_buckets wraps silently in non-ANSI Spark for groups
+        # past ~2^31/n_buckets rows (~21M at B=100) — real at 10^12-row
+        # corpora with few groups.
         F.call_function(
-            "div", (F.col("qn_rank") - 1) * n_buckets, F.col("qn_n")
+            "div",
+            (F.col("qn_rank") - 1).cast("bigint") * n_buckets,
+            F.col("qn_n"),
         ),
     ).withColumn(
         "qn_pct",
