@@ -804,58 +804,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("kv")
         ).select("kv.event_type", "kv.day", "kv.n")
-        # + tool-latency attribution audit (r4 s12: operators/
-        # latency.py — lead-window gap to the next turn attributed to
-        # the earlier turn's tool; exact integer microseconds).
-        from node_log_forwarder_spark.operators.latency import (
-            tool_latency_stats,
-        )
-
-        lat = tool_latency_stats(transcripts_from_events(ev)).select(
-            F.concat(F.lit("_lat:"), F.col("tool")).alias("event_type"),
-            F.explode(
-                F.array(
-                    F.struct(F.lit("n").alias("day"), F.col("n").alias("n")),
-                    F.struct(
-                        F.lit("sum_us").alias("day"), F.col("sum_us").alias("n")
-                    ),
-                    F.struct(
-                        F.lit("max_us").alias("day"), F.col("max_us").alias("n")
-                    ),
-                )
-            ).alias("kv"),
-        ).select("event_type", F.col("kv.day").alias("day"), F.col("kv.n").alias("n"))
-        # + weekly growth-accounting audit (r4 s12: operators/growth.py
-        # — new/returning/resurrected/churned from each user's own
-        # activity timeline; pure integer/date comparisons).
-        from node_log_forwarder_spark.operators.growth import growth_accounting
-
-        gr = growth_accounting(ev).select(
-            F.concat(F.lit("_growth:"), F.col("state")).alias("event_type"),
-            F.date_format("week", "yyyy-MM-dd").alias("day"),
-            F.col("n_users").alias("n"),
-        )
-        # + multi-source BFS audit (r4 s13: operators/bfs.py — hop
-        # distance from a seed set via Pregel-style frontier expansion;
-        # integer distances so the gate is hash-exact, unlike the float
-        # fixpoints). Graph: a sparse ~1009-node pseudo-random digraph
-        # derived from events (event_id%5==0 edges, src=event_id%1009,
-        # dst=(event_id div 13)%1009 — ~2k edges at sf0.01, branching
-        # ~2, so distances span 11 real hops and ~half the node space
-        # stays unreachable). DuckDB twin: recursive-CTE expansion
-        # reduced by min(dist) — the semantic definition of hop
-        # distance.
-        from node_log_forwarder_spark.operators.bfs import bfs_distances
-
-        bfs_edges = ev.where(F.col("event_id") % 5 == 0).select(
-            (F.col("event_id") % 1009).cast("string").alias("src"),
-            (F.expr("event_id DIV 13") % 1009).cast("string").alias("dst"),
-        )
-        bfs_rows = bfs_distances(bfs_edges, ["1", "2", "3"], max_iter=20).select(
-            F.lit("_bfs:g1009").alias("event_type"),
-            F.col("node").alias("day"),
-            F.col("dist").cast("bigint").alias("n"),
-        )
+        # (The `_lat:`/`_growth:`/`_bfs:` audits rode here through r4;
+        # the r4 verdict flagged this key as a >8-section mega-union
+        # whose single red branch quarantined ten operators at once —
+        # they now ride the underloaded approx_distinct /
+        # embedding_norms / ntile_buckets keys respectively, twins
+        # moved in lockstep.)
         casc = rollup_cascade(ev, ["event_type"], "ts")
         casc_rows = casc["day"].select(
             F.concat(F.lit("_cascade:day:"), F.col("event_type")).alias(
@@ -880,9 +834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(casc_rows)
             .unionByName(tri_rows)
             .unionByName(rule_rows)
-            .unionByName(lat)
-            .unionByName(gr)
-            .unionByName(bfs_rows)
         )
     q["rollup_counts"] = q_rollup_counts
 
@@ -912,8 +863,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Catalyst minutes of analysis; a staged column reference is
         # free. Runtime plan is identical (one projection node).
         _qexpr, _scale = quantize_embedding(F.col("embedding"))
+        # label cast to string so the `_growth:` section union below
+        # resolves to a string key (ANSI union coercion of int|string
+        # is BIGINT, which would fail at runtime on the section rows)
         emb = _t(spark, sf, "embeddings").select(
-            "label", "embedding", _qexpr.alias("_qv")
+            F.col("label").cast("string").alias("label"),
+            "embedding",
+            _qexpr.alias("_qv"),
         )
         qvec = F.col("_qv")
         q_l1 = F.aggregate(
@@ -931,7 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
-        return emb.groupBy("label").agg(
+        base = emb.groupBy("label").agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg(F.sqrt(sq)), 4).alias("avg_norm"),
             F.round(F.max(F.sqrt(sq)), 4).alias("max_norm"),
@@ -939,6 +895,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.max(F.array_max(F.transform(qvec, lambda v: F.abs(v)))).alias("max_abs_q"),
             F.sum(rp_l1).alias("sum_rp_l1"),
         )
+        # + weekly growth-accounting audit (operators/growth.py —
+        # new/returning/resurrected/churned from each user's own
+        # activity timeline; pure integer/date comparisons). Moved here
+        # from rollup_counts in r5 to cap that key's section blast
+        # radius (VERDICT r4 #6); section rows ride
+        # label='_growth:<state>:<week>' with zeroed numeric columns.
+        from node_log_forwarder_spark.operators.growth import growth_accounting
+
+        ev = _t(spark, sf, "events")
+        gr = growth_accounting(ev).select(
+            F.concat(
+                F.lit("_growth:"), F.col("state"), F.lit(":"),
+                F.date_format("week", "yyyy-MM-dd"),
+            ).alias("label"),
+            F.col("n_users").alias("n"),
+            F.lit(0.0).alias("avg_norm"),
+            F.lit(0.0).alias("max_norm"),
+            F.lit(0).cast("bigint").alias("sum_q_l1"),
+            F.lit(0).cast("int").alias("max_abs_q"),
+            F.lit(0).cast("bigint").alias("sum_rp_l1"),
+        )
+        return base.unionByName(gr)
     q["embedding_norms"] = q_embedding_norms
 
     # --- ntile quantile-bucketing --------------------------------------------
@@ -947,7 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("event_type").orderBy("value", "event_id")
-        return (
+        base = (
             ev.withColumn("bucket", F.ntile(4).over(w))
             .groupBy("event_type", "bucket")
             .agg(
@@ -956,6 +934,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.round(F.max("value"), 4).alias("hi"),
             )
         )
+        # + multi-source BFS audit (operators/bfs.py — hop distance
+        # from a seed set via Pregel-style frontier expansion; integer
+        # distances so the gate is hash-exact, unlike the float
+        # fixpoints). Graph: a sparse ~1009-node pseudo-random digraph
+        # derived from events (event_id%5==0 edges, src=event_id%1009,
+        # dst=(event_id div 13)%1009 — ~2k edges at sf0.01, branching
+        # ~2, so distances span 11 real hops and ~half the node space
+        # stays unreachable). DuckDB twin: recursive-CTE expansion
+        # reduced by min(dist) — the semantic definition of hop
+        # distance. Moved here from rollup_counts in r5 (VERDICT r4 #6
+        # section-blast-radius cap); rows ride
+        # event_type='_bfs:g1009:<node>', n=dist, zeroed bucket/lo/hi.
+        from node_log_forwarder_spark.operators.bfs import bfs_distances
+
+        bfs_edges = ev.where(F.col("event_id") % 5 == 0).select(
+            (F.col("event_id") % 1009).cast("string").alias("src"),
+            (F.expr("event_id DIV 13") % 1009).cast("string").alias("dst"),
+        )
+        bfs_rows = bfs_distances(bfs_edges, ["1", "2", "3"], max_iter=20).select(
+            F.concat(F.lit("_bfs:g1009:"), F.col("node")).alias("event_type"),
+            F.lit(0).cast("int").alias("bucket"),
+            F.col("dist").cast("bigint").alias("n"),
+            F.lit(0.0).alias("lo"),
+            F.lit(0.0).alias("hi"),
+        )
+        return base.unionByName(bfs_rows)
     q["ntile_buckets"] = q_ntile_buckets
 
     # --- set ops -------------------------------------------------------------
@@ -2415,7 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     rsd (HLL is deterministic given the data, so this is a stable check) ----------
     def q_approx_distinct(spark, sf):
         ev = _t(spark, sf, "events")
-        return (
+        base = (
             ev.groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -2432,6 +2436,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("within_bound"),
             )
         )
+        # + tool-latency attribution audit (operators/latency.py —
+        # lead-window gap to the next turn attributed to the earlier
+        # turn's tool; exact integer microseconds). Moved here from
+        # rollup_counts in r5 (VERDICT r4 #6 section-blast-radius cap);
+        # rows ride event_type='_lat:<tool>:<stat>' with exact_users=0
+        # and within_bound=true.
+        from node_log_forwarder_spark.operators.latency import (
+            tool_latency_stats,
+        )
+
+        lat = tool_latency_stats(transcripts_from_events(ev)).select(
+            F.concat(F.lit("_lat:"), F.col("tool")).alias("tool_key"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("n").alias("k"), F.col("n").alias("v")),
+                    F.struct(F.lit("sum_us").alias("k"), F.col("sum_us").alias("v")),
+                    F.struct(F.lit("max_us").alias("k"), F.col("max_us").alias("v")),
+                )
+            ).alias("kv"),
+        ).select(
+            F.concat("tool_key", F.lit(":"), F.col("kv.k")).alias("event_type"),
+            F.col("kv.v").alias("n"),
+            F.lit(0).cast("bigint").alias("exact_users"),
+            F.lit(True).alias("within_bound"),
+        )
+        return base.unionByName(lat)
     q["approx_distinct"] = q_approx_distinct
 
     # --- skew: salted two-phase agg == plain agg ----------------------------------------
@@ -3417,83 +3447,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT '_rule:liftden', ante || '>' || cons,
                  CAST(n_ante * n_cons AS BIGINT) FROM rj4
         )
-        -- tool-latency twin (operators/latency.py): lead-window gap in
-        -- integer microseconds attributed to the earlier turn's tool
-        UNION ALL
-        SELECT event_type, day, n FROM (
-          WITH t5 AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
-          l5 AS (
-            SELECT tool,
-                   lead(epoch_us(ts)) OVER (PARTITION BY conv_id
-                                            ORDER BY turn_idx)
-                     - epoch_us(ts) AS gap_us
-            FROM t5
-          ),
-          a5 AS (
-            SELECT tool, count(*) AS n, sum(gap_us) AS sum_us,
-                   max(gap_us) AS max_us
-            FROM l5 WHERE gap_us IS NOT NULL GROUP BY tool
-          )
-          SELECT '_lat:' || tool AS event_type, 'n' AS day,
-                 CAST(n AS BIGINT) AS n FROM a5
-          UNION ALL
-          SELECT '_lat:' || tool, 'sum_us', CAST(sum_us AS BIGINT) FROM a5
-          UNION ALL
-          SELECT '_lat:' || tool, 'max_us', CAST(max_us AS BIGINT) FROM a5
-        )
-        -- growth-accounting twin (operators/growth.py): same lag/lead
-        -- classification over distinct (user, week)
-        UNION ALL
-        SELECT '_growth:' || state AS event_type,
-               strftime(week, '%Y-%m-%d') AS day, count(*) AS n
-        FROM (
-          WITH uw AS (
-            SELECT DISTINCT user_id,
-                   CAST(date_trunc('week', ts) AS DATE) AS week
-            FROM events
-          ),
-          st AS (
-            SELECT user_id, week,
-                   lag(week) OVER (PARTITION BY user_id ORDER BY week)
-                     AS pw,
-                   lead(week) OVER (PARTITION BY user_id ORDER BY week)
-                     AS nw
-            FROM uw
-          )
-          SELECT user_id, week,
-                 CASE WHEN pw IS NULL THEN 'new'
-                      WHEN pw + 7 = week THEN 'returning'
-                      ELSE 'resurrected' END AS state
-          FROM st
-          UNION ALL
-          SELECT user_id, week + 7 AS week, 'churned'
-          FROM st
-          WHERE nw IS NULL OR nw > week + 7
-        )
-        GROUP BY 1, 2
-        -- BFS twin (operators/bfs.py): recursive-CTE hop expansion
-        -- reduced by min(dist) — the semantic definition of hop
-        -- distance; hash equality proves the Pregel frontier plan
-        -- computes the textbook metric on the same derived digraph
-        UNION ALL
-        SELECT '_bfs:g1009' AS event_type, node AS day,
-               CAST(dist AS BIGINT) AS n
-        FROM (
-          WITH RECURSIVE bw AS (
-            SELECT node, 0 AS dist
-            FROM (VALUES ('1'), ('2'), ('3')) s(node)
-            UNION
-            SELECT e.dst AS node, w.dist + 1 AS dist
-            FROM bw w JOIN (
-              SELECT CAST(event_id % 1009 AS VARCHAR) AS src,
-                     CAST((event_id // 13) % 1009 AS VARCHAR) AS dst
-              FROM events WHERE event_id % 5 = 0
-            ) e ON e.src = w.node
-            WHERE w.dist < 20
-          )
-          SELECT node, min(dist) AS dist FROM bw GROUP BY node
-        )
     """
+    # (The `_lat:`/`_growth:`/`_bfs:` twins moved to approx_distinct /
+    # embedding_norms / ntile_buckets in r5, in lockstep with their
+    # Spark sections — VERDICT r4 #6 section-blast-radius cap.)
 
     # JL projection twin: the SAME ±1 literal matrix as the Spark query
     # (operators/rproj.py::jl_sign_matrix(64, 4, seed=7)), unrolled into
@@ -3509,7 +3466,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["embedding_norms"] = f"""
         WITH e AS (
-          SELECT label,
+          SELECT CAST(label AS VARCHAR) AS label,
                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm,
                  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx,
                  CAST(embedding AS DOUBLE[]) AS emb
@@ -3537,6 +3494,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(max_q) AS INT) AS max_abs_q,
                CAST(sum({_rp_l1}) AS BIGINT) AS sum_rp_l1
         FROM qe GROUP BY label
+        -- growth-accounting twin (operators/growth.py): same lag/lead
+        -- classification over distinct (user, week); moved from
+        -- rollup_counts in r5 (section-blast-radius cap)
+        UNION ALL
+        SELECT '_growth:' || state || ':' || strftime(week, '%Y-%m-%d')
+                 AS label,
+               count(*) AS n, 0.0 AS avg_norm, 0.0 AS max_norm,
+               CAST(0 AS BIGINT) AS sum_q_l1, CAST(0 AS INT) AS max_abs_q,
+               CAST(0 AS BIGINT) AS sum_rp_l1
+        FROM (
+          WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events
+          ),
+          st AS (
+            SELECT user_id, week,
+                   lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                     AS pw,
+                   lead(week) OVER (PARTITION BY user_id ORDER BY week)
+                     AS nw
+            FROM uw
+          )
+          SELECT user_id, week,
+                 CASE WHEN pw IS NULL THEN 'new'
+                      WHEN pw + 7 = week THEN 'returning'
+                      ELSE 'resurrected' END AS state
+          FROM st
+          UNION ALL
+          SELECT user_id, week + 7 AS week, 'churned'
+          FROM st
+          WHERE nw IS NULL OR nw > week + 7
+        )
+        GROUP BY 1
     """
 
     sql["ntile_buckets"] = """
@@ -3548,6 +3539,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, bucket, count(*) AS n,
                round(min(value), 4) AS lo, round(max(value), 4) AS hi
         FROM b GROUP BY 1, 2
+        -- BFS twin (operators/bfs.py): recursive-CTE hop expansion
+        -- reduced by min(dist) — the semantic definition of hop
+        -- distance; hash equality proves the Pregel frontier plan
+        -- computes the textbook metric on the same derived digraph.
+        -- Moved from rollup_counts in r5 (section-blast-radius cap).
+        UNION ALL
+        SELECT '_bfs:g1009:' || node AS event_type,
+               CAST(0 AS INT) AS bucket, CAST(dist AS BIGINT) AS n,
+               0.0 AS lo, 0.0 AS hi
+        FROM (
+          WITH RECURSIVE bw AS (
+            SELECT node, 0 AS dist
+            FROM (VALUES ('1'), ('2'), ('3')) s(node)
+            UNION
+            SELECT e.dst AS node, w.dist + 1 AS dist
+            FROM bw w JOIN (
+              SELECT CAST(event_id % 1009 AS VARCHAR) AS src,
+                     CAST((event_id // 13) % 1009 AS VARCHAR) AS dst
+              FROM events WHERE event_id % 5 = 0
+            ) e ON e.src = w.node
+            WHERE w.dist < 20
+          )
+          SELECT node, min(dist) AS dist FROM bw GROUP BY node
+        )
     """
 
     sql["set_union"] = """
@@ -4662,11 +4677,40 @@ def oracle_sql() -> dict[str, str]:
         FROM topk
     """
 
-    sql["approx_distinct"] = """
+    sql["approx_distinct"] = f"""
         SELECT event_type, count(*) AS n,
                count(DISTINCT user_id) AS exact_users,
                TRUE AS within_bound
         FROM events GROUP BY event_type
+        -- tool-latency twin (operators/latency.py): lead-window gap in
+        -- integer microseconds attributed to the earlier turn's tool.
+        -- Moved from rollup_counts in r5 (section-blast-radius cap).
+        UNION ALL
+        SELECT event_type, n, CAST(0 AS BIGINT) AS exact_users,
+               TRUE AS within_bound
+        FROM (
+          WITH t5 AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+          l5 AS (
+            SELECT tool,
+                   lead(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx)
+                     - epoch_us(ts) AS gap_us
+            FROM t5
+          ),
+          a5 AS (
+            SELECT tool, count(*) AS n, sum(gap_us) AS sum_us,
+                   max(gap_us) AS max_us
+            FROM l5 WHERE gap_us IS NOT NULL GROUP BY tool
+          )
+          SELECT '_lat:' || tool || ':n' AS event_type,
+                 CAST(n AS BIGINT) AS n FROM a5
+          UNION ALL
+          SELECT '_lat:' || tool || ':sum_us', CAST(sum_us AS BIGINT)
+            FROM a5
+          UNION ALL
+          SELECT '_lat:' || tool || ':max_us', CAST(max_us AS BIGINT)
+            FROM a5
+        )
     """
 
     # multimodal_*: the decode stub is a deterministic byte-sum
