@@ -104,6 +104,35 @@ def main() -> None:
                  "conv_minhash_pairs", "conversation_stats", "vocab_topk"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
+    # Scope-frozen anchors (VERDICT r4 #4): dedup_exact and vocab_topk
+    # absorbed new gated audit sections in r4 (decontamination; search +
+    # heavy-hitters), which made their cross-round bench deltas
+    # unreadable. These two keys time the ORIGINAL r3 scope and are
+    # frozen forever — compare *_core across rounds for plan
+    # regressions, and the unsuffixed keys for total gated-query cost.
+    from node_log_forwarder_spark.functions.text import fingerprint, tokens
+
+    def _dedup_exact_core():
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(fingerprint(F.col("text"))).alias("n_unique"),
+        ).collect()
+
+    def _vocab_topk_core():
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        (
+            docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token"))
+            .limit(20)
+            .collect()
+        )
+
+    timed("dedup_exact_core", _dedup_exact_core)
+    timed("vocab_topk_core", _vocab_topk_core)
+
     # ---- scaling-efficiency pair (north rule re-evidence, every round) ----
     # Paired 8-vs-32-core measurement in fresh pinned JVMs over the same
     # warmed input (full steal-tracked protocol: tools/run_scaling.py /
