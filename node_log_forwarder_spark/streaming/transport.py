@@ -1,0 +1,158 @@
+"""Socket ingest transport — the forwarder's live listener, finally
+wire-shaped.
+
+The reference forwarder's O1 is a network listener (UDP/TCP syslog);
+every prior round this sandbox refused loopback sockets, so the
+streaming twin started from the file source. Loopback now works, so
+this module closes the transport gap: a newline-delimited-JSON TCP
+wire format (the shape syslog-ng / Filebeat emit for structured
+transport), a `readStream.format("socket")` reader that decodes it
+back to the pinned transcript schema with NATIVE expressions only
+(``from_json`` — no Python in the row path), and a test server that
+replays a transcript fixture over a real TCP connection.
+
+Scale honesty: Spark's socket source is a single-connection,
+non-replayable dev source — it exists to prove *transport-in ==
+batch-in* through the identical parse/enrich/route stages. A
+production deployment swaps `read_socket_transcripts` for a Kafka
+source (`readStream.format("kafka")` + the same `decode_wire`), which
+is partitioned and offset-replayable; every stage downstream of the
+decode is shared and already convergence-tested.
+
+Wire format (one JSON object per line, ASCII-escaped so the TCP
+payload is 7-bit clean regardless of text content):
+
+    {"conv_id": "...", "turn_idx": 3, "role": "assistant",
+     "text": "...", "tool": "grep", "ts_us": 1767225600000000}
+
+``ts_us`` is epoch MICROSECONDS (int64) — bit-exact across the
+encode/decode boundary, immune to timestamp-format/timezone drift
+(decoded with ``timestamp_micros``, not string parsing).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+from typing import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WIRE_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts_us long"
+)
+
+
+def encode_turn(row: Mapping) -> str:
+    """One transcript turn -> one wire line (newline-delimited JSON).
+
+    ``ensure_ascii=True`` keeps every byte of the TCP payload in
+    7-bit ASCII (unicode and control chars in ``text`` become \\uXXXX
+    escapes), so framing is exactly "split on \\n" with no charset
+    negotiation — the property syslog's octet-stuffing mode exists to
+    approximate.
+    """
+    ts = row["ts"]
+    ts_us = int(ts.timestamp() * 1_000_000) if ts is not None else None
+    return json.dumps(
+        {
+            "conv_id": row["conv_id"],
+            "turn_idx": row["turn_idx"],
+            "role": row["role"],
+            "text": row["text"],
+            "tool": row["tool"],
+            "ts_us": ts_us,
+        },
+        ensure_ascii=True,
+        separators=(",", ":"),
+    )
+
+
+def decode_wire(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Wire lines -> pinned transcript schema, all native expressions.
+
+    A line that fails to parse becomes a NULL struct -> NULL fields;
+    downstream the parse stage's fallback sink (O12) catches it — the
+    transport layer never throws on a garbled line, same contract as
+    the forwarder's tolerant framer.
+    """
+    parsed = lines.select(
+        F.from_json(F.col(value_col), WIRE_SCHEMA).alias("j")
+    )
+    return parsed.select(
+        F.col("j.conv_id").alias("conv_id"),
+        F.col("j.turn_idx").alias("turn_idx"),
+        F.col("j.role").alias("role"),
+        F.col("j.text").alias("text"),
+        F.col("j.tool").alias("tool"),
+        F.timestamp_micros(F.col("j.ts_us")).alias("ts"),
+    )
+
+
+def read_socket_transcripts(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """Unbounded transcript frame fed by a TCP line stream.
+
+    Dev/test source (single connection, no offset replay — documented
+    above); prod is Kafka + the same ``decode_wire``.
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return decode_wire(raw)
+
+
+class LineServer:
+    """Minimal TCP replay server for tests: serves one client all the
+    given lines, then holds the connection open until ``stop()`` (the
+    socket source treats a closed connection as stream end / failure,
+    so lifetime is controlled by the test, not the payload)."""
+
+    def __init__(self, lines: Iterable[str], host: str = "127.0.0.1"):
+        self._lines = list(lines)
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, 0))
+        self._srv.listen(1)
+        self._srv.settimeout(120)
+        self.host, self.port = self._srv.getsockname()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def __enter__(self) -> "LineServer":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def _run(self) -> None:
+        try:
+            conn, _ = self._srv.accept()
+        except (socket.timeout, OSError):
+            return
+        try:
+            payload = ("\n".join(self._lines) + "\n").encode("ascii")
+            conn.sendall(payload)
+            self._stop.wait(timeout=600)
+        except OSError:
+            pass  # client went away first — test is tearing down
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
