@@ -1,0 +1,120 @@
+"""End-to-end `spark-submit --py-files` deployment test.
+
+The north rule (BASELINE.json) requires the job to run "via
+spark-submit --py-files on multi-executor clusters". This test proves
+the whole deployment path with a REAL second JVM:
+
+    tools/package.py  -> dist/nlf_spark.zip (package only, no repo)
+    spark-submit --master local[4] --py-files nlf_spark.zip submit_job.py
+
+and pins that the submitted run's output is identical to an in-process
+`run_pipeline` run on the same input parquet:
+
+  * per-sink counts equal (the north rule's aggregate-equality clause),
+  * routed sink rows byte-equal as multisets, including the text column
+    (the per-turn text-equality clause — the (conv_id, turn_idx) key is
+    unique per sink so multiset equality == equality under stable
+    ordering),
+  * stage metrics (rows_in / rows_matched) equal.
+
+Isolation: the submit script is copied to a temp dir and run with
+cwd=tmp and PYTHONPATH stripped, so Python's script-dir sys.path entry
+cannot see the repo checkout — the package can ONLY come from the zip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _last_json_line(stdout: str) -> dict:
+    for line in reversed(stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise AssertionError(f"no JSON result line in stdout:\n{stdout[-2000:]}")
+
+
+def test_spark_submit_py_files_matches_inprocess(spark, transcripts, tmp_path):
+    from node_log_forwarder_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from tools.package import build
+
+    inp = str(tmp_path / "transcripts_in")
+    transcripts.write.mode("overwrite").parquet(inp)
+
+    # In-process reference run (same config submit_job.py hardcodes).
+    out_a = str(tmp_path / "out_inproc")
+    res_a = run_pipeline(
+        spark,
+        spark.read.parquet(inp),
+        out_a,
+        PipelineConfig(parse_engine="native", hot_threshold=10_000),
+    )
+
+    zip_path = build()
+    assert os.path.exists(zip_path)
+
+    submit_script = tmp_path / "submit_job.py"
+    shutil.copy(os.path.join(ROOT, "tools", "submit_job.py"), submit_script)
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # zip must be the only package source
+    env.pop("SPARK_GRAFT_CPUS", None)  # master must come from spark-submit
+    out_b = str(tmp_path / "out_submit")
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master",
+            "local[4]",
+            "--conf",
+            "spark.ui.enabled=false",
+            "--conf",
+            "spark.driver.memory=4g",
+            "--py-files",
+            zip_path,
+            str(submit_script),
+            "--input",
+            inp,
+            "--out",
+            out_b,
+            "--engine",
+            "native",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert proc.returncode == 0, f"spark-submit failed:\n{proc.stderr[-4000:]}"
+    res_b = _last_json_line(proc.stdout)
+
+    assert res_b["sink_counts"] == res_a["sink_counts"]
+    assert res_b["stage_metrics"] == res_a["stage_metrics"]
+
+    # Routed-row equality, text bytes included (multiset == because
+    # (sink_id, conv_id, turn_idx) is unique per delivery). Set ops
+    # reject MAP columns, so canonicalize `fields` to sorted JSON
+    # entries first (order-independent, lossless for string->string).
+    from pyspark.sql import functions as F
+
+    def canon(df):
+        return df.withColumn(
+            "fields", F.to_json(F.sort_array(F.map_entries(F.col("fields"))))
+        )
+
+    a = canon(spark.read.parquet(f"{out_a}/sinks"))
+    b = canon(spark.read.parquet(f"{out_b}/sinks")).select(*a.columns)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    # Aggregate tables byte-equal too (windowed counts: UTC session TZ
+    # must hold across both JVMs).
+    for tbl in ["agg_sink_counts", "agg_tallies"]:
+        ta = spark.read.parquet(f"{out_a}/{tbl}")
+        tb = spark.read.parquet(f"{out_b}/{tbl}").select(*ta.columns)
+        assert ta.exceptAll(tb).isEmpty() and tb.exceptAll(ta).isEmpty(), tbl

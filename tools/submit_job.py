@@ -20,10 +20,14 @@ def main() -> None:
     ap.add_argument("--engine", default="native")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.builder.appName("nlf-submit").getOrCreate()
+    # Import strictly from the shipped package: on a cluster these
+    # modules resolve from the --py-files zip, not a checkout. get_spark
+    # leaves master to spark-submit and pins the UTC session timezone so
+    # windowed aggregates match the in-process run byte-for-byte.
     from node_log_forwarder_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from node_log_forwarder_spark.session import get_spark
+
+    spark = get_spark(app_name="nlf-submit")
 
     tr = spark.read.parquet(args.input)
     res = run_pipeline(
