@@ -50,8 +50,26 @@ def main() -> None:
             continue
         now = time.strftime("%H:%M:%S")
         if env >= THRESHOLD and time.time() + BATCH_BUDGET_S < DEADLINE:
+            # confirmation probe ~40s later: a single 26s probe can catch a
+            # sub-minute spike (measured 0.908 probe -> 0.713 in-batch);
+            # require the window to HOLD before spending an 18-min batch
+            time.sleep(40)
+            try:
+                env2 = probe()
+            except Exception:  # noqa: BLE001
+                continue
+            if env2 < THRESHOLD:
+                print(
+                    f"{now} spike {env} not confirmed ({env2}) -> wait",
+                    flush=True,
+                )
+                time.sleep(PROBE_GAP_S // 2)
+                continue
             batch_no += 1
-            print(f"{now} envelope {env} >= {THRESHOLD} -> LAUNCH batch {batch_no}", flush=True)
+            print(
+                f"{now} envelope {env},{env2} >= {THRESHOLD} -> LAUNCH batch {batch_no}",
+                flush=True,
+            )
             subprocess.run(
                 [sys.executable, "tools/run_scaling.py", "19200000", "4"],
                 timeout=3600,
