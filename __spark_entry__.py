@@ -2105,10 +2105,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + role-protocol lint audit (r4 s12: operators/protocol.py —
         # bad_first/n_same_role/n_bad_tool/n_viol folded into the SAME
         # window + groupBy stage, zero added Exchanges; integer-exact).
-        from node_log_forwarder_spark.operators.convstats import conversation_stats
+        # r6: fused from events in ONE exchange — conv_id is a bijection
+        # of user_id, so the transcripts_from_events row_number window
+        # and the stats window share a single user_id partitioning
+        # (operators/convstats.conversation_stats_from_events; identical
+        # output asserted vs the unfused plan in tests).
+        from node_log_forwarder_spark.operators.convstats import (
+            conversation_stats_from_events,
+        )
 
-        tr = transcripts_from_events(_t(spark, sf, "events"))
-        return conversation_stats(tr, include_protocol=True)
+        return conversation_stats_from_events(
+            _t(spark, sf, "events"), include_protocol=True
+        )
     q["conversation_stats"] = q_conversation_stats
 
     # --- byte-equality invariant: per-sink Merkle sha256 over text in stable
@@ -2209,10 +2217,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    with ONE shuffle total; conv_id is formatted afterwards on
         #    the 1.5k signature rows. Measured 1.9-2.2s -> 1.6-1.7s at
         #    sf0.1 (A/B in-window, results bit-identical).
+        # 3. (r6) The signature itself is computed map-side on the
+        #    aggregated conversation row (array_distinct ngrams →
+        #    transform md5 → k × array_min), replacing the explode +
+        #    second groupBy(user_id): min over the same shingle set,
+        #    identical values, one less Exchange and no per-shingle
+        #    hash-aggregate probes (operators/dedup.minhash_from_hashes).
         from node_log_forwarder_spark.functions.text import tokens as _tokens
         from node_log_forwarder_spark.functions.text import ngrams_from_tokens as _ng
         from node_log_forwarder_spark.operators.dedup import (
-            MINHASH_A, MINHASH_B, MINHASH_P, shingle_hash,
+            minhash_from_hashes, shingle_hash,
         )
         from node_log_forwarder_spark.sources.transcripts import transcript_text_expr
 
@@ -2228,21 +2242,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("_w")
         )
-        sh = conv_toks.select(
-            "user_id",
-            F.explode(F.array_distinct(_ng(F.col("_w"), 3))).alias("shingle"),
-        ).withColumn("h", shingle_hash(F.col("shingle")))
-        sigs = sh.groupBy("user_id").agg(
-            *[
-                F.min(
-                    (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
-                    % F.lit(MINHASH_P)
-                ).alias(f"mh{i}")
-                for i in range(8)
-            ]
-        ).select(
+        grams = conv_toks.select(
+            "user_id", F.array_distinct(_ng(F.col("_w"), 3)).alias("_g")
+        ).filter(F.size("_g") > 0)
+        hs = grams.select(
+            "user_id", F.transform(F.col("_g"), lambda g: shingle_hash(g)).alias("_h")
+        )
+        sigs = hs.select(
             F.format_string("conv_%06d", F.col("user_id")).alias("conv_id"),
-            *[F.col(f"mh{i}") for i in range(8)],
+            *minhash_from_hashes(F.col("_h"), 8),
         )
         # rows=4/bands=2 (VERDICT r2 fix #3): template-heavy conversations
         # gave 27% candidate density at rows=2/bands=4 (306k pairs at

@@ -104,6 +104,87 @@ def conversation_stats(
     return g.groupBy("conv_id").agg(*aggs)
 
 
+def conversation_stats_from_events(
+    events: DataFrame, include_protocol: bool = False
+) -> DataFrame:
+    """``conversation_stats(transcripts_from_events(events))`` fused to
+    ONE exchange (r6).
+
+    The unfused plan shuffles twice: ``transcripts_from_events`` windows
+    on ``user_id`` to assign ``turn_idx``, then ``conversation_stats``
+    windows + aggregates on ``conv_id`` — but ``conv_id`` is
+    ``format_string('conv_%06d', user_id)``, a bijection of ``user_id``,
+    so the second hash partitioning moves the same groups again. Here
+    everything keys on ``user_id``: ``row_number`` (turn_idx) and
+    ``lag`` (gaps, protocol flags) share one Window spec over
+    (user_id | ts, event_id) — identical ordering, ``event_id`` is
+    unique so there are no ties — the groupBy reuses the window's
+    partitioning, and ``conv_id`` is formatted on the aggregated rows.
+    Output is byte-identical to the unfused plan (same rows, same
+    types; integer-exact gap sums so no float-order hazard), asserted
+    in tests/test_aggregate.py and the driver oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from node_log_forwarder_spark.sources.transcripts import event_role_expr
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    role = event_role_expr()
+    cols = [
+        F.col("user_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ]
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+        F.coalesce(F.round(F.avg("gap_us") / 1_000_000, 4), F.lit(0.0)).alias("mean_gap_s"),
+        F.coalesce(
+            F.round(F.max("gap_us").cast("double") / 1_000_000, 4), F.lit(0.0)
+        ).alias("max_gap_s"),
+    ]
+    if include_protocol:
+        from node_log_forwarder_spark.operators.protocol import (
+            DEFAULT_OPENERS,
+        )
+
+        prev = F.lag(role).over(w)
+        first = prev.isNull()
+        cols += [
+            (first & ~role.isin(*DEFAULT_OPENERS)).cast("int").alias("_bad_first"),
+            F.coalesce((prev == role).cast("int"), F.lit(0)).alias("_same_role"),
+            ((role == "tool") & (first | (prev != F.lit("assistant"))))
+            .cast("int")
+            .alias("_bad_tool"),
+        ]
+        aggs += [
+            F.max("_bad_first").cast("bigint").alias("bad_first"),
+            F.coalesce(F.sum("_same_role"), F.lit(0))
+            .cast("bigint")
+            .alias("n_same_role"),
+            F.coalesce(F.sum("_bad_tool"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bad_tool"),
+            (
+                F.max("_bad_first")
+                + F.coalesce(F.sum("_same_role"), F.lit(0))
+                + F.coalesce(F.sum("_bad_tool"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_viol"),
+        ]
+    g = events.select(*cols)
+    out = g.groupBy("user_id").agg(*aggs)
+    return out.select(
+        F.format_string("conv_%06d", F.col("user_id")).alias("conv_id"),
+        *[c for c in out.columns if c != "user_id"],
+    )
+
+
 def conversation_stats_grouped_map(transcripts: DataFrame) -> DataFrame:
     """applyInPandas demonstrator; identical output to the native plan."""
 

@@ -185,6 +185,18 @@ def transcript_text_expr() -> Column:
     )
 
 
+def event_role_expr() -> Column:
+    """The events→transcript role mapping as a standalone expression,
+    shared by ``transcripts_from_events`` and fused consumers that key
+    on ``user_id`` directly (e.g. convstats.conversation_stats_from_events)."""
+    return (
+        F.when(F.col("event_type") == "purchase", "assistant")
+        .when(F.col("event_type") == "error", "tool")
+        .when(F.col("event_type") == "signup", "system")
+        .otherwise("user")
+    )
+
+
 def transcripts_from_events(events: DataFrame) -> DataFrame:
     """Map the driver's read-only `events` table into transcript shape.
 
@@ -193,12 +205,7 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
     The text variation (seeded by the integer inside ``props``) lives in
     ``transcript_text_expr``.
     """
-    role = (
-        F.when(F.col("event_type") == "purchase", "assistant")
-        .when(F.col("event_type") == "error", "tool")
-        .when(F.col("event_type") == "signup", "system")
-        .otherwise("user")
-    )
+    role = event_role_expr()
     tool = (
         F.when(F.col("event_type") == "click", "browser")
         .when(F.col("event_type") == "view", "search")

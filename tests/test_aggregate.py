@@ -150,3 +150,39 @@ def test_conversation_stats_native_equals_grouped_map(spark, transcripts):
     # and the native plan must not spawn Python workers
     plan = native._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan and "EvalPython" not in plan
+
+
+def test_conversation_stats_from_events_equals_unfused(spark):
+    """r6 fusion: conversation_stats_from_events == the unfused
+    conversation_stats(transcripts_from_events(...)) plan, both protocol
+    modes, and the fused plan has exactly ONE Exchange."""
+    from node_log_forwarder_spark.operators.convstats import (
+        conversation_stats,
+        conversation_stats_from_events,
+    )
+    from node_log_forwarder_spark.sources.transcripts import (
+        transcripts_from_events,
+    )
+
+    ev = spark.range(600).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(1767225600 + (F.col("id") * 37) % 5000).alias("ts"),
+        (F.col("id") % 23).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ["click", "view", "purchase", "error", "signup"]]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        F.format_string("p=%d", F.col("id") % 97).alias("props"),
+    )
+    for proto in (False, True):
+        fused = conversation_stats_from_events(ev, include_protocol=proto)
+        unfused = conversation_stats(
+            transcripts_from_events(ev), include_protocol=proto
+        )
+        assert [(f.name, f.dataType) for f in fused.schema] == [
+            (f.name, f.dataType) for f in unfused.schema
+        ]
+        assert fused.exceptAll(unfused).count() == 0
+        assert unfused.exceptAll(fused).count() == 0
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -1,0 +1,70 @@
+"""Dump .explain('formatted') for the bench-headline declared queries
+plus the parse→route bench path, to plans/r06/<name>_<tag>.txt.
+
+Usage: python tools/capture_plans.py <tag> [query ...]
+  tag: 'before' or 'after'; default queries = the bench headline set.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BENCH_KEYS = [
+    "minhash_pairs", "cosine_topk", "join_revenue", "dedup_exact",
+    "conv_minhash_pairs", "conversation_stats", "vocab_topk",
+]
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:] or BENCH_KEYS + ["parse_route", "pipeline_routed"]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    os.environ.setdefault("NLF_QUERY_SHUFFLE_PARTITIONS", "64")
+
+    from node_log_forwarder_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-capture", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r06")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(name: str, df) -> None:
+        p = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(p, "w") as f:
+            f.write(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
+        print(f"wrote {p}")
+
+    for name in names:
+        if name == "parse_route":
+            from node_log_forwarder_spark.config import DEFAULT_RULES, DEFAULT_SINKS
+            from node_log_forwarder_spark.operators.enrich import dim_frames, enrich
+            from node_log_forwarder_spark.operators.parse import coerce_fields, parse_stage
+            from node_log_forwarder_spark.operators.route import explode_sinks, route
+            from node_log_forwarder_spark.sources.transcripts import synth_transcripts
+
+            df = synth_transcripts(spark, 1000)
+            df = parse_stage(df, DEFAULT_RULES, engine="native")
+            df = coerce_fields(df, DEFAULT_RULES)
+            df = enrich(df, dim_frames(spark))
+            df = route(df, DEFAULT_SINKS)
+            dump("parse_route", explode_sinks(df).groupBy("sink_id").count())
+        elif name == "pipeline_routed":
+            from node_log_forwarder_spark.plans.pipeline import PipelineConfig, build_routed
+            from node_log_forwarder_spark.sources.transcripts import synth_transcripts
+
+            df = synth_transcripts(spark, 1000)
+            dump("pipeline_routed", build_routed(spark, df, PipelineConfig()))
+        else:
+            dump(name, qs[name](spark, sf_dir))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
