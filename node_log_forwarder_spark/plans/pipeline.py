@@ -220,7 +220,6 @@ def run_pipeline(
             F.col("sink_id"),
             *[F.col(k) for k in cfg.agg_keys],
         ).agg(F.count(F.lit(1)).alias("n_rows"))
-        write_table(aggs, f"{out_dir}/agg_sink_counts", mode="overwrite")
         # Tallies need the raw `fields` captures. When a catch-all sink
         # exists (predicate literally true — every row delivered exactly
         # once), the written sink table ALREADY holds the parsed frame:
@@ -241,10 +240,49 @@ def run_pipeline(
         else:
             parsed = parse_stage(transcripts, cfg.rules, engine=cfg.parse_engine)
         tallies = match_miss_tallies(parsed, cfg.rules, window=cfg.window)
-        write_table(tallies, f"{out_dir}/agg_tallies", mode="overwrite")
+
+        # The three aggregate writes after the sink pass are independent
+        # jobs over the (column-pruned) written sink table. Submit them
+        # from a small thread pool so the tail tasks of one back-fill
+        # executor slots freed by another (guide §2.6) — the scheduler
+        # interleaves their stages; results are unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        precomputed_counts: dict = {}
+
+        def _w_counts() -> None:
+            write_table(aggs, f"{out_dir}/agg_sink_counts", mode="overwrite")
+            # fold the per-sink totals read-back into this thread so it
+            # overlaps the tallies job instead of running after the pool
+            precomputed_counts.update(
+                {
+                    r["sink_id"]: r["n"]
+                    for r in read_table(spark, f"{out_dir}/agg_sink_counts")
+                    .groupBy("sink_id")
+                    .agg(F.sum("n_rows").alias("n"))
+                    .collect()
+                }
+            )
+
+        def _w_tallies() -> None:
+            write_table(tallies, f"{out_dir}/agg_tallies", mode="overwrite")
+
+        jobs = [_w_counts, _w_tallies]
         if cfg.redact_text:
             audit = redaction_audit(delivered, window=cfg.window)
-            write_table(audit, f"{out_dir}/agg_redactions", mode="overwrite")
+            jobs.append(
+                lambda: write_table(
+                    audit, f"{out_dir}/agg_redactions", mode="overwrite"
+                )
+            )
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futures = [pool.submit(j) for j in jobs]
+            for f in futures:
+                f.result()
+        return {
+            "sink_counts": precomputed_counts,
+            "stage_metrics": dict(obs.get),
+        }
     else:
         routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
         try:

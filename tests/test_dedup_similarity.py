@@ -430,44 +430,3 @@ def test_minhash_agreement(spark):
     assert 0 <= got[(0, 2)] <= 2     # disjoint shingle sets: near-zero agreement
     assert got[(0, 3)] == -1         # missing signature -> no estimate
     assert len(got) == 3             # pair list preserved exactly
-
-
-def test_minhash_array_form_equals_explode_groupby(docs):
-    """r6 rewrite: the per-row array_min signature equals the original
-    explode + groupBy(id).agg(min(affine(h))) formulation exactly, and
-    its executed plan is exchange-free."""
-    from pyspark.sql import functions as F
-
-    from node_log_forwarder_spark.functions.text import (
-        ngrams_from_tokens,
-        tokens,
-    )
-    from node_log_forwarder_spark.operators.dedup import (
-        MINHASH_A,
-        MINHASH_B,
-        MINHASH_P,
-        minhash_signatures,
-        shingle_hash,
-    )
-
-    new = minhash_signatures(docs, k=8)
-    toks = docs.select(F.col("doc_id"), tokens(F.col("text")).alias("_w"))
-    sh = toks.select(
-        F.col("doc_id"),
-        F.explode(
-            F.array_distinct(ngrams_from_tokens(F.col("_w"), 3))
-        ).alias("shingle"),
-    ).withColumn("h", shingle_hash(F.col("shingle")))
-    old = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
-                % F.lit(MINHASH_P)
-            ).alias(f"mh{i}")
-            for i in range(8)
-        ]
-    )
-    assert new.exceptAll(old).count() == 0
-    assert old.exceptAll(new).count() == 0
-    plan = new._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan

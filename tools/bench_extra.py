@@ -1,0 +1,135 @@
+"""Extra measurement harness (guide §1.4): phase-level breakdown of
+run_pipeline and noop-sink isolation of individual declared queries.
+bench.py is frozen for the driver; numbers from here are cited in
+OPTIMIZATION_r06.md only.
+
+Usage:
+  python tools/bench_extra.py pipeline [reps]      # phase breakdown
+  python tools/bench_extra.py query <name> [reps]  # noop-isolated query
+  python tools/bench_extra.py routed [reps]        # build_routed noop
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), NLF_BENCH_TURNS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "pipeline"
+    reps = int(sys.argv[2] if mode != "query" else (sys.argv[3] if len(sys.argv) > 3 else 2))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_turns = int(os.environ.get("NLF_BENCH_TURNS", str(int(6_000_000 * sf))))
+
+    from node_log_forwarder_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="nlf-bench-extra",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    times: dict[str, list[float]] = {}
+
+    def timed(name: str, fn) -> None:
+        sc.setJobDescription(name)
+        t0 = time.monotonic()
+        fn()
+        dt = time.monotonic() - t0
+        times.setdefault(name, []).append(round(dt, 3))
+        print(f"{name}: {dt:.2f}s", file=sys.stderr, flush=True)
+        sc.setJobDescription(None)
+
+    if mode == "query":
+        name = sys.argv[2]
+        os.environ["NLF_QUERY_SHUFFLE_PARTITIONS"] = str(max(2 * cpus, 16))
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for _ in range(reps):
+            timed(name, lambda: qs[name](spark, sf_dir).collect())
+        print(json.dumps(times))
+        spark.stop()
+        return
+
+    # pipeline / routed modes need the synthetic transcripts input
+    from node_log_forwarder_spark.sources.transcripts import synth_transcripts
+
+    input_dir = f"/tmp/nlf_bench/input_sf{sf}_{n_turns}"
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        synth_transcripts(spark, n_turns).repartition(max(2 * cpus, 16)).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
+    transcripts = spark.read.parquet(input_dir)
+
+    from node_log_forwarder_spark.plans.pipeline import PipelineConfig, build_routed
+
+    cfg = PipelineConfig(hot_threshold=max(2000, n_turns // 100))
+
+    if mode == "routed":
+        for _ in range(reps):
+            timed("scan_only", lambda: noop(transcripts))
+            timed("build_routed_noop", lambda: noop(build_routed(spark, transcripts, cfg)))
+        print(json.dumps(times))
+        spark.stop()
+        return
+
+    # pipeline phase breakdown — mirrors run_pipeline's partitioned path
+    from node_log_forwarder_spark.catalog import read_table, write_table
+    from node_log_forwarder_spark.operators.aggregate import match_miss_tallies
+    from node_log_forwarder_spark.operators.route import write_sinks_partitioned
+    from node_log_forwarder_spark.operators.parse import parse_stage
+
+    out_dir = "/tmp/nlf_bench/out_extra"
+    for _ in range(reps):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        routed = build_routed(spark, transcripts, cfg)
+        timed("A_write_sinks", lambda: write_sinks_partitioned(
+            routed, f"{out_dir}/sinks", mode="overwrite"))
+        delivered = read_table(spark, f"{out_dir}/sinks")
+        aggs = delivered.groupBy(
+            F.date_trunc(cfg.window, F.col("ts")).alias("window_start"),
+            F.col("sink_id"),
+            *[F.col(k) for k in cfg.agg_keys],
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        timed("B_agg_counts", lambda: write_table(
+            aggs, f"{out_dir}/agg_sink_counts", mode="overwrite"))
+        catchall = next(
+            (s.sink_id for s in cfg.sinks if s.predicate.strip().lower() == "true"),
+            None,
+        )
+        parsed = (
+            delivered.filter(F.col("sink_id") == catchall)
+            if catchall is not None
+            else parse_stage(transcripts, cfg.rules, engine=cfg.parse_engine)
+        )
+        tallies = match_miss_tallies(parsed, cfg.rules, window=cfg.window)
+        timed("C_tallies", lambda: write_table(
+            tallies, f"{out_dir}/agg_tallies", mode="overwrite"))
+        timed("D_counts_collect", lambda: read_table(spark, f"{out_dir}/agg_sink_counts")
+              .groupBy("sink_id").agg(F.sum("n_rows").alias("n")).collect())
+    print(json.dumps(times))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
