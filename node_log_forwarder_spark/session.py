@@ -55,9 +55,22 @@ def get_spark(
         # semantics for a repeated key are last-one-wins (default
         # EXCEPTION would fail the whole row)
         "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+        # Whole-stage-codegen methods above HotSpot's 8000-byte
+        # DontCompileHugeMethods limit never JIT and run interpreted —
+        # the fused parse(WHEN-chain)+coerce+route projection hit this
+        # (measured 0.92s vs 0.28s on its stage at sf0.1). Falling back
+        # to per-operator codegen for oversized stages keeps every
+        # method JIT-able; identical results, execution strategy only.
+        "spark.sql.codegen.hugeMethodLimit": "8000",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("NLF_DRIVER_MEM", "8g"),
     }
+    # Deployment-specific overrides without code changes (e.g. cluster
+    # heap sizing, codec switches): NLF_EXTRA_SPARK_CONF="k=v;k=v".
+    env_extra = os.environ.get("NLF_EXTRA_SPARK_CONF", "")
+    for kv in filter(None, (s.strip() for s in env_extra.split(";"))):
+        k, _, v = kv.partition("=")
+        conf[k.strip()] = v.strip()
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
