@@ -165,21 +165,24 @@ def tfidf_int_topk(
     spark = docs.sparkSession
     if not query_tokens:
         return spark.createDataFrame([], "doc_id long, score long")
+    from pyspark.sql import Window
+
     tfs = doc_term_freqs(docs, id_col, text_col)
     n1 = docs.agg(F.count(F.lit(1)).alias("_n"))
-    qterms = _query_terms(spark, query_tokens)
     cand = tfs.where(F.col("token").isin(*sorted(set(query_tokens))))
-    weights = (
-        term_doc_freqs(cand)
-        .join(F.broadcast(qterms), "token")
-        .join(F.broadcast(n1))
-        .select(
-            "token",
-            F.expr(f"(_n * {int(scale)}) div df").alias("w"),
-        )
-    )
+    # df per token as a window count over the SAME candidate lineage
+    # (r6): the previous separate term_doc_freqs branch re-executed the
+    # whole scan+tokenize+explode a second time (exchange reuse did not
+    # fire across the differently-shaped aggregate subtrees — measured
+    # 2 parquet scans + 2 Generates in the executed plan). The window
+    # shuffles only candidate rows (|query tokens| x docs containing
+    # them) and produces the identical integer df, hence identical
+    # integer weights and scores.
+    w = Window.partitionBy("token")
     return (
-        cand.join(F.broadcast(weights), "token")
+        cand.join(F.broadcast(n1))
+        .withColumn("df", F.count(F.lit(1)).over(w))
+        .withColumn("w", F.expr(f"(_n * {int(scale)}) div df"))
         .groupBy("doc_id")
         .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id"))

@@ -44,6 +44,12 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Let AQE rewrite sort-merge joins to shuffled-hash at runtime
+        # when every post-shuffle partition is under 128 MB (guide §3.1)
+        # — skips both sort passes; the per-partition cap bounds the
+        # build-side hash table, and partition sizes shrink as the
+        # cluster scales out, so the rewrite stays safe at 100 TB.
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "134217728",
         # Arrow transfer for the vectorized parse stage (20k/batch
         # measured ~10% faster than the 10k default on the parse UDF).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
