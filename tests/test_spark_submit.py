@@ -56,7 +56,9 @@ def test_spark_submit_py_files_matches_inprocess(spark, transcripts, tmp_path):
         PipelineConfig(parse_engine="native", hot_threshold=10_000),
     )
 
-    zip_path = build()
+    # hermetic: build into tmp_path, not the shared repo-root dist/
+    # (ADVICE r5: avoids mutating checkout state / racing under xdist)
+    zip_path = build(out=str(tmp_path / "nlf_spark.zip"))
     assert os.path.exists(zip_path)
 
     submit_script = tmp_path / "submit_job.py"

@@ -70,10 +70,23 @@ def main() -> None:
                 f"{now} envelope {env},{env2} >= {THRESHOLD} -> LAUNCH batch {batch_no}",
                 flush=True,
             )
-            subprocess.run(
-                [sys.executable, "tools/run_scaling.py", "19200000", "4"],
-                timeout=3600,
-            )
+            try:
+                subprocess.run(
+                    [sys.executable, "tools/run_scaling.py", "19200000", "4"],
+                    timeout=3600,
+                )
+            except subprocess.TimeoutExpired:
+                # ADVICE r5: a killed batch leaves no campaign record —
+                # log the event loudly instead of dying with it, so the
+                # docstring's every-launch-is-accounted-for property
+                # holds (the batch is recorded HERE as killed-unrecorded)
+                print(
+                    f"{time.strftime('%H:%M:%S')} batch {batch_no} KILLED "
+                    "by 3600s timeout before recording — window lost, "
+                    "no campaign rows appended",
+                    flush=True,
+                )
+                continue
             print(f"{time.strftime('%H:%M:%S')} batch {batch_no} done (recorded)", flush=True)
         else:
             print(f"{now} envelope {env} < {THRESHOLD} -> wait", flush=True)
