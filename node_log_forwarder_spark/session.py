@@ -29,7 +29,16 @@ def get_spark(
     None.
     """
     builder = SparkSession.builder.appName(app_name)
-    if master is None and os.environ.get("SPARK_GRAFT_CPUS"):
+    # The env-based local master is a sandbox default only. Under
+    # spark-submit the JVM gateway already exists and PYSPARK_GATEWAY_PORT
+    # is set in this process's environment — there the CLI --master must
+    # win, even if SPARK_GRAFT_CPUS leaked into the submit environment
+    # (ADVICE r5: a code-set master would silently force local mode).
+    if (
+        master is None
+        and os.environ.get("SPARK_GRAFT_CPUS")
+        and "PYSPARK_GATEWAY_PORT" not in os.environ
+    ):
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master:
         builder = builder.master(master)

@@ -66,7 +66,10 @@ def test_spark_submit_py_files_matches_inprocess(spark, transcripts, tmp_path):
 
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # zip must be the only package source
-    env.pop("SPARK_GRAFT_CPUS", None)  # master must come from spark-submit
+    # Deliberately POISON the sandbox master default: get_spark must
+    # ignore it under spark-submit (PYSPARK_GATEWAY_PORT present) so the
+    # CLI --master local[4] wins (ADVICE r5 footgun, fixed in session.py).
+    env["SPARK_GRAFT_CPUS"] = "3"
     out_b = str(tmp_path / "out_submit")
     proc = subprocess.run(
         [
@@ -96,6 +99,9 @@ def test_spark_submit_py_files_matches_inprocess(spark, transcripts, tmp_path):
     assert proc.returncode == 0, f"spark-submit failed:\n{proc.stderr[-4000:]}"
     res_b = _last_json_line(proc.stdout)
 
+    assert res_b["master"] == "local[4]", (
+        f"spark-submit CLI master lost to env default: {res_b['master']}"
+    )
     assert res_b["sink_counts"] == res_a["sink_counts"]
     assert res_b["stage_metrics"] == res_a["stage_metrics"]
 

@@ -33,6 +33,9 @@ def main() -> None:
     res = run_pipeline(
         spark, tr, args.out, PipelineConfig(parse_engine=args.engine, hot_threshold=10_000)
     )
+    # Report the master actually used so the e2e test can pin that the
+    # spark-submit CLI master wins over any leaked sandbox env default.
+    res["master"] = spark.sparkContext.master
     print(json.dumps(res))
     spark.stop()
 
